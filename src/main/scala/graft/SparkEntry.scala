@@ -1,13 +1,615 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.ChangeEvent
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators._
+import graft.sources.CdcSynth
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Driver contract: every operator from SURVEY.md §2 gets a `queries` entry;
+ * each SQL-expressible one gets a DuckDB `oracleSql` twin with IDENTICAL
+ * column names and row order.
+ *
+ * Numeric discipline for oracle hash-matching: sums go through exact
+ * DECIMAL casts then back to DOUBLE (double summation order is
+ * engine-dependent; decimal is not); ratios/divisions are carried out on
+ * identical doubles in identical op order (IEEE-deterministic both sides);
+ * timestamps are emitted as formatted strings.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum: cast to decimal, sum, cast back to double. */
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** events.parquet has ns timestamps (unsupported by the Parquet reader) → read ts as long. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ms", expr("ts div 1000000"))
+  }
+
+  /** CDC-ified orders (deterministic op mix, JSON payloads). */
+  private def orderEvents(s: SparkSession, dir: String): DataFrame =
+    CdcSynth.changeEvents(t(s, dir, "orders"), "inventory", "orders", "o_orderkey",
+      tsCol = Some("o_orderdate"))
+
+  private def jget(c: String, path: String): Column = get_json_object(col(c), "$." + path)
+
+  /** Flagship query on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_join_topn")(spark, "/root/testdata/sf0.001")
+
+  // ———————————————————————————— queries ————————————————————————————
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // —— relational surface (SURVEY §2.8: free from Catalyst, judged) ——
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q3_join_topn" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(o("o_orderkey"), c("c_name"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q4_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q5_setops" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    "q6_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q7_agg_having" -> ((s, dir) => {
+      t(s, dir, "part").groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"), dsum2(col("p_retailprice")).as("sum_price"))
+        .filter(col("n_parts") >= 5)
+        .orderBy("p_brand")
+    }),
+
+    // —— CDC operator surface (SURVEY §2.1–2.5) ——
+
+    "cdc_snapshot_read" -> ((s, dir) => {
+      CdcSynth.snapshot(s, dir, "nation", "inventory", "n_nationkey")
+        .select(jget("after", "n_nationkey").cast(LongType).as("n_nationkey"),
+          jget("after", "n_name").as("n_name"), col("op"))
+        .orderBy("n_nationkey")
+    }),
+
+    "cdc_filter" -> ((s, dir) => {
+      import FilterProcessor._
+      val cfg = Config(
+        ops = Seq(ChangeEvent.Op.Create, ChangeEvent.Op.Update),
+        tables = Seq("inventory.*"),
+        predicates = Seq(Gt("o_totalprice", 150000), In("o_orderstatus", Seq("F", "O"))),
+        matchMode = MatchAll)
+      FilterProcessor(cfg)(orderEvents(s, dir))
+        .select(jget("after", "o_orderkey").cast(LongType).as("o_orderkey"), col("op"),
+          jget("after", "o_totalprice").cast(DoubleType).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "cdc_filter_changed" -> ((s, dir) => {
+      import FilterProcessor._
+      val o = t(s, dir, "orders")
+      val op = CdcSynth.opFor(col("o_orderkey"))
+      val delta = when(col("o_orderkey") % 3 === 0, 10.0).otherwise(0.0)
+      val beforeJson = to_json(struct(col("o_orderkey"), col("o_totalprice")))
+      val afterJson = to_json(struct(col("o_orderkey"),
+        (col("o_totalprice") + delta).as("o_totalprice")))
+      val ev = ChangeEvent.conform(o.select(
+        when(op.isin("u", "d"), beforeJson).as("before"),
+        when(op =!= "d", afterJson).as("after"),
+        op.as("op"),
+        col("o_orderkey").cast(LongType).as("ts_ms")))
+      FilterProcessor(Config(predicates = Seq(Changed("o_totalprice"))))(ev)
+        .select(coalesce(jget("after", "o_orderkey"), jget("before", "o_orderkey"))
+          .cast(LongType).as("o_orderkey"), col("op"))
+        .orderBy("o_orderkey")
+    }),
+
+    "cdc_flatten" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(struct(
+        struct(col("o_orderkey").as("id"), col("o_totalprice").as("price")).as("order"),
+        struct(col("o_custkey").as("key")).as("customer")).as("payload"))
+      FlattenProcessor(nested, "payload").orderBy("order__id")
+    }),
+
+    "cdc_outbox" -> ((s, dir) => {
+      val eventType = when(col("o_orderstatus") === "F", "OrderFulfilled")
+        .when(col("o_orderstatus") === "O", "OrderCreated").otherwise("OrderPending")
+      val o = t(s, dir, "orders")
+      val outboxAfter = to_json(struct(
+        concat(lit("evt-"), col("o_orderkey")).as("id"),
+        lit("Order").as("aggregate_type"),
+        col("o_orderkey").cast(StringType).as("aggregate_id"),
+        eventType.as("event_type"),
+        struct(col("o_orderkey"), col("o_totalprice")).as("payload")))
+      val ev = CdcSynth.changeEvents(o.withColumn("_outbox", outboxAfter),
+        "inventory", "outbox_orders", "o_orderkey")
+        .withColumn("source", col("source").withField("schema", lit("__outbox")))
+      // rebuild after from the outbox row (changeEvents serialized the whole row)
+      val ev2 = ev.withColumn("after", jget("after", "_outbox"))
+      OutboxProcessor(OutboxProcessor.Config(
+        topicTemplate = Some("${aggregate_type}.${event_type}")))(ev2)
+        .select(col("routing.topic").as("topic"), col("routing.key").as("event_key"))
+        .orderBy(col("event_key").cast(LongType))
+    }),
+
+    "cdc_routing" -> ((s, dir) => {
+      val ev = orderEvents(s, dir).withColumn("routing",
+        struct(
+          when(col("source.pos") % 7 === 0, "priority.events").as("topic"),
+          lit(null).cast(StringType).as("key"),
+          lit(null).cast(MapType(StringType, StringType)).as("headers"),
+          lit(false).as("raw_payload")))
+      ev.select(col("source.pos").as("o_orderkey"),
+        Routing.resolveTopic(Some("cdc.${source.db}.${source.table}"), "fallback").as("topic"))
+        .orderBy("o_orderkey")
+    }),
+
+    "cdc_envelope" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val op = CdcSynth.opFor(col("o_orderkey"))
+      val payload = to_json(struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status")))
+      val ev = ChangeEvent.conform(o.select(
+        when(op.isin("u", "d"), payload).as("before"),
+        when(op =!= "d", payload).as("after"),
+        struct(
+          lit("graft-0.1.0").as("version"), lit("mysql").as("connector"),
+          lit("test-db").as("name"), lit(0L).as("ts_ms"), lit("inventory").as("db"),
+          lit(null).cast(StringType).as("schema"), lit("orders").as("table"),
+          lit(false).as("snapshot"), lit(1L).as("server_id"),
+          lit(null).cast(StringType).as("gtid"), lit(null).cast(StringType).as("file"),
+          col("o_orderkey").cast(LongType).as("pos"), lit(null).cast(StringType).as("lsn"),
+          lit(null).cast(LongType).as("tx_id"), lit(null).cast(LongType).as("sequence")).as("source"),
+        op.as("op"),
+        (col("o_orderdate").cast(TimestampType).cast(DoubleType) * 1000).cast(LongType).as("ts_ms"),
+        concat(lit("inventory.orders:"), col("o_orderkey")).as("event_id")))
+      ev.select(col("source.pos").as("o_orderkey"),
+        Envelopes.cloudEvents("com.acme.order").as("envelope"))
+        .orderBy("o_orderkey")
+    }),
+
+    "cdc_upsert" -> ((s, dir) => {
+      val v = versionedOrders(s, dir)
+      Materialize.upsert(v, col("pk"), col("version"),
+        Map("pk" -> col("pk"), "total" -> col("total")))
+        .orderBy("pk")
+    }),
+
+    "cdc_changelog" -> ((s, dir) => {
+      val v = versionedOrders(s, dir)
+      Materialize.changelog(v, col("version"),
+        Map("pk" -> col("pk"), "total" -> col("total")))
+        .orderBy("pk", "_version")
+    }),
+
+    "cdc_idempotent_dedup" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "user_id", "event_type", "value")
+      e.union(e) // simulate at-least-once replay
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    }),
+
+    // —— LLM-pipeline operators (north star: dedup / similarity / text / multimodal) ——
+
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+        .select("canonical_id", "n_dups")
+        .orderBy("canonical_id")
+    }),
+
+    "dedup_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fingerprint")
+    }),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), 0.9).orderBy("id_a", "id_b")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), 0.9).orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), 3).orderBy("id_a", "id_b")
+    }),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qvec"))
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.cosine(Similarity.asDouble(col("embedding")),
+            Similarity.asDouble(col("_qvec"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    "ann_pairs_exact" -> ((s, dir) => {
+      Similarity.cosinePairsExact(t(s, dir, "embeddings"), 0.35).orderBy("id_a", "id_b")
+    }),
+
+    "ann_pairs_lsh" -> ((s, dir) => {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), 0.30, dim = 64, bits = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "text_metrics" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.nChars(txt).cast(LongType).as("n_chars_m"),
+        TextAnalysis.nWords(txt).cast(LongType).as("n_words"),
+        TextAnalysis.nPunct(txt).cast(LongType).as("n_punct"),
+        TextAnalysis.nStopwords(txt).cast(LongType).as("n_stop"),
+        TextAnalysis.bpeTokenCount(txt).cast(LongType).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("content_sha"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // —— schema sensing / drift / streaming-style aggs (SURVEY §2.6) ——
+
+    "events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_format(timestamp_millis(col("ms")), "yyyy-MM-dd HH:00:00").as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .orderBy("hour_s", "event_type")
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      events(s, dir)
+        .withColumn("new_sess",
+          when(lag(col("ms"), 1).over(w).isNull ||
+            col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "sensing_stats" -> ((s, dir) => {
+      events(s, dir)
+        .select(nullif(regexp_extract(col("props"), "\"k\": (-?\\d+)", 1), lit(""))
+          .cast(LongType).as("v"))
+        .agg(count(lit(1)).as("n_rows"), count_distinct(col("v")).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .withColumn("field", lit("k"))
+        .select("field", "n_rows", "n_distinct", "min_v", "max_v")
+    }),
+
+    "sensing_hll" -> ((s, dir) => {
+      // scale path: HLL sketch instead of exact distinct (reference S-4 classifier)
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("props")).as("approx_props"))
+        .orderBy("event_type")
+    }),
+
+    "drift_nullrate" -> ((s, dir) => {
+      val e = events(s, dir)
+      val stats = Seq("value", "props", "event_type").map { c =>
+        e.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"))
+          .withColumn("column_name", lit(c))
+          .select("column_name", "n_rows", "n_nulls")
+      }
+      stats.reduce(_ union _).orderBy("column_name")
+    })
+  )
+
+  /** Versioned change stream over orders for upsert/changelog materialization. */
+  private def versionedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val v1 = o.select(col("o_orderkey").as("pk"), lit(1L).as("version"),
+      lit("c").as("op"), col("o_totalprice").as("total"))
+    val v2 = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("pk"), lit(2L).as("version"),
+        lit("u").as("op"), (col("o_totalprice") + 10).as("total"))
+    val v3 = o.filter(col("o_orderkey") % 10 === 9)
+      .select(col("o_orderkey").as("pk"), lit(3L).as("version"),
+        lit("d").as("op"), lit(null).cast(DoubleType).as("total"))
+    v1.union(v2).union(v3).withColumn("ts_ms", col("version"))
+  }
+
+  // ———————————————————————————— oracles ————————————————————————————
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000 ORDER BY o_orderkey""".stripMargin,
+
+    "q3_join_topn" ->
+      """SELECT o.o_orderkey, c.c_name,
+        | CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1,2 ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q5_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |INTERSECT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey""".stripMargin,
+
+    "q6_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_agg_having" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1""".stripMargin,
+
+    "cdc_snapshot_read" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, 'r' AS op
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "cdc_filter" ->
+      """SELECT o_orderkey,
+        | CASE WHEN (o_orderkey % 10) <= 5 THEN 'c' ELSE 'u' END AS op,
+        | o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey % 10) <= 8 AND o_totalprice > 150000 AND o_orderstatus IN ('F','O')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_filter_changed" ->
+      """SELECT o_orderkey,
+        | CASE WHEN (o_orderkey % 10) <= 5 THEN 'c' WHEN (o_orderkey % 10) <= 8 THEN 'u' ELSE 'd' END AS op
+        |FROM orders
+        |WHERE (o_orderkey % 10) <= 5 OR (o_orderkey % 10) = 9
+        |   OR ((o_orderkey % 10) BETWEEN 6 AND 8 AND o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_flatten" ->
+      """SELECT o_orderkey AS order__id, o_totalprice AS order__price, o_custkey AS customer__key
+        |FROM orders ORDER BY order__id""".stripMargin,
+
+    "cdc_outbox" ->
+      """SELECT concat('Order.',
+        |  CASE WHEN o_orderstatus='F' THEN 'OrderFulfilled'
+        |       WHEN o_orderstatus='O' THEN 'OrderCreated' ELSE 'OrderPending' END) AS topic,
+        | CAST(o_orderkey AS VARCHAR) AS event_key
+        |FROM orders WHERE (o_orderkey % 10) <= 5 ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_routing" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 7 = 0 THEN 'priority.events' ELSE 'cdc.inventory.orders' END AS topic
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_envelope" ->
+      """SELECT o_orderkey, concat(
+        | '{"specversion":"1.0","id":"inventory.orders:', CAST(o_orderkey AS VARCHAR), '",',
+        | '"source":"/mysql/test-db",',
+        | '"type":"com.acme.order.',
+        |   CASE WHEN (o_orderkey % 10) <= 5 THEN 'created'
+        |        WHEN (o_orderkey % 10) <= 8 THEN 'updated' ELSE 'deleted' END, '",',
+        | '"time":"', strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '.000Z",',
+        | '"subject":"inventory.orders",',
+        | '"data":{',
+        |  CASE WHEN (o_orderkey % 10) > 5 THEN concat('"before":',
+        |    to_json(concat('{"id":', CAST(o_orderkey AS VARCHAR), ',"status":"', o_orderstatus, '"}')), ',')
+        |   ELSE '' END,
+        |  CASE WHEN (o_orderkey % 10) <> 9 THEN concat('"after":',
+        |    to_json(concat('{"id":', CAST(o_orderkey AS VARCHAR), ',"status":"', o_orderstatus, '"}')), ',')
+        |   ELSE '' END,
+        |  '"op":"', CASE WHEN (o_orderkey % 10) <= 5 THEN 'c'
+        |                 WHEN (o_orderkey % 10) <= 8 THEN 'u' ELSE 'd' END, '"}}'
+        | ) AS envelope
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_upsert" ->
+      """WITH v AS (
+        | SELECT o_orderkey AS pk, 1 AS version, 'c' AS op, o_totalprice AS total FROM orders
+        | UNION ALL SELECT o_orderkey, 2, 'u', o_totalprice+10 FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL SELECT o_orderkey, 3, 'd', NULL FROM orders WHERE o_orderkey % 10 = 9),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY version DESC) AS rn FROM v)
+        |SELECT pk, total, CAST(version AS BIGINT) AS _version
+        |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY pk""".stripMargin,
+
+    "cdc_changelog" ->
+      """WITH v AS (
+        | SELECT o_orderkey AS pk, 1 AS version, 'c' AS op, o_totalprice AS total FROM orders
+        | UNION ALL SELECT o_orderkey, 2, 'u', o_totalprice+10 FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL SELECT o_orderkey, 3, 'd', NULL FROM orders WHERE o_orderkey % 10 = 9)
+        |SELECT pk, total, op AS _op, CAST(version AS BIGINT) AS _version,
+        | CASE WHEN op = 'd' THEN 1 ELSE 0 END AS _deleted,
+        | CAST(version AS BIGINT) AS _source_ts
+        |FROM v ORDER BY pk, _version""".stripMargin,
+
+    "cdc_idempotent_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint,
+        | min(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT DISTINCT doc_id, tok FROM t WHERE tok <> ''),
+        |s AS (SELECT doc_id, COUNT(*) AS n FROM t2 GROUP BY 1),
+        |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+        |      FROM t2 a JOIN t2 b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT ia AS id_a, ib AS id_b,
+        | round(nc*1.0/(sa.n+sb.n-nc), 4) AS jaccard
+        |FROM c JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
+        |WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "ann_pairs_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY 1, 2""".stripMargin,
+
+    "text_metrics" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_m,
+        | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_words,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        | CAST(length(list_filter(string_split(text,' '),
+        |   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT) AS n_stop,
+        | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH sc AS (SELECT doc_id,
+        | length(list_filter(string_split(text,' '), x -> list_contains(['the','and','of','to','is'], x))) AS en,
+        | length(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','que','y'], x))) AS es,
+        | length(list_filter(string_split(text,' '), x -> list_contains(['der','die','und','das','ist'], x))) AS de,
+        | length(list_filter(string_split(text,' '), x -> list_contains(['le','la','et','les','des'], x))) AS fr
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN greatest(en,es,de,fr) = 0 THEN 'unknown'
+        | WHEN en = greatest(en,es,de,fr) THEN 'en'
+        | WHEN es = greatest(en,es,de,fr) THEN 'es'
+        | WHEN de = greatest(en,es,de,fr) THEN 'de' ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH m AS (SELECT doc_id,
+        | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS w,
+        | CAST(length(text) AS DOUBLE) AS chars,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        | CAST(length(list_filter(string_split(text,' '),
+        |   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop
+        |FROM documents)
+        |SELECT doc_id, round(greatest(0.0, least(1.0,
+        |  0.5 * least(w / 20.0, 1.0)
+        |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
+        |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS content_sha,
+        | CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+        |g AS (SELECT user_id,
+        | CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |       OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS ns FROM e)
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sensing_stats" ->
+      """SELECT 'k' AS field, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS n_distinct,
+        | MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM (SELECT CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS v
+        |      FROM events)""".stripMargin,
+
+    "drift_nullrate" ->
+      """SELECT 'event_type' AS column_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(event_type) AS n_nulls FROM events
+        |UNION ALL SELECT 'props', COUNT(*), COUNT(*) - COUNT(props) FROM events
+        |UNION ALL SELECT 'value', COUNT(*), COUNT(*) - COUNT(value) FROM events
+        |ORDER BY 1""".stripMargin
+  )
 }

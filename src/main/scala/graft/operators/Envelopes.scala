@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.core.ChangeEvent
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Wire envelopes: native (Debezium payload), Debezium (`{"schema":null,
+ * "payload":…}`), CloudEvents 1.0.
+ *
+ * Reference: crates/deltaforge-core/src/envelope/{native.rs:1-37,
+ * debezium.rs:27-52, cloudevents.rs:42-110}; JSON encoding encoding/json.rs.
+ * All `to_json(struct(...))` — codegen'd, no UDFs. Payload row images are
+ * embedded as raw JSON: we parse them to maps only where the envelope needs
+ * real nesting (CloudEvents `data`), otherwise they ride along as strings the
+ * consumer re-parses, which preserves number fidelity.
+ */
+object Envelopes {
+
+  /** Native envelope: the event payload itself (reference native.rs:1-37). */
+  def native: Column = to_json(struct(
+    col("before"), col("after"), col("source"), col("op"), col("ts_ms"),
+    col("transaction"), col("event_id"), col("tenant_id"),
+    col("schema_version"), col("schema_sequence"), col("tags")))
+
+  /** Debezium envelope: `{"schema": null, "payload": <event>}` (debezium.rs:27-52). */
+  def debezium: Column = concat(lit("""{"schema":null,"payload":"""), native, lit("}"))
+
+  /**
+   * CloudEvents 1.0 (cloudevents.rs:42-110):
+   * `specversion,id,source,type=<prefix>.<verb>,time(RFC3339),subject,
+   * data{before,after,op}`. Verb mapping: c→created u→updated d→deleted
+   * r→snapshot t→truncated.
+   */
+  def cloudEvents(typePrefix: String): Column = {
+    val verb =
+      when(col("op") === ChangeEvent.Op.Create, "created")
+        .when(col("op") === ChangeEvent.Op.Update, "updated")
+        .when(col("op") === ChangeEvent.Op.Delete, "deleted")
+        .when(col("op") === ChangeEvent.Op.Read, "snapshot")
+        .otherwise("truncated")
+    to_json(struct(
+      lit("1.0").as("specversion"),
+      col("event_id").as("id"),
+      concat(lit("/"), col("source.connector"), lit("/"), col("source.name")).as("source"),
+      concat(lit(typePrefix), lit("."), verb).as("type"),
+      date_format((col("ts_ms") / 1000).cast("timestamp"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("time"),
+      ChangeEvent.qualifiedTable.as("subject"),
+      struct(col("before"), col("after"), col("op")).as("data")))
+  }
+
+  /** Attach the serialized envelope as a `value` column. */
+  def encode(df: DataFrame, envelope: Column): DataFrame =
+    df.withColumn("value", envelope)
+}

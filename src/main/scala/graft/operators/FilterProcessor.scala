@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.core.ChangeEvent
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Filter processor: three gates ANDed — op gate, table gate (glob allow-list),
+ * field-predicate gate over the `after` JSON payload with `match_mode: all|any`.
+ *
+ * Reference semantics: crates/processors/src/filter.rs:46-257 and
+ * crates/deltaforge-config/src/filter_cfg.rs:12-135. Everything compiles to
+ * built-in Catalyst expressions (`get_json_object`, comparisons, `rlike`) —
+ * no UDFs, fully codegen'd, and predicates on payload fields are pushable
+ * by Catalyst when the payload is later projected to typed columns.
+ */
+object FilterProcessor {
+
+  sealed trait MatchMode
+  case object MatchAll extends MatchMode
+  case object MatchAny extends MatchMode
+
+  /**
+   * Field predicate ops over dot-paths into `after`
+   * (reference filter.rs:132-210). Path resolution: `a.b.c` → `$.a.b.c`;
+   * JSON null ⇒ "not exists" (filter.rs:265-271).
+   */
+  sealed trait FieldPredicate { def path: String }
+  case class Eq(path: String, value: Any) extends FieldPredicate
+  case class Ne(path: String, value: Any) extends FieldPredicate
+  case class Gt(path: String, value: Any) extends FieldPredicate
+  case class Gte(path: String, value: Any) extends FieldPredicate
+  case class Lt(path: String, value: Any) extends FieldPredicate
+  case class Lte(path: String, value: Any) extends FieldPredicate
+  case class In(path: String, values: Seq[Any]) extends FieldPredicate
+  case class NotIn(path: String, values: Seq[Any]) extends FieldPredicate
+  case class Contains(path: String, value: String) extends FieldPredicate
+  case class Regex(path: String, pattern: String) extends FieldPredicate
+  case class Exists(path: String) extends FieldPredicate
+  case class NotExists(path: String) extends FieldPredicate
+  /** before-vs-after change; passes unconditionally on create/delete (filter.rs:275-289). */
+  case class Changed(path: String) extends FieldPredicate
+
+  case class Config(
+      ops: Seq[String] = Nil, // empty = all ops pass
+      tables: Seq[String] = Nil, // empty = all tables pass; glob patterns
+      predicates: Seq[FieldPredicate] = Nil,
+      matchMode: MatchMode = MatchAll)
+
+  private def jsonPath(path: String): String = "$." + path
+
+  private def field(payload: Column, path: String): Column =
+    get_json_object(payload, jsonPath(path))
+
+  /**
+   * Numeric-aware equality: `42 == 42.0` (reference json_eq, filter.rs:292-300).
+   * If the config value is numeric, compare as doubles; else string-compare.
+   */
+  private def cmp(payload: Column, path: String, value: Any, f: (Column, Column) => Column): Column = {
+    val raw = field(payload, path)
+    value match {
+      case n: Int => f(raw.cast(DoubleType), lit(n.toDouble))
+      case n: Long => f(raw.cast(DoubleType), lit(n.toDouble))
+      case n: Double => f(raw.cast(DoubleType), lit(n))
+      case n: BigDecimal => f(raw.cast(DoubleType), lit(n.toDouble))
+      case s => f(raw, lit(s.toString))
+    }
+  }
+
+  /** Compile one predicate to a Catalyst Column (null-safe: null ⇒ false). */
+  def compile(p: FieldPredicate): Column = {
+    val after = col("after")
+    val c = p match {
+      case Eq(path, v) => cmp(after, path, v, _ === _)
+      case Ne(path, v) => cmp(after, path, v, _ =!= _)
+      case Gt(path, v) => cmp(after, path, v, _ > _)
+      case Gte(path, v) => cmp(after, path, v, _ >= _)
+      case Lt(path, v) => cmp(after, path, v, _ < _)
+      case Lte(path, v) => cmp(after, path, v, _ <= _)
+      case In(path, vs) =>
+        val raw = field(after, path)
+        if (vs.forall(_.isInstanceOf[String])) raw.isin(vs: _*)
+        else raw.cast(DoubleType).isin(vs.map(v => v.toString.toDouble): _*)
+      case NotIn(path, vs) =>
+        // not_in passes when the field is missing (reference filter.rs:177-184)
+        val raw = field(after, path)
+        val inC =
+          if (vs.forall(_.isInstanceOf[String])) raw.isin(vs: _*)
+          else raw.cast(DoubleType).isin(vs.map(v => v.toString.toDouble): _*)
+        raw.isNull || !inC
+      case Contains(path, v) => field(after, path).contains(v)
+      case Regex(path, pat) => field(after, path).rlike(pat)
+      case Exists(path) => field(after, path).isNotNull
+      case NotExists(path) => field(after, path).isNull
+      case Changed(path) =>
+        col("op").isin(ChangeEvent.Op.Create, ChangeEvent.Op.Delete) ||
+          !(get_json_object(col("before"), jsonPath(path)) <=> field(after, path))
+    }
+    coalesce(c, lit(false))
+  }
+
+  /**
+   * Compile a table glob allow-list to one Column over `db.table`.
+   * Patterns (reference common/src/patterns.rs:47-198): exact `db.table`,
+   * bare `table`, `db.*`, `prefix%`, `*.table`.
+   */
+  def tablePredicate(patterns: Seq[String]): Column = {
+    val qual = ChangeEvent.qualifiedTable
+    val bare = col("source.table")
+    patterns.map { p =>
+      if (p.endsWith(".*")) qual.startsWith(p.dropRight(1))
+      else if (p.startsWith("*.")) bare === p.drop(2)
+      else if (p.endsWith("%")) bare.startsWith(p.dropRight(1)) || qual.startsWith(p.dropRight(1))
+      else if (p.contains(".")) qual === p
+      else bare === p
+    }.reduceOption(_ || _).getOrElse(lit(true))
+  }
+
+  /** Full gate: op AND table AND (predicates folded by match_mode). */
+  def gate(cfg: Config): Column = {
+    val opGate = if (cfg.ops.isEmpty) lit(true) else col("op").isin(cfg.ops: _*)
+    val tableGate = if (cfg.tables.isEmpty) lit(true) else tablePredicate(cfg.tables)
+    val fieldGate = cfg.predicates.map(compile) match {
+      case Nil => lit(true)
+      case ps => cfg.matchMode match {
+        case MatchAll => ps.reduce(_ && _)
+        case MatchAny => ps.reduce(_ || _)
+      }
+    }
+    opGate && tableGate && fieldGate
+  }
+
+  def apply(cfg: Config)(df: DataFrame): DataFrame = df.filter(gate(cfg))
+}

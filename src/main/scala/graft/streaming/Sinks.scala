@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sink contract for the micro-batch coordinator.
+ *
+ * Reference: `Sink::send_batch` (crates/deltaforge-core/src/lib.rs:796-817).
+ * Each sink writes a whole micro-batch (one Spark job), throws on failure,
+ * and is replay-idempotent: the coordinator skips batches ≤ the sink's ledger
+ * mark, and writers use deterministic per-batch paths / idempotency keys.
+ */
+trait EventSink extends Serializable {
+  def id: String
+  /** participates in the `required` commit policy (reference sinks_cfg). */
+  def required: Boolean = true
+  /** per-sink event filter (reference FilteredSink, crates/sinks/src/filter.rs:16-60). */
+  def filter: Option[Column] = None
+  def write(batch: DataFrame, batchId: Long): Unit
+}
+
+/**
+ * Partitioned parquet lake sink (reference S3 sink, crates/sinks/src/s3/ —
+ * Hive `table=X/year=Y/month=M/day=D` layout from event time, router.rs:53-75).
+ * Spark's committer gives atomic task output; `maxRecordsPerFile` replaces the
+ * reference's rolling-writer thresholds (rolling.rs:17-62).
+ */
+class ParquetLakeSink(val id: String, path: String, maxRecordsPerFile: Long = 1000000L)
+    extends EventSink {
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val ts = timestamp_millis(col("ts_ms"))
+    batch
+      .withColumn("table", col("source.table"))
+      .withColumn("year", year(ts))
+      .withColumn("month", month(ts))
+      .withColumn("day", dayofmonth(ts))
+      .withColumn("_batch_id", lit(batchId))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("table", "year", "month", "day")
+      .mode("append")
+      .parquet(path)
+  }
+}
+
+/** JSONL lake sink (reference jsonl_writer.rs): one JSON document per line. */
+class JsonlSink(val id: String, path: String, envelope: DataFrame => Column)
+    extends EventSink {
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    batch.select(envelope(batch).as("value"))
+      .write.mode("append").text(s"$path/batch_id=$batchId")
+}
+
+/**
+ * Test/inspection sink collecting to a driver-side buffer; `failTimes` makes
+ * the first N write attempts throw (for commit-policy / replay tests).
+ */
+class MemorySink(val id: String, override val required: Boolean = true,
+                 override val filter: Option[Column] = None,
+                 failTimes: Int = 0) extends EventSink {
+  val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]() // batchId -> rows
+  private val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    if (attempts.incrementAndGet() <= failTimes)
+      throw new RuntimeException(s"sink $id: injected failure")
+    batches.put(batchId, batch.count())
+  }
+  def totalRows: Long = { var s = 0L; batches.values.forEach(v => s += v); s }
+}
