@@ -255,11 +255,11 @@ object SparkEntry {
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), 0.9).orderBy("id_a", "id_b")
+      Dedup.jaccardPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(t(s, dir, "documents"), 0.9).orderBy("id_a", "id_b")
+      Dedup.minhashPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -518,15 +518,17 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |t2 AS (SELECT DISTINCT doc_id, tok FROM t WHERE tok <> ''),
-        |s AS (SELECT doc_id, COUNT(*) AS n FROM t2 GROUP BY 1),
+      """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(toks)-2, 0)),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
-        |      FROM t2 a JOIN t2 b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+        |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
         |SELECT ia AS id_a, ib AS id_b,
         | round(nc*1.0/(sa.n+sb.n-nc), 4) AS jaccard
-        |FROM c JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
-        |WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.9 ORDER BY 1, 2""".stripMargin,
+        |FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5 ORDER BY 1, 2""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
@@ -572,10 +574,10 @@ object SparkEntry {
         | CAST(length(list_filter(string_split(text,' '),
         |   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop
         |FROM documents)
-        |SELECT doc_id, round(greatest(0.0, least(1.0,
+        |SELECT doc_id, floor(greatest(0.0, least(1.0,
         |  0.5 * least(w / 20.0, 1.0)
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
-        |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))), 4) AS quality
+        |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->

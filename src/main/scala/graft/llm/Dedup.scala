@@ -1,17 +1,24 @@
 package graft.llm
 
+import graft.functions.TextHashOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
  * Deduplication operators for training-data pipelines, in increasing fuzziness:
- * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+ * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+ * (embedding-based pairs live in [[Similarity]]).
  *
- * Scale design (100 TB): every path is groupBy/join on a derived key — no
- * driver-side state, no O(n²) comparisons. Candidate generation (LSH bands /
- * SimHash chunks / shared tokens) bounds the pair space before any exact
- * verification join; all joins are hash-partitioned on high-cardinality keys
- * (hashes), so skew is bounded and AQE can split hot buckets.
+ * Scale design (100 TB):
+ * - Signatures (MinHash, SimHash) are computed per-row by native codegen
+ *   expressions ([[TextHashOps]]) — a narrow map over the corpus, NO shuffle,
+ *   no per-token explode.
+ * - Candidate generation (LSH bands / SimHash chunks / shared shingles) bounds
+ *   the pair space before any exact verification join; joins are
+ *   hash-partitioned on high-cardinality hash keys so skew is bounded and AQE
+ *   can split hot buckets.
+ * - A document-frequency cap drops ubiquitous features so inverted-index
+ *   self-joins cannot go quadratic on stop-features.
  */
 object Dedup {
 
@@ -23,12 +30,8 @@ object Dedup {
   /** Rows surviving exact dedup (canonical representatives only). */
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val canon = exact(docs, idCol, textCol).select(col("canonical_id").as(idCol))
-    docs.join(canon, idCol) // broadcast-able when survivors are small; else shuffle-hash on id
+    docs.join(canon, idCol)
   }
-
-  /** (id, token) distinct pairs — the posting list both Jaccard and MinHash build on. */
-  private def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
 
   /** Word n-gram shingles (n consecutive tokens joined by space), distinct per doc. */
   def shingles(text: Column, n: Int): Column = {
@@ -38,29 +41,30 @@ object Dedup {
       s => size(split(s, " ")) === n))
   }
 
+  /** Default similarity feature: word 3-gram shingle set. */
+  def shingleSet(textCol: Column): Column = shingles(textCol, 3)
+
   /**
-   * N-gram (token-set) Jaccard near-dup pairs ≥ threshold.
-   * Inverted-index self-join on shared tokens → pair co-occurrence counts →
-   * exact Jaccard. The join key (token) is the candidate generator; document
-   * frequency cap `maxDf` drops ubiquitous tokens so the self-join can't
-   * quadratically explode on stopwords — the standard scale guard.
+   * N-gram Jaccard near-dup pairs ≥ threshold via inverted-index self-join on
+   * shared features. `maxDf` drops ubiquitous features (the quadratic-blowup
+   * guard); exact Jaccard is computed from per-doc set sizes + co-occurrence
+   * counts, so only the candidate pairs are ever materialized.
    */
   def jaccardPairs(
       docs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text",
-      maxDf: Long = 1000000L): DataFrame = {
-    val posts = postings(docs, idCol, textCol)
-    val filtered = {
-      val df = posts.groupBy("tok").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("tok")
-      posts.join(df, "tok")
-    }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val a = filtered.select(col("id").as("id_a"), col("tok"))
-    val b = filtered.select(col("id").as("id_b"), col("tok"))
-    val common = a.join(b, "tok").filter(col("id_a") < col("id_b"))
+      features: Column = null,
+      maxDf: Long = 100000L): DataFrame = {
+    val feat = Option(features).getOrElse(shingleSet(col("text")))
+    val posts0 = docs.select(col(idCol).as("id"), explode(feat).as("f"))
+    val rare = posts0.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("f")
+    val posts = posts0.join(rare, "f")
+    val sizes = posts0.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val a = posts.select(col("id").as("id_a"), col("f"))
+    val b = posts.select(col("id").as("id_b"), col("f"))
+    val common = a.join(b, "f").filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), "id_a")
@@ -73,90 +77,68 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: k hash functions h_i(t) = (a_i * x + b_i) mod p over
-   * the 64-bit token hash x (`xxhash64` — codegen'd). Signature = k mins per
-   * doc, computed in ONE aggregation pass (k min() columns), not k passes.
+   * MinHash signatures via the fused native expression — one narrow pass,
+   * no shuffle. Output: (id, features, sig array<long> of k mins).
    */
-  def minhashSignature(docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    // deterministic coefficients from a fixed seed (splitmix-ish)
-    def coef(i: Int, salt: Long): Long = {
-      var z = i.toLong * 0x9E3779B97F4A7C15L + salt
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      math.abs(z ^ (z >>> 31)) % (p - 1) + 1
-    }
-    val posts = postings(docs, idCol, textCol)
-      .withColumn("x", pmod(xxhash64(col("tok")), lit(p)))
-    val mins = (0 until k).map { i =>
-      min(pmod(col("x") * coef(i, 0xA5A5L) + coef(i, 0x5A5AL), lit(p))).as(s"h$i")
-    }
-    posts.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  def minhashSignatures(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                        features: Column = null): DataFrame = {
+    val feat = Option(features).getOrElse(shingleSet(col("text")))
+    docs.select(col(idCol).as("id"), feat.as("feats"))
+      .withColumn("sig", TextHashOps.minhashSignature(
+        transform(col("feats"), t => xxhash64(t)), k))
   }
 
   /**
-   * MinHash LSH near-dup candidate pairs: band the k-wide signature into
-   * `bands` groups of `rowsPerBand`, hash each band, group by (band, hash).
-   * Docs sharing any band bucket become candidates; `verify` re-checks exact
-   * Jaccard on the candidate set only.
+   * MinHash LSH candidate pairs: band the k-wide signature into `bands`
+   * groups of k/bands rows, hash each band, bucket-join on (band, hash).
+   * With k=64, bands=32 (r=2): P(candidate | J=0.5) ≈ 0.9999, random pairs
+   * essentially never collide.
    */
-  def minhashCandidates(
-      docs: DataFrame, k: Int, bands: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
+                        idCol: String = "doc_id", features: Column = null): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rows = k / bands
-    val sig = minhashSignature(docs, k, idCol, textCol)
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, idCol, features)
     val banded = sig.select(
-      col("id"),
+      col("id"), col("feats"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+        xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
       }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("feats").as("feats_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("feats").as("feats_b"))
     a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b", "feats_a", "feats_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** LSH candidates verified with exact Jaccard ≥ threshold. */
-  def minhashPairs(
-      docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cands = minhashCandidates(docs, k, bands, idCol, textCol)
-    val sets = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
-    cands
-      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+  def minhashPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
+                   idCol: String = "doc_id", features: Column = null): DataFrame = {
+    minhashCandidates(docs, k, bands, idCol, features)
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
+          size(array_union(col("feats_a"), col("feats_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /**
-   * SimHash 64-bit fingerprint: per token-hash bit j, sum +1/-1 over the doc's
-   * tokens; bit j of the fingerprint = sign. One aggregation pass with 64 sum
-   * columns, assembled with shiftleft/bitwise-or — all codegen'd.
+   * SimHash 64-bit fingerprints via the fused native expression — narrow
+   * map, no shuffle. Token-level (unigram) hashing.
    */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val posts = postings(docs, idCol, textCol).withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = posts.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j)
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("id"), fp.as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextHashOps.simhash64(
+        transform(TextAnalysis.tokenSet(col(textCol)), t => xxhash64(t))).as("simhash"))
 
   /**
-   * SimHash near-dup pairs with Hamming distance ≤ maxDist, via the standard
-   * block trick: split the 64-bit fingerprint into `maxDist+1` chunks — any
-   * pair within distance must share at least one exact chunk (pigeonhole).
-   * Join on (chunk_index, chunk_value), then verify with bit_count(xor).
+   * SimHash near-dup pairs with Hamming distance ≤ maxDist via the block
+   * trick: split 64 bits into `maxDist+1` chunks — any pair within distance
+   * must share one exact chunk (pigeonhole). Join on (chunk, value), verify
+   * with bit_count(xor).
    */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     val fp = simhash(docs, idCol, textCol)

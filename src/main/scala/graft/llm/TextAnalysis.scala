@@ -38,15 +38,20 @@ object TextAnalysis {
   def nStopwords(text: Column): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
-  /** Composite quality score in [0,1]: penalize punctuation soup and no-stopword text. */
+  /**
+   * Composite quality score in [0,1]: penalize punctuation soup and
+   * no-stopword text. Truncated (floor) to 4 decimals rather than rounded:
+   * floor of bit-identical doubles is engine-independent, round-half is not.
+   */
   def qualityScore(text: Column): Column = {
     val w = nWords(text).cast("double")
     val punctRatio = nPunct(text).cast("double") / greatest(nChars(text).cast("double"), lit(1.0))
     val stopRatio = nStopwords(text).cast("double") / greatest(w, lit(1.0))
-    round(greatest(lit(0.0), least(lit(1.0),
+    val q = greatest(lit(0.0), least(lit(1.0),
       lit(0.5) * least(w / lit(20.0), lit(1.0)) // enough words
         + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) // natural-language-ish
-        + lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))))), 4)
+        + lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))))
+    floor(q * 10000) / 10000
   }
 
   /**

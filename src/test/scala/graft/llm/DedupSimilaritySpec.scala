@@ -1,0 +1,109 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.{TextHashOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (2L, "completely different content about spark shuffle partitions and joins here"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "unrelated short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val res = Dedup.exact(docs).orderBy("canonical_id").collect()
+    assert(res.length == 4)
+    val dupGroup = res.find(_.getAs[Long]("canonical_id") == 0L).get
+    assert(dupGroup.getAs[Long]("n_dups") == 2)
+  }
+
+  test("shingle jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ids.contains((0L, 1L)) && ids.contains((0L, 3L)) && ids.contains((1L, 3L)))
+    assert(!ids.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on this corpus (recall check)") {
+    val exact = Dedup.jaccardPairs(docs, 0.5).select("id_a", "id_b").collect().toSet
+    val lsh = Dedup.minhashPairs(docs, 0.5).select("id_a", "id_b").collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("minhash signature: identical docs identical sigs; sig length k") {
+    val sigs = Dedup.minhashSignatures(docs, 64).select("id", "sig").collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(sigs(0L).length == 64)
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("simhash: exact dups distance 0; near-dups close; unrelated far") {
+    val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(3L)) == 0)
+    assert(ham(fps(0L), fps(1L)) <= 8)
+    assert(ham(fps(0L), fps(2L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("native cosine matches interpreted HOF reference bit-for-bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, -1.5f, 2.5f), Array(-0.5f, 1.25f, 0.75f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val out = vecs.select(
+      VectorOps.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(toD(col("a")), toD(col("b"))).as("hof")).collect()
+    out.foreach { r => assert(r.getDouble(0) == r.getDouble(1)) }
+  }
+
+  test("simhash64 expression equals a scala reference implementation") {
+    import spark.implicits._
+    val hashes = Seq(Seq(1L, 2L, 3L, -5L, 1L << 63)).toDF("hs")
+    val got = hashes.select(TextHashOps.simhash64(col("hs"))).head().getLong(0)
+    val counts = new Array[Int](64)
+    for (h <- Seq(1L, 2L, 3L, -5L, 1L << 63); j <- 0 until 64)
+      if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+    var want = 0L
+    for (j <- 0 until 64) if (counts(j) > 0) want |= 1L << j
+    assert(got == want)
+  }
+
+  test("ann topk ranks the self-similar vector first") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => i.toFloat + 1)
+    val vecs = Seq(
+      (0L, base),
+      (1L, base.map(_ * 2.0f)), // same direction => cos 1
+      (2L, base.map(x => -x)), // opposite
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topK(vecs, base.map(_.toDouble).toSeq, 2)
+    val first = top.collect().head
+    assert(Set(0L, 1L).contains(first.getAs[Long]("vec_id")))
+    assert(math.abs(first.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  test("ivf assignment picks the nearest centroid") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(2.0f, 0.1f)), (20L, Array(0.1f, 2.0f))).toDF("centroid_id", "vec")
+    val assigned = Similarity.ivfAssign(vecs, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(assigned == Map(1L -> 10L, 2L -> 20L))
+  }
+}
