@@ -34,12 +34,8 @@ object Dedup {
   }
 
   /** Word n-gram shingles (n consecutive tokens joined by space), distinct per doc. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(filter(
-      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => size(split(s, " ")) === n))
-  }
+  def shingles(text: Column, n: Int): Column =
+    TextHashOps.wordNgrams(TextAnalysis.tokens(text), n)
 
   /** Default similarity feature: word 3-gram shingle set. */
   def shingleSet(textCol: Column): Column = shingles(textCol, 3)
@@ -55,20 +51,31 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       features: Column = null,
-      maxDf: Long = 100000L): DataFrame = {
+      maxDf: Option[Long] = None): DataFrame = {
     val feat = Option(features).getOrElse(shingleSet(col("text")))
-    val posts0 = docs.select(col(idCol).as("id"), explode(feat).as("f"))
-    val rare = posts0.groupBy("f").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("f")
-    val posts = posts0.join(rare, "f")
-    val sizes = posts0.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val a = posts.select(col("id").as("id_a"), col("f"))
-    val b = posts.select(col("id").as("id_b"), col("f"))
-    val common = a.join(b, "f").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), "id_b")
+    // Two rules learned from the physical plan:
+    // 1. repartition first — single-file inputs scan as ONE task;
+    // 2. materialize the feature array at an exchange BEFORE exploding —
+    //    otherwise projection-collapse inlines the (interpreted) feature
+    //    expression above the Generate and re-evaluates it per exploded row.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val posts0 = docs.repartition(par)
+      .select(col(idCol).as("id"), feat.as("feats"))
+      .repartition(par, col("id")) // materialization barrier
+      .select(col("id"), size(col("feats")).as("set_size"), explode(col("feats")).as("f"))
+    val posts = maxDf match {
+      case Some(cap) =>
+        val rare = posts0.groupBy("f").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("f")
+        posts0.join(rare, "f")
+      case None => posts0
+    }
+    val a = posts.select(col("id").as("id_a"), col("set_size").as("size_a"), col("f"))
+    val b = posts.select(col("id").as("id_b"), col("set_size").as("size_b"), col("f"))
+    a.join(b, "f").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("size_a")).as("size_a"), first(col("size_b")).as("size_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
@@ -83,9 +90,15 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int, idCol: String = "doc_id",
                         features: Column = null): DataFrame = {
     val feat = Option(features).getOrElse(shingleSet(col("text")))
-    docs.select(col(idCol).as("id"), feat.as("feats"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // repartition AFTER computing the signature: the exchange materializes
+    // `sig`, stopping projection-collapse from inlining (and re-evaluating)
+    // the signature expression into every downstream band expression
+    docs.repartition(par)
+      .select(col(idCol).as("id"), feat.as("feats"))
       .withColumn("sig", TextHashOps.minhashSignature(
         transform(col("feats"), t => xxhash64(t)), k))
+      .repartition(par, col("id"))
   }
 
   /**
@@ -99,16 +112,20 @@ object Dedup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val sig = minhashSignatures(docs, k, idCol, features)
+    // band join carries ids only (narrow shuffle); features re-join after dedup
     val banded = sig.select(
-      col("id"), col("feats"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
       }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("feats").as("feats_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("feats").as("feats_b"))
-    a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "feats_a", "feats_b")
-      .dropDuplicates("id_a", "id_b")
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val feats = sig.select(col("id"), col("feats"))
+    cands
+      .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
+      .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
   }
 
   /** LSH candidates verified with exact Jaccard ≥ threshold. */
@@ -126,10 +143,13 @@ object Dedup {
    * SimHash 64-bit fingerprints via the fused native expression — narrow
    * map, no shuffle. Token-level (unigram) hashing.
    */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par).select(col(idCol).as("id"),
       TextHashOps.simhash64(
         transform(TextAnalysis.tokenSet(col(textCol)), t => xxhash64(t))).as("simhash"))
+      .repartition(par, col("id")) // materialize fingerprints before banding
+  }
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ maxDist via the block

@@ -77,14 +77,44 @@ object Similarity {
    */
   def cosinePairsExact(vectors: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val par = vectors.sparkSession.sparkContext.defaultParallelism
-    // nested-loop join inherits the left side's partitioning — spread it
-    val a = vectors.repartition(par).select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(asDouble(col("v_a")), asDouble(col("v_b"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // Broadcast the (id, vec, Σv²) block once; each task owns a slice of rows
+    // and scans the block with a fused primitive loop. Same op order as the
+    // CosineSimilarity expression → bit-identical results. The broadcast is
+    // the deliberate trade: exact all-pairs is only for modest n / IVF cells.
+    val block: Array[(Long, Array[Double], Double)] = vectors
+      .select(col(idCol).cast("long").as("_1"), asDouble(col(vecCol)).as("_2"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .map { case (id, v) =>
+        var na = 0.0; var i = 0
+        while (i < v.length) { na += v(i) * v(i); i += 1 }
+        (id, v, na)
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(block)
+    val n = block.length
+    val par = spark.sparkContext.defaultParallelism
+    val pairs = spark.range(0, n, 1, math.min(par * 4, math.max(n, 1)))
+      .as[Long]
+      .flatMap { ai =>
+        val blk = bc.value
+        val (ida, va, na) = blk(ai.toInt)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var bi = ai.toInt + 1
+        while (bi < blk.length) {
+          val (idb, vb, nb) = blk(bi)
+          var dot = 0.0; var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          val cos = if (denom == 0.0) 0.0 else dot / denom
+          if (cos >= threshold) out += ((ida, idb, cos))
+          bi += 1
+        }
+        out.result()
+      }
+    pairs.toDF("id_a", "id_b", "cos_sim")
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 

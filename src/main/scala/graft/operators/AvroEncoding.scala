@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import scala.jdk.CollectionConverters._
+
+/**
+ * Avro envelope encoding with Confluent wire framing.
+ *
+ * Reference: crates/deltaforge-core/src/encoding/avro.rs:347-480 (AvroEncoder,
+ * magic-byte framing `[0x00][schema_id:4][avro]` :478-480), schema derivation
+ * avro_schema.rs:145-220 (nullable unions, `deltaforge.cdc.*` namespaces),
+ * type policies avro_types.rs:22-66 (Decimal → bytes+logical decimal,
+ * timestamps → timestamp-millis).
+ *
+ * Spark-first shape: schema derivation is driver-side (DDL → Avro once per
+ * table version, cached); row encoding runs in executors via `mapPartitions`
+ * with one reused encoder per partition (the per-batch amortization the
+ * reference gets from its writer pool). A pluggable [[SchemaRegistryClient]]
+ * supplies ids — in-memory here, Confluent REST in production.
+ */
+object AvroEncoding {
+
+  /** Minimal schema-registry contract (reference: Confluent SR client). */
+  trait SchemaRegistryClient extends Serializable {
+    /** register (or look up) schema under subject, return schema id. */
+    def register(subject: String, schema: String): Int
+  }
+
+  /** Driver/test registry: deterministic ids, subject→id map. */
+  class InMemorySchemaRegistry extends SchemaRegistryClient {
+    private val ids = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    private val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    def register(subject: String, schema: String): Int =
+      ids.computeIfAbsent(subject + "|" + schema, _ => next.incrementAndGet())
+  }
+
+  /**
+   * Spark DDL type → Avro schema (nullable union of [null, T]).
+   * Policies per reference avro_types.rs:22-66.
+   */
+  def avroType(dt: DataType): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case d: DecimalType =>
+      val s = Schema.create(Schema.Type.BYTES)
+      LogicalTypes.decimal(d.precision, d.scale).addToSchema(s)
+    case DateType =>
+      val s = Schema.create(Schema.Type.INT); LogicalTypes.date().addToSchema(s)
+    case TimestampType | TimestampNTZType =>
+      val s = Schema.create(Schema.Type.LONG); LogicalTypes.timestampMillis().addToSchema(s)
+    case ArrayType(et, _) => Schema.createArray(nullable(avroType(et)))
+    case MapType(StringType, vt, _) => Schema.createMap(nullable(avroType(vt)))
+    case st: StructType => record("nested", st)
+    case other => throw new IllegalArgumentException(s"unsupported avro mapping for $other")
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+
+  /** StructType → Avro record, ns `graft.cdc.<name>`, all fields nullable. */
+  def record(name: String, st: StructType): Schema = {
+    val fields = st.fields.map { f =>
+      new Schema.Field(f.name, nullable(avroType(f.dataType)), null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(name.replaceAll("[^A-Za-z0-9_]", "_"), null, "graft.cdc", false,
+      fields.toList.asJava)
+  }
+
+  private def toAvro(v: Any, schema: Schema): Any = v match {
+    case null => null
+    case row: Row =>
+      val rec = schema.getTypes.asScala.find(_.getType == Schema.Type.RECORD)
+        .orElse(Some(schema)).get
+      rowToRecord(row, rec)
+    case d: java.math.BigDecimal => ByteBuffer.wrap(d.unscaledValue().toByteArray)
+    case d: java.sql.Timestamp => d.getTime
+    case d: java.time.Instant => d.toEpochMilli
+    case d: java.time.LocalDateTime =>
+      d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case s: Seq[_] =>
+      val el = schema.getTypes.asScala.find(_.getType == Schema.Type.ARRAY)
+        .orElse(Some(schema)).get.getElementType
+      s.map(toAvro(_, el)).asJava
+    case m: Map[_, _] =>
+      val vt = schema.getTypes.asScala.find(_.getType == Schema.Type.MAP)
+        .orElse(Some(schema)).get.getValueType
+      m.map { case (k, mv) => k.toString -> toAvro(mv, vt) }.asJava
+    case other => other
+  }
+
+  private def rowToRecord(row: Row, schema: Schema): GenericRecord = {
+    val actual = if (schema.getType == Schema.Type.UNION)
+      schema.getTypes.asScala.find(_.getType == Schema.Type.RECORD).get else schema
+    val rec = new GenericData.Record(actual)
+    actual.getFields.asScala.foreach { f =>
+      val idx = row.fieldIndex(f.name)
+      rec.put(f.name, toAvro(if (row.isNullAt(idx)) null else row.get(idx), f.schema()))
+    }
+    rec
+  }
+
+  /**
+   * Encode a DataFrame to Confluent-framed Avro bytes. One encoder per
+   * partition; schema registered once on the driver.
+   */
+  def encode(df: DataFrame, subject: String, registry: SchemaRegistryClient): Dataset[Array[Byte]] = {
+    val schema = record(subject.replace('-', '_'), df.schema)
+    val schemaJson = schema.toString
+    val schemaId = registry.register(subject, schemaJson)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { rows =>
+      val sch = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](sch)
+      rows.map { row =>
+        val out = new ByteArrayOutputStream()
+        out.write(0) // magic byte
+        out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        writer.write(rowToRecord(row, sch), enc)
+        enc.flush()
+        out.toByteArray
+      }
+    }
+  }
+
+  /** Decode one Confluent-framed message (tests / consumers). */
+  def decode(bytes: Array[Byte], schemaJson: String): (Int, GenericRecord) = {
+    require(bytes(0) == 0, "missing confluent magic byte")
+    val id = ByteBuffer.wrap(bytes, 1, 4).getInt
+    val sch = new Schema.Parser().parse(schemaJson)
+    val reader = new GenericDatumReader[GenericRecord](sch)
+    val dec: BinaryDecoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+    (id, reader.read(null, dec))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.ChangeEvent
+import graft.operators.AvroEncoding
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Avro wire format, Kafka txn protocol, HTTP sink e2e, schema registry, CH DDL. */
+class SinksAndRegistrySpec extends SparkSpec {
+
+  private def events(n: Int): DataFrame = {
+    import spark.implicits._
+    ChangeEvent.conform(
+      (1 to n).map(i => ("c", s"""{"id":$i}""", i.toLong)).toDF("op", "after", "ts_ms")
+        .withColumn("source", struct(lit("db").as("db"), lit("t").as("table"),
+          col("ts_ms").as("sequence")))
+        .withColumn("event_id", concat(lit("e"), col("ts_ms")))
+        .withColumn("tx_end", lit(true)))
+  }
+
+  test("avro: confluent framing round-trips typed rows incl. decimal/timestamp") {
+    import spark.implicits._
+    val df = Seq((1L, "alice", BigDecimal("12.34"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "name", "amount", "ts")
+      .withColumn("amount", col("amount").cast(DecimalType(10, 2)))
+    val reg = new AvroEncoding.InMemorySchemaRegistry
+    val encoded = AvroEncoding.encode(df, "orders-value", reg).collect()
+    assert(encoded.length == 1)
+    val schemaJson = AvroEncoding.record("orders_value", df.schema).toString
+    val (id, rec) = AvroEncoding.decode(encoded.head, schemaJson)
+    assert(id == 1)
+    assert(rec.get("id") == 1L)
+    assert(rec.get("name").toString == "alice")
+    assert(rec.get("ts") == 1704067200000L)
+    val amountBytes = rec.get("amount").asInstanceOf[java.nio.ByteBuffer]
+    assert(new java.math.BigInteger(amountBytes.array()).intValue() == 1234) // unscaled 12.34
+  }
+
+  test("kafka-like sink: exactly-once txn commit, per-key ordering preserved") {
+    import MessagingSinks._
+    val q = SinksAndRegistrySpec.buffer
+    q.clear()
+    // factory references the companion object so executor-side closures share it
+    val sink = new KafkaLikeSink("k1", () => new CollectingProducer(SinksAndRegistrySpec.buffer),
+      topicTemplate = Some("cdc.${source.table}"))
+    sink.write(events(50), 0L)
+    assert(q.size() == 50)
+    val recs = q.toArray(Array.empty[WireRecord])
+    assert(recs.forall(_.topic == "cdc.t"))
+    // per-key ordering: all records for one key arrive in _seq order
+    val byKey = recs.groupBy(_.key)
+    assert(byKey.forall { case (_, rs) => rs.length == 1 }) // unique event ids as keys
+  }
+
+  test("kafka-like sink: failed send aborts the transaction — nothing delivered") {
+    import MessagingSinks._
+    val q = SinksAndRegistrySpec.buffer
+    q.clear()
+    val sink = new KafkaLikeSink("k2",
+      () => new CollectingProducer(SinksAndRegistrySpec.buffer, failOnSend = 3),
+      staticTopic = "t")
+    intercept[Exception] { sink.write(events(50).coalesce(1), 0L) }
+    assert(q.isEmpty) // txn aborted: no partial batch visible
+  }
+
+  test("http sink: posts JSON batches, retries 5xx then succeeds") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bodies = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes())
+        val n = hits.incrementAndGet()
+        if (n == 1) { ex.sendResponseHeaders(503, -1) } // first attempt fails
+        else { bodies.add(body); ex.sendResponseHeaders(200, -1) }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val sink = new MessagingSinks.HttpSink("h1", s"http://127.0.0.1:$port/hook")
+      sink.write(events(5).coalesce(1), 0L)
+      assert(hits.get() >= 2) // retried after 503
+      val all = bodies.toArray(Array.empty[String]).mkString
+      assert(all.startsWith("[") && all.contains("\"op\":\"c\""))
+    } finally server.stop(0)
+  }
+
+  test("schema registry: fingerprint versioning, get_at_sequence/timestamp") {
+    val dir = Files.createTempDirectory("graft-reg").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    val v0 = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+      StructField("email", StringType)))
+    assert(reg.register("t1", v0, atMs = 1000L) == 0L)
+    assert(reg.register("t1", v0, atMs = 2000L) == 0L) // unchanged fingerprint → same seq
+    assert(reg.register("t1", v1, atMs = 3000L) == 1L)
+    assert(reg.getAtSequence("t1", 0L).get.fieldNames.toSeq == Seq("id", "name"))
+    assert(reg.getAtSequence("t1", 5L).get.fieldNames.length == 3)
+    assert(reg.getAtTimestamp("t1", 2500L).get.fieldNames.length == 2)
+    assert(reg.getAtTimestamp("t1", 3500L).get.fieldNames.length == 3)
+    assert(reg.getAtSequence("missing", 0L).isEmpty)
+  }
+
+  test("clickhouse DDL: upsert vs changelog engines + meta columns (ddl.rs:17-67)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("amount", DecimalType(10, 2)),
+      StructField("tags", ArrayType(StringType))))
+    val up = ClickHouseDdl.createTable("db", "t", schema, Seq("id"), ClickHouseDdl.Upsert)
+    assert(up.contains("ReplacingMergeTree(_version, _deleted) ORDER BY (`id`)"))
+    assert(up.contains("`_op` LowCardinality(String)"))
+    assert(up.contains("`amount` Nullable(Decimal(10, 2))"))
+    assert(up.contains("`tags` Array(String)"))
+    val ch = ClickHouseDdl.createTable("db", "t", schema, Seq("id"), ClickHouseDdl.Changelog)
+    assert(ch.contains("MergeTree ORDER BY (`id`, _version)"))
+    val read = ClickHouseDdl.upsertReadQuery("db", "t", schema, Seq("id"))
+    assert(read.contains("_rn = 1 AND _deleted = 0"))
+  }
+
+  test("udf host: mutate, drop, fan-out with synthetic marking, timeout guard") {
+    import graft.operators.UdfHost
+    val transform: UdfHost.Transform = evs => evs.flatMap { ev =>
+      if (ev.op == "d") Iterator.empty // drop deletes
+      else if (ev.tsMs == 1L) Iterator(ev, ev.copy(eventId = null, after = """{"fanout":true}"""))
+      else Iterator(ev.copy(topic = "rerouted"))
+    }
+    val out = UdfHost("js-1", transform)(events(3)
+      .withColumn("op", when(col("ts_ms") === 2, "d").otherwise("c")))
+    val rows = out.collect()
+    assert(rows.length == 3) // 3 - 1 dropped + 1 fanout
+    val synth = out.filter(col("synthetic") === "js-1")
+    assert(synth.count() == 1)
+    assert(out.filter(col("routing.topic") === "rerouted").count() == 1)
+
+    val slow: UdfHost.Transform = evs => { Thread.sleep(3000); evs }
+    intercept[Exception] {
+      UdfHost("slow", slow, timeoutMs = 200)(events(3)).collect()
+    }
+  }
+}
+
+object SinksAndRegistrySpec {
+  // static buffer: foreachPartition closures must reach it after serialization
+  val buffer = new ConcurrentLinkedQueue[MessagingSinks.WireRecord]()
+}
