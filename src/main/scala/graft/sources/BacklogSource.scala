@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/**
+ * CDC backlog replay source — a Data Source V2 `MicroBatchStream`.
+ *
+ * Models the reference's binlog-tailing source (crates/sources/src/mysql/
+ * mod.rs:63-114) against the filesystem: a directory of append-only JSONL
+ * segment files stands in for binlog segments. Offsets are
+ * `(segmentIndex, line)` — the (file, pos) shape of a MySQL binlog position
+ * (SourcePosition, deltaforge-core/src/lib.rs:235-265). Structured Streaming
+ * persists them in its offset log, giving resume-exactly-at-position, and
+ * `maxLinesPerTrigger` bounds micro-batch size like `maxOffsetsPerTrigger`.
+ *
+ * Output schema: `(segment string, pos long, value string)` — `value` is the
+ * raw event JSON; downstream parses with `from_json` + the ChangeEvent
+ * schema. One input partition per segment slice → reads scale out with
+ * segment count on a real cluster.
+ *
+ * Usage:
+ * {{{
+ *   spark.readStream.format(classOf[BacklogSource].getName)
+ *     .option("path", dir).option("maxLinesPerTrigger", "10000").load()
+ * }}}
+ */
+class BacklogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BacklogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BacklogTable(opts.get("path"),
+      Option(opts.get("maxLinesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
+  }
+}
+
+object BacklogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("segment", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Sorted segment files in a backlog dir (segment order = replay order). */
+  def segments(dir: String): Seq[Path] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else Files.list(p).iterator().asScala.filter(f => f.getFileName.toString.endsWith(".jsonl"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  case class BacklogOffset(segment: Int, line: Long) extends Offset {
+    override def json(): String = s"""{"segment":$segment,"line":$line}"""
+  }
+
+  def parseOffset(json: String): BacklogOffset = {
+    val m = """\{"segment":(\d+),"line":(\d+)\}""".r
+    json match {
+      case m(s, l) => BacklogOffset(s.toInt, l.toLong)
+      case _ => throw new IllegalArgumentException(s"bad backlog offset: $json")
+    }
+  }
+}
+
+private class BacklogTable(path: String, maxLinesPerTrigger: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"backlog($path)"
+  override def schema(): StructType = BacklogSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = BacklogSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new BacklogMicroBatchStream(path, maxLinesPerTrigger)
+    }
+}
+
+private class BacklogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  import BacklogSource._
+
+  private def lineCount(p: Path): Long =
+    Files.lines(p).count()
+
+  override def initialOffset(): Offset = BacklogOffset(0, 0)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxLinesPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxLinesPerTrigger)
+
+  // Trigger.AvailableNow: snapshot the end position once; batches drain to it
+  @volatile private var availableNowEnd: BacklogOffset = _
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val segs = segments(path)
+    availableNowEnd =
+      if (segs.isEmpty) BacklogOffset(0, 0)
+      else BacklogOffset(segs.length - 1, lineCount(segs.last))
+  }
+
+  /** Admission control: advance at most `limit` lines past `start`. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val segs = segments(path)
+    if (segs.isEmpty) return BacklogOffset(0, 0)
+    val live = BacklogOffset(segs.length - 1, lineCount(segs.last))
+    val full = Option(availableNowEnd).getOrElse(live)
+    val cap = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
+      case _ => Long.MaxValue
+    }
+    if (cap == Long.MaxValue) return full
+    val s = start.asInstanceOf[BacklogOffset]
+    var seg = s.segment; var line = s.line; var budget = cap
+    while (budget > 0 && (seg < full.segment || (seg == full.segment && line < full.line))) {
+      val upper = if (seg == full.segment) full.line else lineCount(segs(seg))
+      val take = math.min(upper - line, budget)
+      line += take; budget -= take
+      if (line >= upper && seg < full.segment) { seg += 1; line = 0 }
+    }
+    BacklogOffset(seg, line)
+  }
+
+  override def deserializeOffset(json: String): Offset = parseOffset(json)
+  override def commit(end: Offset): Unit = () // source is immutable; nothing to prune
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BacklogOffset]
+    val e = end.asInstanceOf[BacklogOffset]
+    val segs = segments(path)
+    val parts = Seq.newBuilder[InputPartition]
+    var seg = s.segment
+    var from = s.line
+    while (seg <= e.segment && seg < segs.length) {
+      val upper = if (seg == e.segment) e.line else lineCount(segs(seg))
+      if (upper > from) parts += BacklogPartition(segs(seg).toString, seg, from, upper)
+      seg += 1
+      from = 0
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[BacklogPartition]
+      new PartitionReader[InternalRow] {
+        private val iter = Files.lines(Paths.get(p.file), StandardCharsets.UTF_8)
+          .skip(p.from).limit(p.until - p.from).iterator()
+        private var pos = p.from - 1
+        private var current: String = _
+        override def next(): Boolean =
+          if (iter.hasNext) { current = iter.next(); pos += 1; true } else false
+        override def get(): InternalRow = InternalRow(
+          UTF8String.fromString(Paths.get(p.file).getFileName.toString),
+          pos, UTF8String.fromString(current))
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+private case class BacklogPartition(file: String, segment: Int, from: Long, until: Long)
+  extends InputPartition
