@@ -38,9 +38,40 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Backlog-drain throughput, comparable to the reference's headline
+    // (151K events/s MySQL→Kafka, docs/src/performance.md:15-17): 1M change
+    // events through the full processor chain (filter gates + routing
+    // template + Debezium envelope encode), network sink excluded.
+    val drainEps = {
+      import org.apache.spark.sql.functions._
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val n = 1000000L
+      val mult = math.max(1L, n / math.max(orders.count(), 1L))
+      val backlog = graft.sources.CdcSynth.changeEvents(
+        orders.withColumn("_rep", explode(array((0L until mult).map(lit): _*)))
+          .withColumn("o_orderkey", col("o_orderkey") * mult + col("_rep"))
+          .drop("_rep"),
+        "inventory", "orders", "o_orderkey")
+      val chain = {
+        import graft.operators._
+        val filtered = FilterProcessor(FilterProcessor.Config(
+          ops = Seq("c", "u", "d"),
+          tables = Seq("inventory.*"),
+          predicates = Seq(FilterProcessor.Exists("o_orderkey"))))(backlog)
+        filtered.select(
+          Routing.resolveTopic(Some("cdc.${source.db}.${source.table}"), "events").as("topic"),
+          Envelopes.debezium.as("value"))
+      }
+      val inputEvents = orders.count() * mult
+      val t0 = System.nanoTime()
+      chain.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      math.round(inputEvents / secs)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","drain_events_per_s":$drainEps}""")
     spark.stop()
   }
 }

@@ -287,6 +287,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF scale path: coarse-quantize to 16 deterministic centroids, probe
+      // the 4 cells nearest the query, brute-force only inside those cells.
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 31 === 0)
+        .select((col("vec_id") / 31).cast(LongType).as("centroid_id"),
+          col("embedding").as("vec"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qvec"))
+      val probes = cents.crossJoin(broadcast(q))
+        .select(col("centroid_id"),
+          Similarity.cosine(col("vec"), col("_qvec")).as("_sim"))
+        .orderBy(col("_sim").desc, col("centroid_id")).limit(4).select("centroid_id")
+      val assigned = Similarity.ivfAssign(emb, cents)
+      assigned.join(broadcast(probes), "centroid_id")
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("_qvec")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
     "text_metrics" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(

@@ -170,10 +170,56 @@ object TextHashOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /**
+   * text → distinct word n-grams in ONE native pass: whitespace tokenization
+   * (runs of spaces, matching `split(text, " +")` + empty-drop) fused with
+   * n-gram construction. No higher-order functions anywhere — the interpreted
+   * per-token lambda machinery (~ms/doc) was the dominant cost of every
+   * fuzzy-dedup pipeline stage.
+   */
+  case class TextNgrams(child: Expression, n: Int) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "text_ngrams"
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // tokenize: runs of spaces as separators, drop empties
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        while (i < len && s.charAt(i) == ' ') i += 1
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        if (i > start) toks.add(s.substring(start, i))
+      }
+      val m = toks.size() - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](m)
+      var j = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (j < m) {
+        sb.setLength(0)
+        var q = 0
+        while (q < n) {
+          if (q > 0) sb.append(' ')
+          sb.append(toks.get(j + q)); q += 1
+        }
+        seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        j += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def simhash64(tokenHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
   def minhashSignature(tokenHashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokenHashes), k))
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
+  def textNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(TextNgrams(GraftBridge.expression(text), n))
 }

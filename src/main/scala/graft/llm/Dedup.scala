@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.functions.TextHashOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,7 +36,7 @@ object Dedup {
 
   /** Word n-gram shingles (n consecutive tokens joined by space), distinct per doc. */
   def shingles(text: Column, n: Int): Column =
-    TextHashOps.wordNgrams(TextAnalysis.tokens(text), n)
+    TextHashOps.textNgrams(text, n)
 
   /** Default similarity feature: word 3-gram shingle set. */
   def shingleSet(textCol: Column): Column = shingles(textCol, 3)
@@ -63,6 +64,7 @@ object Dedup {
       .select(col(idCol).as("id"), feat.as("feats"))
       .repartition(par, col("id")) // materialization barrier
       .select(col("id"), size(col("feats")).as("set_size"), explode(col("feats")).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read by both join sides
     val posts = maxDf match {
       case Some(cap) =>
         val rare = posts0.groupBy("f").agg(count(lit(1)).as("df"))
@@ -111,7 +113,10 @@ object Dedup {
                         idCol: String = "doc_id", features: Column = null): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
+    // cached: the banding branch and both feature re-joins read `sig`; without
+    // a cache each branch re-materializes the whole signature pipeline
     val sig = minhashSignatures(docs, k, idCol, features)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band join carries ids only (narrow shuffle); features re-join after dedup
     val banded = sig.select(
       col("id"),
@@ -147,7 +152,7 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(par).select(col(idCol).as("id"),
       TextHashOps.simhash64(
-        transform(TextAnalysis.tokenSet(col(textCol)), t => xxhash64(t))).as("simhash"))
+        transform(TextHashOps.textNgrams(col(textCol), 1), t => xxhash64(t))).as("simhash"))
       .repartition(par, col("id")) // materialize fingerprints before banding
   }
 
@@ -161,7 +166,7 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val fp = simhash(docs, idCol, textCol)
+    val fp = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(
       col("id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
