@@ -217,6 +217,19 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "cdc_lake_project" -> ((s, dir) => {
+      val payloadSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderstatus", StringType)))
+      LakeProjection(orderEvents(s, dir), payloadSchema)
+        .select(col("op"), col("source_db"), col("source_table"), col("event_id"),
+          col("before_o_orderkey"), col("after_o_orderkey"),
+          col("before_o_totalprice"), col("after_o_totalprice"),
+          col("after_o_orderstatus"))
+        .orderBy(coalesce(col("after_o_orderkey"), col("before_o_orderkey")))
+    }),
+
     "cdc_upsert" -> ((s, dir) => {
       val v = versionedOrders(s, dir)
       Materialize.upsert(v, col("pk"), col("version"),
@@ -504,6 +517,18 @@ object SparkEntry {
         |  '"op":"', CASE WHEN (o_orderkey % 10) <= 5 THEN 'c'
         |                 WHEN (o_orderkey % 10) <= 8 THEN 'u' ELSE 'd' END, '"}}'
         | ) AS envelope
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_lake_project" ->
+      """SELECT
+        | CASE WHEN (o_orderkey % 10) <= 5 THEN 'c' WHEN (o_orderkey % 10) <= 8 THEN 'u' ELSE 'd' END AS op,
+        | 'inventory' AS source_db, 'orders' AS source_table,
+        | concat('inventory.orders:', CAST(o_orderkey AS VARCHAR)) AS event_id,
+        | CASE WHEN (o_orderkey % 10) > 5 THEN o_orderkey END AS before_o_orderkey,
+        | CASE WHEN (o_orderkey % 10) <> 9 THEN o_orderkey END AS after_o_orderkey,
+        | CASE WHEN (o_orderkey % 10) > 5 THEN o_totalprice END AS before_o_totalprice,
+        | CASE WHEN (o_orderkey % 10) <> 9 THEN o_totalprice END AS after_o_totalprice,
+        | CASE WHEN (o_orderkey % 10) <> 9 THEN o_orderstatus END AS after_o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "cdc_upsert" ->

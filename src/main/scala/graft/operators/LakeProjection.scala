@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Typed flat lake projection — the reference's Arrow envelope derivation.
+ *
+ * Reference: crates/deltaforge-core/src/encoding/arrow_schema.rs:31-139 —
+ * flat columns `op, op_ts, source_db, source_schema, source_table,
+ * source_position, source_snapshot, event_id, schema_version, tx_id,
+ * before_<col>…, after_<col>…` (all payload columns nullable), typed from
+ * the DECLARED schema (the ledger version the event carries), with
+ * decimal-as-string → DecimalType and `{"_base64":…}` → binary at the typed
+ * boundary (encoder.rs:1-19).
+ *
+ * Spark-first: `from_json(payload, ledgerSchema)` once per image, then a
+ * flat select — pure Catalyst, whole-stage codegen'd, and the parquet writer
+ * gets a stable flat schema per (table, schema_version).
+ */
+object LakeProjection {
+
+  /** Decode a `{"_base64": "..."}`-wrapped binary payload field. */
+  def binaryField(payload: Column, field: String): Column =
+    unbase64(get_json_object(payload, s"$$.$field._base64"))
+
+  /**
+   * Project events of one table (one declared-schema version) to the flat
+   * lake schema. `payloadSchema` comes from the schema ledger AT the event's
+   * schema_sequence (SURVEY §7.4 risk 5 — never "latest").
+   */
+  def apply(events: DataFrame, payloadSchema: StructType): DataFrame = {
+    val before = from_json(col("before"), payloadSchema)
+    val after = from_json(col("after"), payloadSchema)
+    val meta = Seq(
+      col("op"),
+      col("ts_ms").as("op_ts"),
+      col("source.db").as("source_db"),
+      col("source.schema").as("source_schema"),
+      col("source.table").as("source_table"),
+      to_json(struct(col("source.file"), col("source.pos"), col("source.lsn"),
+        col("source.sequence"))).as("source_position"),
+      coalesce(col("source.snapshot"), lit(false)).as("source_snapshot"),
+      col("event_id"),
+      col("schema_version"),
+      col("transaction.id").as("tx_id"))
+    val payloadCols = payloadSchema.fieldNames.toSeq.flatMap { f =>
+      Seq(before.getField(f).as(s"before_$f"), after.getField(f).as(s"after_$f"))
+    }
+    events.select(meta ++ payloadCols: _*)
+  }
+}

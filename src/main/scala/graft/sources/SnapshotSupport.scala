@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Consistent-snapshot (backfill) support: partitioned reads + resume ledger +
+ * source-position reachability guard.
+ *
+ * Reference: crates/sources/src/mysql/mysql_snapshot.rs:156-331 (integer-PK
+ * range chunking :572-580, per-table resume :44-74, binlog-retention guard
+ * :93-155) and postgres_snapshot.rs:93+ (ctid page-range fallback :338-361).
+ *
+ * On Spark the chunked parallel scan IS `spark.read.jdbc(partitionColumn,
+ * lowerBound, upperBound, numPartitions)` — each chunk a task, predicate
+ * pushdown on. What Spark does not give you is captured here: chunk-count
+ * policy, per-table resume, and the "is my resume position still replayable"
+ * guard that decides snapshot-vs-resume on startup.
+ */
+object SnapshotSupport {
+
+  /** PK-range chunking policy (reference mysql_snapshot.rs:572-580). */
+  def chunkCount(rowEstimate: Long, targetRowsPerChunk: Long = 500000L, maxChunks: Int = 4096): Int =
+    math.min(maxChunks, math.max(1L, (rowEstimate + targetRowsPerChunk - 1) / targetRowsPerChunk)).toInt
+
+  /**
+   * Partitioned JDBC snapshot read. Thin, intentionally: the scan itself is
+   * Spark's built-in chunked JDBC source; this fixes the option plumbing.
+   */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String, pkCol: String,
+                   lowerBound: Long, upperBound: Long, rowEstimate: Long,
+                   props: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", pkCol)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", chunkCount(rowEstimate))
+      .option("pushDownPredicate", "true")
+    props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /**
+   * Per-table snapshot resume ledger (reference SnapshotProgress,
+   * mysql_snapshot.rs:44-74): tables already fully snapshotted are skipped
+   * on restart. Same tiny-file pattern as the sink ledger.
+   */
+  class SnapshotLedger(dir: String) {
+    private val inner = new graft.streaming.SinkLedger(dir)
+    def isDone(table: String): Boolean = inner.committed(s"snapshot::$table") >= 0L
+    def markDone(table: String): Unit = inner.commit(s"snapshot::$table", 0L)
+    def pending(tables: Seq[String]): Seq[String] = tables.filterNot(isDone)
+  }
+
+  /**
+   * Source-position reachability guard (reference binlog-retention guard
+   * mysql_snapshot.rs:93-155 + failover reachability identity.rs:54-80):
+   * before resuming a stream, verify the checkpointed position still exists
+   * at the source; if purged, policy decides re-snapshot vs halt.
+   */
+  sealed trait ReachabilityPolicy
+  case object Adapt extends ReachabilityPolicy // re-snapshot then stream
+  case object Halt extends ReachabilityPolicy // operator intervention
+
+  sealed trait ResumeDecision
+  case object Resume extends ResumeDecision
+  case object Resnapshot extends ResumeDecision
+  case class HaltWith(reason: String) extends ResumeDecision
+
+  def decideResume(requested: BacklogSource.BacklogOffset, backlogDir: String,
+                   policy: ReachabilityPolicy): ResumeDecision = {
+    val segs = BacklogSource.segments(backlogDir)
+    val reachable = requested.segment < segs.length ||
+      (segs.isEmpty && requested == BacklogSource.BacklogOffset(0, 0))
+    if (reachable) Resume
+    else policy match {
+      case Adapt => Resnapshot
+      case Halt => HaltWith(
+        s"checkpoint ${requested.json()} purged from $backlogDir (retention); halting per policy")
+    }
+  }
+}
