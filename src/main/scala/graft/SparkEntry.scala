@@ -244,6 +244,18 @@ object SparkEntry {
         .orderBy("pk", "_version")
     }),
 
+    "cdc_scd2" -> ((s, dir) => {
+      // slowly-changing-dimension type 2: each version becomes a validity
+      // interval; a delete closes the last interval (no current row)
+      val w = Window.partitionBy("pk").orderBy("version")
+      versionedOrders(s, dir)
+        .withColumn("valid_to", lead(col("version"), 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("pk"), col("total"), col("version").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("pk", "valid_from")
+    }),
+
     "cdc_idempotent_dedup" -> ((s, dir) => {
       val e = events(s, dir).select("event_id", "user_id", "event_type", "value")
       e.union(e) // simulate at-least-once replay
@@ -549,6 +561,17 @@ object SparkEntry {
         | CASE WHEN op = 'd' THEN 1 ELSE 0 END AS _deleted,
         | CAST(version AS BIGINT) AS _source_ts
         |FROM v ORDER BY pk, _version""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH v AS (
+        | SELECT o_orderkey AS pk, 1 AS version, 'c' AS op, o_totalprice AS total FROM orders
+        | UNION ALL SELECT o_orderkey, 2, 'u', o_totalprice+10 FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL SELECT o_orderkey, 3, 'd', NULL FROM orders WHERE o_orderkey % 10 = 9),
+        |w AS (SELECT pk, version, op, total,
+        |  LEAD(version) OVER (PARTITION BY pk ORDER BY version) AS valid_to FROM v)
+        |SELECT pk, total, CAST(version AS BIGINT) AS valid_from, CAST(valid_to AS BIGINT) AS valid_to,
+        | CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM w WHERE op <> 'd' ORDER BY pk, valid_from""".stripMargin,
 
     "cdc_idempotent_dedup" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
