@@ -113,6 +113,13 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q8_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // —— CDC operator surface (SURVEY §2.1–2.5) ——
 
     "cdc_snapshot_read" -> ((s, dir) => {
@@ -473,6 +480,12 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n_parts,
         | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "cdc_snapshot_read" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, 'r' AS op

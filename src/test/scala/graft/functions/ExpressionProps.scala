@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.functions.TextHashOps._
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/**
+ * Property tests: native expressions vs straightforward Scala reference
+ * implementations, over generated inputs (no SparkSession — direct
+ * expression eval).
+ */
+object ExpressionProps extends Properties("graft.expressions") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(8))
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val hashes = Gen.listOf(Gen.long)
+
+  private def strArray(s: Seq[String]): ArrayData =
+    new GenericArrayData(s.map(UTF8String.fromString).toArray[Any])
+
+  property("TextNgrams(1) = distinct whitespace tokens in first-seen order") =
+    Prop.forAll(text) { t =>
+      val got = TextNgrams(Literal(UTF8String.fromString(t), StringType), 1)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val want = t.split(" +").filter(_.nonEmpty).distinct.toSeq
+      got == want
+    }
+
+  property("TextNgrams(n) equals sliding-window reference") =
+    Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val got = TextNgrams(Literal(UTF8String.fromString(t), StringType), n)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val toks = t.split(" +").filter(_.nonEmpty).toSeq
+      val want = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    }
+
+  property("WordNgrams on a token array equals sliding-window reference") =
+    Prop.forAll(Gen.listOf(word), Gen.choose(1, 4)) { (toks, n) =>
+      val got = WordNgrams(Literal(strArray(toks), ArrayType(StringType)), n)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val want = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    }
+
+  property("SimHash64 equals bit-count reference; empty input = 0") =
+    Prop.forAll(hashes) { hs =>
+      val got = SimHash64(Literal(new GenericArrayData(hs.toArray[Any]), ArrayType(LongType)))
+        .eval(null).asInstanceOf[Long]
+      val counts = new Array[Int](64)
+      for (h <- hs; j <- 0 until 64)
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      var want = 0L
+      for (j <- 0 until 64) if (counts(j) > 0) want |= 1L << j
+      got == want
+    }
+
+  property("MinHashSignature: k mins, permutation-invariant, monotone under union") =
+    Prop.forAll(hashes, Gen.choose(1, 32)) { (hs, k) =>
+      def sig(xs: Seq[Long]): Seq[Long] =
+        MinHashSignature(Literal(new GenericArrayData(xs.toArray[Any]), ArrayType(LongType)), k)
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val s = sig(hs)
+      val shuffled = sig(scala.util.Random.javaRandomToRandom(new java.util.Random(42)).shuffle(hs))
+      val superset = sig(hs ++ Seq(12345L))
+      s.length == k &&
+        s == shuffled && // order-insensitive
+        s.zip(superset).forall { case (a, b) => b <= a } // adding elements only lowers mins
+    }
+
+  property("SimHash similarity: shared tokens → small hamming distance") =
+    Prop.forAll(Gen.listOfN(30, Gen.long)) { base =>
+      def fp(xs: Seq[Long]): Long =
+        SimHash64(Literal(new GenericArrayData(xs.toArray[Any]), ArrayType(LongType)))
+          .eval(null).asInstanceOf[Long]
+      val a = fp(base)
+      val b = fp(base) // identical input
+      java.lang.Long.bitCount(a ^ b) == 0
+    }
+}
