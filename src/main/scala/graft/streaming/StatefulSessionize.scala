@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Custom keyed state on a stream: gap-based sessionization with
+ * `flatMapGroupsWithState` — the Structured Streaming surface for state the
+ * built-in window/dedup operators can't express (SURVEY §7 mapping of the
+ * reference's per-key processor state).
+ *
+ * Semantics: events for a user belong to one session while gaps stay under
+ * `gapMs`; a session is EMITTED when a new event arrives after the gap, or
+ * when the state times out (processing-time timeout ≈ watermark close).
+ * State per key is O(1) (count + bounds) — no event buffering — so state
+ * size at 100 TB is #active-keys, not #events, and the state store
+ * (RocksDB in production) handles eviction via the timeout.
+ */
+object StatefulSessionize {
+
+  case class Event(userId: Long, tsMs: Long)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+  /**
+   * `stateTimeoutMs > 0` enables processing-time timeouts that flush idle
+   * sessions (production mode — note the engine then runs timeout batches
+   * continuously, so tests that wait for quiescence should pass 0 = NoTimeout
+   * and rely on gap-crossing emission).
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long, stateTimeoutMs: Long = 60000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => Session(userId, s.start, s.end, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.tsMs)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMs - s.end <= gapMs =>
+                  cur = Some(s.copy(end = e.tsMs, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.streaming.StatefulSessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+class NewOpsSpec extends SparkSpec {
+
+  test("uuidv7: version/variant bits, embedded timestamp, time-ordering (lib.rs:980-1023)") {
+    import spark.implicits._
+    val before = System.currentTimeMillis()
+    val ids = spark.range(100).select(Uuidv7.withSeed(42L).as("id")).as[String].collect()
+    val after = System.currentTimeMillis()
+    assert(ids.distinct.length == 100)
+    ids.foreach { id =>
+      val u = java.util.UUID.fromString(id)
+      assert(u.version() == 7)
+      assert(u.variant() == 2) // RFC 4122
+      val ts = Uuidv7.timestampMillis(id)
+      assert(ts >= before && ts <= after)
+    }
+  }
+
+  test("dynamic JSON flatten: nested keys, fidelity, max_depth, list index, empty policies") {
+    import spark.implicits._
+    import JsonFlatten._
+    val json = """{"user":{"address":{"city":"x","geo":{"lat":1.50}},"tags":["a","b"]},
+                 |"empty_obj":{},"empty_list":[],"n":5,"big":12345678901234567890.25}""".stripMargin
+    def run(c: org.apache.spark.sql.Column): String =
+      Seq(json).toDF("j").select(c.as("v")).head().getString(0)
+
+    val full = run(flattenJson(col("j")))
+    assert(full.contains(""""user__address__city":"x""""))
+    assert(full.contains(""""user__address__geo__lat":1.5"""))
+    // the fidelity check: a 21-digit decimal no double could represent survives
+    assert(full.contains(""""big":12345678901234567890.25"""))
+    assert(full.contains(""""user__tags":["a","b"]""")) // lists preserved by default
+    assert(full.contains(""""empty_obj":{}"""))
+
+    val depth2 = run(flattenJson(col("j"), maxDepth = 2))
+    assert(depth2.contains(""""user__address":{"""))
+    assert(!depth2.contains("user__address__city"))
+
+    val indexed = run(flattenJson(col("j"), indexLists = true))
+    assert(indexed.contains(""""user__tags__0":"a"""") && indexed.contains(""""user__tags__1":"b""""))
+
+    val dropped = run(flattenJson(col("j"), emptyPolicy = EmptyDrop))
+    assert(!dropped.contains("empty_obj") && !dropped.contains("empty_list"))
+    val nulled = run(flattenJson(col("j"), emptyPolicy = EmptyNull))
+    assert(nulled.contains(""""empty_obj":null"""))
+  }
+
+  test("flatMapGroupsWithState sessionization: gap splits sessions, O(1) state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StatefulSessionize.Event]
+    val dir = Files.createTempDirectory("fmgws").toString
+    val sessions = StatefulSessionize.sessionize(ms.toDS(), gapMs = 60000L, stateTimeoutMs = 0L)
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/chk")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    val t0 = 1700000000000L
+    // user 1: two events close together, then a 10-minute gap, then one more
+    ms.addData(StatefulSessionize.Event(1L, t0), StatefulSessionize.Event(1L, t0 + 30000))
+    q.processAllAvailable()
+    ms.addData(StatefulSessionize.Event(1L, t0 + 630000))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_out").as[StatefulSessionize.Session].collect()
+    q.stop()
+    // the first session (2 events, 30s span) closed when the gap was crossed
+    assert(closed.length == 1)
+    assert(closed.head.nEvents == 2 && closed.head.startMs == t0 && closed.head.endMs == t0 + 30000)
+  }
+}
