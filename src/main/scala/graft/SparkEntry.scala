@@ -402,6 +402,12 @@ object SparkEntry {
         .select("field", "n_rows", "n_distinct", "min_v", "max_v")
     }),
 
+    "sensing_types" -> ((s, dir) => {
+      graft.streaming.SchemaSensing.typeHistogram(
+        events(s, dir), col("props"), Seq("k", "missing_field"))
+        .orderBy("field", "observed_type")
+    }),
+
     "sensing_hll" -> ((s, dir) => {
       // scale path: HLL sketch instead of exact distinct (reference S-4 classifier)
       events(s, dir)
@@ -689,6 +695,15 @@ object SparkEntry {
         | MIN(v) AS min_v, MAX(v) AS max_v
         |FROM (SELECT CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS v
         |      FROM events)""".stripMargin,
+
+    "sensing_types" ->
+      """WITH c AS (
+        |  SELECT 'k' AS field,
+        |   CASE WHEN regexp_extract(props, '"k": (-?\d+)', 1) <> '' THEN 'int' ELSE 'missing' END AS observed_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'missing_field', 'missing' FROM events)
+        |SELECT field, observed_type, COUNT(*) AS n FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "drift_nullrate" ->
       """SELECT 'event_type' AS column_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(event_type) AS n_nulls FROM events

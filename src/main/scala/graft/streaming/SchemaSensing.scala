@@ -79,6 +79,33 @@ object SchemaSensing {
   }
 
   /**
+   * Observed JSON type of a payload field (string classification — the
+   * reference's per-column observed-type histogram, drift_detector.rs):
+   * missing | null | int | float | bool | string | object_or_array.
+   */
+  def observedType(payload: Column, field: String): Column = {
+    val raw = get_json_object(payload, s"$$.$field")
+    when(payload.isNull || raw.isNull, "missing")
+      .when(raw === "null", "null")
+      .when(raw.rlike("^-?[0-9]+$"), "int")
+      .when(raw.rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$"), "float")
+      .when(raw.isin("true", "false"), "bool")
+      .when(raw.startsWith("{") || raw.startsWith("["), "object_or_array")
+      .otherwise("string")
+  }
+
+  /** Per-field observed-type histogram over a batch (drift: type_mismatch). */
+  def typeHistogram(batch: DataFrame, payload: Column, fields: Seq[String]): DataFrame = {
+    val spark = batch.sparkSession
+    fields.map { f =>
+      batch.groupBy(observedType(payload, f).as("observed_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("field", lit(f))
+        .select("field", "observed_type", "n")
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Drift detection: observed batch stats vs a declared schema ledger.
    * Emits `unexpected_null | undeclared_column | missing_column` rows
    * (reference drift_detector.rs kinds; type checks happen at the typed

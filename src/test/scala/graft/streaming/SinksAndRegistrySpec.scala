@@ -110,6 +110,37 @@ class SinksAndRegistrySpec extends SparkSpec {
     assert(reg.getAtSequence("missing", 0L).isEmpty)
   }
 
+  test("schema-evolution replay: lake projection uses the ledger schema AT the event's sequence") {
+    import graft.operators.LakeProjection
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    val v0 = StructType(Seq(StructField("id", LongType)))
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("email", StringType)))
+    reg.register("t1", v0, atMs = 1000L)
+    reg.register("t1", v1, atMs = 2000L)
+
+    // a replayed batch containing events from BOTH schema eras
+    val evs = ChangeEvent.conform(
+      Seq(
+        (0L, """{"id":1}"""),
+        (1L, """{"id":2,"email":"a@b.c"}"""))
+        .toDF("schema_sequence", "after")
+        .withColumn("op", lit("c"))
+        .withColumn("source", struct(lit("db").as("db"), lit("t1").as("table"))))
+
+    // project each era with ITS schema (never "latest" — SURVEY §7.4 risk 5)
+    val eras = evs.select("schema_sequence").distinct().as[Long].collect().sorted
+    val projected = eras.map { seq =>
+      val schema = reg.getAtSequence("t1", seq).get
+      LakeProjection(evs.filter(col("schema_sequence") === seq), schema)
+    }
+    assert(projected(0).columns.toSet.contains("after_id"))
+    assert(!projected(0).columns.contains("after_email")) // era-0 schema has no email
+    assert(projected(1).columns.contains("after_email"))
+    assert(projected(1).select("after_email").head().getString(0) == "a@b.c")
+  }
+
   test("clickhouse DDL: upsert vs changelog engines + meta columns (ddl.rs:17-67)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
