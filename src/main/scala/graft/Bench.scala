@@ -32,6 +32,7 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across queries
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
