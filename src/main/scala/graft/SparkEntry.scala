@@ -101,7 +101,7 @@ object SparkEntry {
 
     "q6_antijoin" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
@@ -479,7 +479,8 @@ object SparkEntry {
 
     "q6_antijoin" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "q7_agg_having" ->
