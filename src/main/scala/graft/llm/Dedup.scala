@@ -43,16 +43,24 @@ object Dedup {
 
   /**
    * N-gram Jaccard near-dup pairs ≥ threshold via inverted-index self-join on
-   * shared features. `maxDf` drops ubiquitous features (the quadratic-blowup
-   * guard); exact Jaccard is computed from per-doc set sizes + co-occurrence
-   * counts, so only the candidate pairs are ever materialized.
+   * shared features.
+   *
+   * Scale guard: `maxDf` (ON by default) drops ubiquitous features from
+   * CANDIDATE GENERATION only — a feature shared by d documents contributes
+   * d² rows to the posting self-join, so one stop-shingle makes the join
+   * quadratic in corpus size. Verification then computes the EXACT Jaccard
+   * over the full (uncapped) feature sets of each candidate pair — same
+   * candidate/verify split as [[minhashPairs]] — so the cap changes which
+   * pairs are *considered*, never the score of a pair that is emitted.
+   * A true pair is missed only if every one of its shared shingles has
+   * df > cap, i.e. the docs overlap solely in boilerplate.
    */
   def jaccardPairs(
       docs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
       features: Column = null,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = Some(1000L)): DataFrame = {
     val feat = Option(features).getOrElse(shingleSet(col("text")))
     // Two rules learned from the physical plan:
     // 1. repartition first — single-file inputs scan as ONE task;
@@ -60,11 +68,11 @@ object Dedup {
     //    otherwise projection-collapse inlines the (interpreted) feature
     //    expression above the Generate and re-evaluates it per exploded row.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val posts0 = docs.repartition(par)
+    val base = docs.repartition(par)
       .select(col(idCol).as("id"), feat.as("feats"))
       .repartition(par, col("id")) // materialization barrier
-      .select(col("id"), size(col("feats")).as("set_size"), explode(col("feats")).as("f"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // read by both join sides
+      .persist(StorageLevel.MEMORY_AND_DISK) // read by posting build + both verify joins
+    val posts0 = base.select(col("id"), explode(col("feats")).as("f"))
     val posts = maxDf match {
       case Some(cap) =>
         val rare = posts0.groupBy("f").agg(count(lit(1)).as("df"))
@@ -72,15 +80,18 @@ object Dedup {
         posts0.join(rare, "f")
       case None => posts0
     }
-    val a = posts.select(col("id").as("id_a"), col("set_size").as("size_a"), col("f"))
-    val b = posts.select(col("id").as("id_b"), col("set_size").as("size_b"), col("f"))
-    a.join(b, "f").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"),
-        first(col("size_a")).as("size_a"), first(col("size_b")).as("size_b"))
+    // candidate pairs carry ids only (narrow shuffle), deduped before verify
+    val a = posts.select(col("id").as("id_a"), col("f"))
+    val b = posts.select(col("id").as("id_b"), col("f"))
+    val cands = a.join(b, "f").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // exact verify over the FULL feature sets — scores are cap-independent
+    cands
+      .join(base.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
       .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+        size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
+          size(array_union(col("feats_a"), col("feats_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
