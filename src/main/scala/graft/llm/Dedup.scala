@@ -155,15 +155,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Default token hash: xxhash64 (fastest; not reproducible outside Spark). */
+  val xxhashTokens: Column => Column = t => xxhash64(t)
+
+  /**
+   * md5-based 60-bit token hash — bit-reproducible in any engine with md5
+   * (the DuckDB oracle uses `('0x' || substr(md5(t),1,15))::BIGINT`).
+   * 60 bits so the value is always a positive Long.
+   */
+  val md5Tokens: Column => Column = t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /**
    * SimHash 64-bit fingerprints via the fused native expression — narrow
    * map, no shuffle. Token-level (unigram) hashing.
    */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              tokenHasher: Column => Column = xxhashTokens): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(par).select(col(idCol).as("id"),
       TextHashOps.simhash64(
-        transform(TextHashOps.textNgrams(col(textCol), 1), t => xxhash64(t))).as("simhash"))
+        transform(TextHashOps.textNgrams(col(textCol), 1), tokenHasher)).as("simhash"))
       .repartition(par, col("id")) // materialize fingerprints before banding
   }
 
@@ -174,10 +185,11 @@ object Dedup {
    * with bit_count(xor).
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   tokenHasher: Column => Column = xxhashTokens): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val fp = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = simhash(docs, idCol, textCol, tokenHasher).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(
       col("id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>

@@ -72,49 +72,46 @@ object Similarity {
 
   /**
    * Exact all-pairs cosine ≥ threshold (the correctness baseline the LSH
-   * variant is verified against). O(n²) — only for modest n or within IVF
-   * cells; at 100 TB use [[cosinePairs]] (LSH) or [[ivfAssign]] partitioning.
+   * variant is verified against) as a DISTRIBUTED block-nested-loop
+   * self-join: hash each vector into one of B blocks, replicate each block
+   * to its B-b partner block-pairs, equi-join on the (pi, pj) pair key so
+   * every unordered block pair is compared in exactly one task group.
+   * Nothing is collected to the driver; data replication is ~B/2× (the
+   * standard all-pairs trade — #comparisons is O(n²) regardless, the blocks
+   * just spread them over B(B+1)/2 independent tasks).
+   *
+   * Cosine is the fused [[graft.functions.VectorOps.cosine]] expression
+   * (sequential element order → bit-identical to the previous driver-side
+   * loop and to DuckDB's list_cosine_similarity); cosine is symmetric under
+   * commutative double ops, so emitting (least, greatest) of the ids is safe.
+   *
+   * O(n²) comparisons — use for modest n or within IVF cells; at 100 TB use
+   * [[cosinePairs]] (LSH) or [[ivfAssign]] partitioning to bound the pair
+   * space first.
    */
   def cosinePairsExact(vectors: DataFrame, threshold: Double,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       blocks: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
-    import spark.implicits._
-    // Broadcast the (id, vec, Σv²) block once; each task owns a slice of rows
-    // and scans the block with a fused primitive loop. Same op order as the
-    // CosineSimilarity expression → bit-identical results. The broadcast is
-    // the deliberate trade: exact all-pairs is only for modest n / IVF cells.
-    val block: Array[(Long, Array[Double], Double)] = vectors
-      .select(col(idCol).cast("long").as("_1"), asDouble(col(vecCol)).as("_2"))
-      .as[(Long, Array[Double])]
-      .collect()
-      .map { case (id, v) =>
-        var na = 0.0; var i = 0
-        while (i < v.length) { na += v(i) * v(i); i += 1 }
-        (id, v, na)
-      }
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(block)
-    val n = block.length
-    val par = spark.sparkContext.defaultParallelism
-    val pairs = spark.range(0, n, 1, math.min(par * 4, math.max(n, 1)))
-      .as[Long]
-      .flatMap { ai =>
-        val blk = bc.value
-        val (ida, va, na) = blk(ai.toInt)
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var bi = ai.toInt + 1
-        while (bi < blk.length) {
-          val (idb, vb, nb) = blk(bi)
-          var dot = 0.0; var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-          val denom = math.sqrt(na) * math.sqrt(nb)
-          val cos = if (denom == 0.0) 0.0 else dot / denom
-          if (cos >= threshold) out += ((ida, idb, cos))
-          bi += 1
-        }
-        out.result()
-      }
-    pairs.toDF("id_a", "id_b", "cos_sim")
+    val b = if (blocks > 0) blocks else math.max(4, spark.sparkContext.defaultParallelism / 2)
+    val base = vectors
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"),
+        pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("blk"))
+    val partners = array((0 until b).map(lit): _*)
+    // block i is the LEFT of pairs (i, j≥i) and the RIGHT of pairs (i≤j, j)
+    val left = base.select(col("blk").as("pi"), explode(partners).as("pj"),
+        col("id").as("id_l"), col("v").as("v_l"))
+      .filter(col("pj") >= col("pi"))
+    val right = base.select(explode(partners).as("pi"), col("blk").as("pj"),
+        col("id").as("id_r"), col("v").as("v_r"))
+      .filter(col("pi") <= col("pj"))
+    left.join(right, Seq("pi", "pj"))
+      // diagonal blocks see each unordered pair twice (and self-pairs once)
+      .filter(col("pi") < col("pj") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        cosine(col("v_l"), col("v_r")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
@@ -123,16 +120,21 @@ object Similarity {
    * deterministic pseudo-random hyperplanes. Vectors with high cosine
    * similarity collide with high probability.
    */
+  /**
+   * Deterministic "hyperplane" component signs: h[b][i] in {-1,+1} from a
+   * fixed splitmix-style mix of (b,i). Public so independent implementations
+   * (e.g. the DuckDB oracle SQL) can reproduce the exact bucketing.
+   */
+  def hyperplaneSign(b: Int, i: Int): Double = {
+    var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x1234567L
+    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 27)) & 1L) == 0L) 1.0 else -1.0
+  }
+
   def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
-    // deterministic "hyperplanes": h[b][i] in {-1,+1} from a fixed mix of (b,i)
-    def sign(b: Int, i: Int): Double = {
-      var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x1234567L
-      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-      if (((z ^ (z >>> 27)) & 1L) == 0L) 1.0 else -1.0
-    }
     val v = asDouble(vec)
     (0 until bits).map { b =>
-      val proj = (0 until dim).map(i => element_at(v, i + 1) * lit(sign(b, i))).reduce(_ + _)
+      val proj = (0 until dim).map(i => element_at(v, i + 1) * lit(hyperplaneSign(b, i))).reduce(_ + _)
       shiftleft(when(proj > 0, 1L).otherwise(0L), b)
     }.reduce((x, y) => x.bitwiseOR(y))
   }

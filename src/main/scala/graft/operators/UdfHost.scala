@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.core.ChangeEvent
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 
 import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 
@@ -18,6 +17,13 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
  * protection. `synthetic` marking (reference SyntheticMarkingProcessor,
  * processors/src/synthetic.rs:28-65) is declarative: fan-out events the
  * transform creates without an id inherit `synthetic = processorId`.
+ *
+ * The full envelope row rides THROUGH the transform as a pass-through
+ * struct (`_env`), matched back to each output event by id within the same
+ * chunk — a narrow map, NO shuffle join to rebuild columns the user view
+ * doesn't carry. (Fan-out events that reuse an id therefore inherit the
+ * envelope of that id's event in the same chunk — which is where it always
+ * is, since the transform only ever sees ids from its own chunk.)
  */
 object UdfHost {
 
@@ -44,52 +50,90 @@ object UdfHost {
    */
   def apply(processorId: String, transform: Transform,
             timeoutMs: Long = 5000, chunkSize: Int = 2000)(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
+    val userTransform = transform
+    val conformed = ChangeEvent.conform(df)
+    val envSchema = conformed.schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_env", envSchema),
+      org.apache.spark.sql.types.StructField("_u_before", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_u_after", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_u_op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_u_ts_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_u_event_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_u_topic", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_u_key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_u_synth", org.apache.spark.sql.types.StringType)))
 
-    val in = df.select("before", "after", "op", "ts_ms", "event_id",
-      "source.table", "source.db")
-    val out = in.mapPartitions { rows =>
-      val userRows = rows.map { r =>
-        UserEvent(r.getString(0), r.getString(1), r.getString(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3), r.getString(4), r.getString(5), r.getString(6))
+    val iBefore = envSchema.fieldIndex("before")
+    val iAfter = envSchema.fieldIndex("after")
+    val iSource = envSchema.fieldIndex("source")
+    val iOp = envSchema.fieldIndex("op")
+    val iTs = envSchema.fieldIndex("ts_ms")
+    val iEventId = envSchema.fieldIndex("event_id")
+    val iDb = ChangeEvent.sourceSchema.fieldIndex("db")
+    val iTable = ChangeEvent.sourceSchema.fieldIndex("table")
+
+    val out = conformed.mapPartitions { rows =>
+      def view(r: Row): UserEvent = {
+        val src = if (r.isNullAt(iSource)) null else r.getStruct(iSource)
+        UserEvent(
+          before = r.getString(iBefore), after = r.getString(iAfter),
+          op = r.getString(iOp),
+          tsMs = if (r.isNullAt(iTs)) 0L else r.getLong(iTs),
+          eventId = r.getString(iEventId),
+          table = if (src == null || src.isNullAt(iTable)) null else src.getString(iTable),
+          db = if (src == null || src.isNullAt(iDb)) null else src.getString(iDb))
       }
       val pool = Executors.newSingleThreadExecutor()
-      val guarded = userRows.grouped(chunkSize).flatMap { chunk =>
+      val guarded = rows.grouped(chunkSize).flatMap { chunk =>
+        val byId = new java.util.HashMap[String, Row]()
+        val views = chunk.map { r =>
+          val u = view(r)
+          if (u.eventId != null) byId.put(u.eventId, r)
+          u
+        }
         val fut = pool.submit(new java.util.concurrent.Callable[Seq[UserEvent]] {
-          def call(): Seq[UserEvent] = transform(chunk.iterator).toSeq
+          def call(): Seq[UserEvent] = userTransform(views.iterator).toSeq
         })
-        try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
-        catch {
-          case _: TimeoutException =>
-            fut.cancel(true)
-            throw new RuntimeException(
-              s"udf processor $processorId exceeded ${timeoutMs}ms for a $chunkSize-event chunk")
+        val produced =
+          try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
+          catch {
+            case _: TimeoutException =>
+              fut.cancel(true)
+              throw new RuntimeException(
+                s"udf processor $processorId exceeded ${timeoutMs}ms for a $chunkSize-event chunk")
+          }
+        produced.map { u =>
+          val env = if (u.eventId == null) null else byId.get(u.eventId)
+          Row(env, u.before, u.after, u.op, u.tsMs, u.eventId, u.topic, u.key, u.synthetic)
         }
       }
-      new Iterator[UserEvent] {
+      new Iterator[Row] {
         def hasNext: Boolean = { val h = guarded.hasNext; if (!h) pool.shutdown(); h }
-        def next(): UserEvent = guarded.next()
+        def next(): Row = guarded.next()
       }
-    }
+    }(Encoders.row(outSchema))
 
-    // rebuild envelope: transform output joined back to original envelopes by
-    // event id; fabricated events (unknown/absent id) are synthetic
-    import org.apache.spark.sql.functions._
-    val outDf = out.toDF().withColumnRenamed("synthetic", "_u_synth")
-    val orig = df.drop("before", "after", "op", "ts_ms")
-      .withColumnRenamed("synthetic", "_orig_synth")
-    val joined = outDf.join(orig, outDf("eventId") === orig("event_id"), "left")
-      .withColumn("synthetic",
-        when(col("event_id").isNull, lit(processorId))
-          .otherwise(coalesce(col("_u_synth"), col("_orig_synth"))))
-      .withColumn("event_id", coalesce(col("event_id"), col("eventId")))
-      .withColumn("routing", when(col("topic").isNotNull || col("key").isNotNull,
-        struct(col("topic"), col("key"),
-          lit(null).cast("map<string,string>").as("headers"),
-          lit(false).as("raw_payload"))).otherwise(col("routing")))
-      .withColumn("ts_ms", col("tsMs"))
-    ChangeEvent.conform(joined
-      .drop("eventId", "topic", "key", "tsMs", "table", "db", "_u_synth", "_orig_synth"))
+    // rebuild the envelope declaratively from the pass-through struct —
+    // user-editable fields from the transform output, everything else from
+    // `_env`; fabricated events (no matching envelope) are synthetic
+    val passThrough = envSchema.fieldNames
+      .filterNot(Set("before", "after", "op", "ts_ms", "event_id", "synthetic", "routing"))
+      .map(n => col(s"_env.$n").as(n))
+    ChangeEvent.conform(out.select(
+      (Seq(
+        col("_u_before").as("before"),
+        col("_u_after").as("after"),
+        col("_u_op").as("op"),
+        col("_u_ts_ms").as("ts_ms"),
+        col("_u_event_id").as("event_id"),
+        when(col("_env").isNull, lit(processorId))
+          .otherwise(coalesce(col("_u_synth"), col("_env.synthetic"))).as("synthetic"),
+        when(col("_u_topic").isNotNull || col("_u_key").isNotNull,
+          struct(col("_u_topic").as("topic"), col("_u_key").as("key"),
+            lit(null).cast("map<string,string>").as("headers"),
+            lit(false).as("raw_payload")))
+          .otherwise(col("_env.routing")).as("routing")) ++ passThrough): _*))
   }
 }

@@ -94,15 +94,20 @@ object SchemaSensing {
       .otherwise("string")
   }
 
-  /** Per-field observed-type histogram over a batch (drift: type_mismatch). */
+  /**
+   * Per-field observed-type histogram over a batch (drift: type_mismatch).
+   * ONE scan of the input regardless of field count: each row emits an
+   * array of (field, observed_type) structs which is exploded and grouped —
+   * at a realistic 100-field table this is 100× less I/O than the naive
+   * one-groupBy-per-field union.
+   */
   def typeHistogram(batch: DataFrame, payload: Column, fields: Seq[String]): DataFrame = {
-    val spark = batch.sparkSession
-    fields.map { f =>
-      batch.groupBy(observedType(payload, f).as("observed_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("field", lit(f))
-        .select("field", "observed_type", "n")
-    }.reduce(_ unionByName _)
+    val pairs = array(fields.map { f =>
+      struct(lit(f).as("field"), observedType(payload, f).as("observed_type"))
+    }: _*)
+    batch.select(explode(pairs).as("fo"))
+      .groupBy(col("fo.field").as("field"), col("fo.observed_type").as("observed_type"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /**
