@@ -35,8 +35,8 @@ object Bench {
     (wall, cpu)
   }
 
-  /** Min-wall of `k` runs; returns (minWall, cpuOfMinRun). */
-  private def best(name: String, k: Int)(body: => Unit): (Double, Double) = {
+  /** Min-wall of `k` runs; None when every rep failed. */
+  private def best(name: String, k: Int)(body: => Unit): Option[(Double, Double)] = {
     val runs = (1 to k).map { _ =>
       try timed(body) catch {
         case e: Throwable =>
@@ -45,9 +45,7 @@ object Bench {
       }
     }
     val ok = runs.filterNot(_._1.isNaN)
-    if (ok.isEmpty) (-1.0, -1.0)
-    else {
-      val m = ok.minBy(_._1)
+    ok.minByOption(_._1).map { m =>
       // < 0.5 cores busy on average over a 32-core JVM and slow in absolute
       // terms: almost certainly a host-level stall, not plan cost.
       if (m._1 > 5.0 && m._2 / m._1 < 0.5)
@@ -78,13 +76,18 @@ object Bench {
 
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (wall, cpu) = best(name, reps) {
-        spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
-        fn(spark, sfDir).count()
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val r = best(name, reps) {
+          spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
+          fn(spark, sfDir).count()
+        }
+        (name, r)
       }
-      (name, wall, cpu)
-    }
     // Backlog-drain throughput, comparable to the reference's headline
     // (151K events/s MySQL→Kafka, docs/src/performance.md:15-17): 1M change
     // events through the full processor chain (filter gates + routing
@@ -110,15 +113,22 @@ object Bench {
           Envelopes.debezium.as("value"))
       }
       val inputEvents = orders.count() * mult
-      val (wall, _) = best("drain", reps)(chain.count())
-      if (wall <= 0) 0L else math.round(inputEvents / wall)
+      best("drain", reps)(chain.count()) match {
+        case Some((wall, _)) if wall > 0 => math.round(inputEvents / wall)
+        case _ => 0L
+      }
     }
 
-    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
-    val qsCpu = results.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries are excluded from the total and listed separately —
+    // a -1 sentinel summed into "value" silently deflates the total
+    val ok = results.collect { case (k, Some((w, c))) => (k, w, c) }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, w, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val qsCpu = ok.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps}"""
     val pw = new java.io.PrintWriter(outPath)
     try { pw.println(json) } finally { pw.close() }
     println(json)
