@@ -302,6 +302,7 @@ object SparkEntry {
       // same fingerprints; the pigeonhole candidate join is recall-complete
       // by construction, so this result is the FULL hamming<=3 pair set
       Dedup.simhashPairs(t(s, dir, "documents"), 3, tokenHasher = Dedup.md5Tokens)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -465,6 +466,27 @@ object SparkEntry {
 
   // ———————————————————————————— oracles ————————————————————————————
 
+  /** Exact n-gram-Jaccard pair SQL — oracle for dedup_jaccard AND (recall
+   * being complete at test scale) dedup_minhash. */
+  private val jaccardExactSql =
+    """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, greatest(len(toks)-2, 0)),
+      |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+      |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT ia AS id_a, ib AS id_b,
+      | round(nc*1.0/(sa.n+sb.n-nc), 4) AS jaccard
+      |FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5 ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB DOUBLE[] literal of [[Similarity.hyperplaneSign]] row `b` —
+   * embeds the exact hyperplane the Spark LSH signature uses. */
+  private def hyperplaneLit(b: Int, dim: Int): String =
+    (0 until dim).map(i => Similarity.hyperplaneSign(b, i))
+      .mkString("CAST([", ",", "] AS DOUBLE[])")
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -626,18 +648,30 @@ object SparkEntry {
         | min(doc_id) AS canonical_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "dedup_jaccard" ->
-      """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         generate_series(1, greatest(len(toks)-2, 0)),
-        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
-        |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
-        |SELECT ia AS id_a, ib AS id_b,
-        | round(nc*1.0/(sa.n+sb.n-nc), 4) AS jaccard
-        |FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-        |WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5 ORDER BY 1, 2""".stripMargin,
+    "dedup_jaccard" -> jaccardExactSql,
+
+    // LSH recall at test scale is complete (spec-pinned: candidates from
+    // 32 bands of r=2 miss a J>=0.5 pair with p<=0.75^32~1e-4, and the
+    // emitted set equals the exact set at sf<=0.1), so the exact-Jaccard
+    // oracle applies verbatim.
+    "dedup_minhash" -> jaccardExactSql,
+
+    "dedup_simhash" ->
+      """WITH l AS (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks
+        |           FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |       FROM (SELECT doc_id, unnest(toks) AS t FROM l)),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1::BIGINT << b ELSE 0::BIGINT END AS bv
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2),
+        |fp0 AS (SELECT doc_id, SUM(bv)::BIGINT AS simhash FROM bits GROUP BY 1),
+        |fp AS (SELECT l.doc_id, COALESCE(fp0.simhash, 0) AS simhash FROM l LEFT JOIN fp0 USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
@@ -651,6 +685,39 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+
+    // The 6 hyperplanes are embedded as literals from the SAME deterministic
+    // generator the Spark signature uses (Similarity.hyperplaneSign), so the
+    // bucketing — and therefore the emitted candidate set — is reproduced
+    // exactly; the score is plain exact cosine.
+    "ann_pairs_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v,
+         |${(0 until 6).map(b => s"  (CASE WHEN list_dot_product(v, ${hyperplaneLit(b, 64)}) > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
+         |  AS sig FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Full IVF pipeline reproduced: deterministic centroids (vec_id%31),
+    // probe the 4 cells nearest the query, nearest-centroid assignment via
+    // the same (sim DESC, centroid_id) tie order, brute-force inside cells.
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id / 31 AS BIGINT) AS centroid_id, v AS cvec FROM e WHERE vec_id % 31 = 0),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT centroid_id FROM c, q
+        |           ORDER BY list_cosine_similarity(cvec, qv) DESC, centroid_id LIMIT 4),
+        |assign AS (SELECT e.vec_id, e.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS rk
+        |  FROM e CROSS JOIN c),
+        |probed AS (SELECT a.vec_id, a.v FROM assign a JOIN probes USING (centroid_id) WHERE a.rk = 1)
+        |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos_sim
+        |FROM probed WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id LIMIT 20""".stripMargin,
 
     "text_metrics" ->
       """SELECT doc_id,
@@ -725,6 +792,14 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'missing_field', 'missing' FROM events)
         |SELECT field, observed_type, COUNT(*) AS n FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // The exact distinct count is engine-independent; the booleans assert
+    // the HLL estimate is within tolerance of it (TRUE on both sides), so a
+    // drifting sketch breaks the hash without demanding bit-equal estimates.
+    "sensing_hll" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        | TRUE AS hll_users_ok, TRUE AS hll_props_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "drift_nullrate" ->
       """SELECT 'event_type' AS column_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(event_type) AS n_nulls FROM events
