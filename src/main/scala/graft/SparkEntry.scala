@@ -272,6 +272,19 @@ object SparkEntry {
 
     // —— LLM-pipeline operators (north star: dedup / similarity / text / multimodal) ——
 
+    "cdc_binlog_decode" -> ((s, dir) => {
+      // real wire decode: orders rows → recorded binlog segments (public
+      // binary format: TABLE_MAP + GTID + ROWS v2 + QUERY + XID) → decoded
+      // by MysqlBinlog.decodeSegment in a distributed narrow map. The type
+      // plan spans LONGLONG/LONG/CHAR/NEWDECIMAL/DATETIME2/nullable
+      // VARCHAR/DOUBLE/TINY/JSONB/BLOB; the oracle reconstructs every JSON
+      // image byte-for-byte from the source columns.
+      sources.MysqlBinlogFixture.decodedOrders(t(s, dir, "orders"))
+        .filter(col("op").isin("c", "u", "d"))
+        .select(col("pos"), col("op"), col("before"), col("after"))
+        .orderBy("pos")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents").groupBy(col("text"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
@@ -637,6 +650,25 @@ object SparkEntry {
 
     "cdc_idempotent_dedup" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_binlog_decode" ->
+      """WITH j AS (SELECT o_orderkey AS pk,
+        |  '{"o_orderkey":' || o_orderkey ||
+        |  ',"o_custkey":' || o_custkey ||
+        |  ',"o_orderstatus":' || to_json(o_orderstatus) ||
+        |  ',"o_totalprice":"' || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || '"' ||
+        |  ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' ||
+        |  ',"o_orderpriority":' || CASE WHEN o_orderkey % 7 = 3 THEN 'null' ELSE to_json(o_orderpriority) END ||
+        |  ',"price_d":' || CAST(o_totalprice AS VARCHAR) ||
+        |  ',"tiny_flag":' || (o_orderkey % 128) ||
+        |  ',"props":{"k":' || (o_orderkey % 100) || ',"tag":"t' || (o_orderkey % 10) || '"}' ||
+        |  ',"payload_bin":{"_base64":"' || to_base64(unhex('dead' || printf('%02x', o_orderkey % 256) || 'ff')) || '"}}' AS img,
+        |  CASE WHEN (o_orderkey % 10) <= 5 THEN 'c' WHEN (o_orderkey % 10) <= 8 THEN 'u' ELSE 'd' END AS op
+        | FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pos, op,
+        |  CASE WHEN op IN ('u','d') THEN img END AS before,
+        |  CASE WHEN op <> 'd' THEN img END AS after
+        |FROM j ORDER BY pos""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups
