@@ -285,6 +285,17 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    "cdc_pgoutput_decode" -> ((s, dir) => {
+      // pgoutput wire decode: Relation/Begin/Insert/Update/Delete/Truncate/
+      // Commit messages with XLogData framing, decoded distributed. Spans
+      // the OID map (ints, numeric-as-string, bool t/f, text[], jsonb,
+      // bytea hex, TOAST _unchanged) and includes an op='t' truncate row.
+      sources.PgOutputFixture.decodedOrders(t(s, dir, "orders"))
+        .filter(col("op").isNotNull)
+        .select(col("lsn"), col("op"), col("before"), col("after"))
+        .orderBy("op", "lsn")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents").groupBy(col("text"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
@@ -669,6 +680,30 @@ object SparkEntry {
         |  CASE WHEN op IN ('u','d') THEN img END AS before,
         |  CASE WHEN op <> 'd' THEN img END AS after
         |FROM j ORDER BY pos""".stripMargin,
+
+    "cdc_pgoutput_decode" ->
+      """WITH j AS (SELECT o_orderkey AS pk,
+        |  '{"o_orderkey":' || o_orderkey ||
+        |  ',"o_custkey":' || o_custkey ||
+        |  ',"o_orderstatus":' || to_json(o_orderstatus) ||
+        |  ',"o_totalprice":"' || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || '"' ||
+        |  ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' ||
+        |  ',"o_orderpriority":' || CASE WHEN o_orderkey % 7 = 3 THEN 'null' ELSE to_json(o_orderpriority) END ||
+        |  ',"price_d":' || CAST(o_totalprice AS VARCHAR) ||
+        |  ',"flag":' || CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END ||
+        |  ',"tags":["t' || (o_orderkey % 10) || '","x"]' ||
+        |  ',"props":{"k":' || (o_orderkey % 100) || '}' ||
+        |  ',"payload":{"_base64":"' || to_base64(unhex('dead' || printf('%02x', o_orderkey % 256) || 'ff')) || '"}' AS base,
+        |  '0/' || upper(printf('%x', o_orderkey)) AS lsn,
+        |  CASE WHEN (o_orderkey % 10) <= 5 THEN 'c' WHEN (o_orderkey % 10) <= 8 THEN 'u' ELSE 'd' END AS op
+        | FROM orders),
+        |r AS (SELECT lsn, op,
+        |  CASE WHEN op IN ('u','d') THEN base || ',"toast_txt":"v' || pk || '"}' END AS before,
+        |  CASE WHEN op = 'c' THEN base || ',"toast_txt":"v' || pk || '"}'
+        |       WHEN op = 'u' THEN base || ',"toast_txt":{"_unchanged":true}}' END AS after
+        |FROM j
+        |UNION ALL SELECT '0/1', 't', NULL, NULL)
+        |SELECT lsn, op, before, after FROM r ORDER BY op, lsn""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import graft.sources.PgOutput._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * pgoutput segment ENCODER (fixture recorder) + Spark wiring — the PG twin
+ * of [[MysqlBinlogFixture]]. No live PostgreSQL exists in this environment,
+ * so deterministic source rows are recorded into wire-format segments
+ * (Relation / Begin / Insert / Update / Delete / Truncate / Commit with
+ * XLogData-style framing) and replayed through the real decoder
+ * [[PgOutput.decodeSegment]].
+ */
+object PgOutputFixture {
+
+  final class W {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def u1(v: Int): W = { buf.write(v & 0xff); this }
+    def u2(v: Int): W = { u1(v >> 8); u1(v) }
+    def i4(v: Int): W = { u1(v >> 24); u1(v >> 16); u1(v >> 8); u1(v) }
+    def i8(v: Long): W = { i4((v >>> 32).toInt); i4(v.toInt) }
+    def raw(b: Array[Byte]): W = { buf.write(b, 0, b.length); this }
+    def cstr(s: String): W = { raw(s.getBytes(StandardCharsets.UTF_8)); u1(0) }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** One framed message: [u64 lsn][u32 len][msg]. */
+  def framed(lsn: Long, msg: Array[Byte]): Array[Byte] = {
+    val w = new W
+    w.i8(lsn).i4(msg.length).raw(msg).bytes
+  }
+
+  def relation(relId: Long, schema: String, table: String,
+               cols: Seq[RelationColumn], identity: Char = 'f'): Array[Byte] = {
+    val w = new W
+    w.u1('R').i4(relId.toInt)
+    w.cstr(schema).cstr(table)
+    w.u1(identity)
+    w.u2(cols.size)
+    cols.foreach { c => w.u1(c.flags).cstr(c.name).i4(c.typeOid).i4(c.typeModifier) }
+    w.bytes
+  }
+
+  def begin(finalLsn: Long, commitMicrosPg: Long, xid: Long): Array[Byte] = {
+    val w = new W
+    w.u1('B').i8(finalLsn).i8(commitMicrosPg).i4(xid.toInt).bytes
+  }
+
+  def commit(lsn: Long, endLsn: Long, commitMicrosPg: Long): Array[Byte] = {
+    val w = new W
+    w.u1('C').u1(0).i8(lsn).i8(endLsn).i8(commitMicrosPg).bytes
+  }
+
+  def tuple(w: W, values: Seq[PgValue]): Unit = {
+    w.u2(values.size)
+    values.foreach {
+      case PgNull => w.u1('n')
+      case PgUnchanged => w.u1('u')
+      case PgText(b) => w.u1('t').i4(b.length).raw(b)
+      case PgBinary(b) => w.u1('b').i4(b.length).raw(b)
+    }
+  }
+
+  def insert(relId: Long, values: Seq[PgValue]): Array[Byte] = {
+    val w = new W
+    w.u1('I').i4(relId.toInt).u1('N')
+    tuple(w, values); w.bytes
+  }
+
+  def update(relId: Long, before: Seq[PgValue], after: Seq[PgValue],
+             oldMarker: Char = 'O'): Array[Byte] = {
+    val w = new W
+    w.u1('U').i4(relId.toInt)
+    w.u1(oldMarker); tuple(w, before)
+    w.u1('N'); tuple(w, after)
+    w.bytes
+  }
+
+  def delete(relId: Long, before: Seq[PgValue], marker: Char = 'O'): Array[Byte] = {
+    val w = new W
+    w.u1('D').i4(relId.toInt).u1(marker)
+    tuple(w, before); w.bytes
+  }
+
+  def truncate(relIds: Seq[Long], cascade: Boolean = false,
+               restartIdentity: Boolean = false): Array[Byte] = {
+    val w = new W
+    w.u1('T').i4(relIds.size)
+    w.u1((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0))
+    relIds.foreach(id => w.i4(id.toInt))
+    w.bytes
+  }
+
+  // ——— orders fixture ———
+
+  val RelId = 16385L
+  val Schema = "public"
+  val Table = "orders"
+  /** Unix 2023-11-14T22:13:20Z as pg-epoch micros (2000-01-01 based). */
+  val CommitMicrosPg: Long = 1700000000000000L - 946684800000000L
+
+  /** Column plan spans the OID conversion table: INT8, INT4, VARCHAR,
+   * NUMERIC-as-string, TIMESTAMP, nullable TEXT, FLOAT8, BOOL, TEXT[],
+   * JSONB, BYTEA hex, TOAST-able TEXT (postgres_object.rs:105-150). */
+  val ordersCols: IndexedSeq[RelationColumn] = Vector(
+    RelationColumn("o_orderkey", Oid.INT8, -1, 1), // key column
+    RelationColumn("o_custkey", Oid.INT4, -1, 0),
+    RelationColumn("o_orderstatus", Oid.VARCHAR, -1, 0),
+    RelationColumn("o_totalprice", Oid.NUMERIC, -1, 0),
+    RelationColumn("o_orderdate", Oid.TIMESTAMP, -1, 0),
+    RelationColumn("o_orderpriority", Oid.TEXT, -1, 0),
+    RelationColumn("price_d", Oid.FLOAT8, -1, 0),
+    RelationColumn("flag", Oid.BOOL, -1, 0),
+    RelationColumn("tags", 1009, -1, 0), // text[]
+    RelationColumn("props", Oid.JSONB, -1, 0),
+    RelationColumn("payload", Oid.BYTEA, -1, 0),
+    RelationColumn("toast_txt", Oid.TEXT, -1, 0))
+
+  private def txt(s: String): PgValue = PgText(s.getBytes(StandardCharsets.UTF_8))
+
+  /** Deterministic tuple values for one orders row (text protocol mode). */
+  def orderValues(pk: Long, cust: Long, status: String, price: Double,
+                  dateMs: Long, prio: String, toastUnchanged: Boolean): Seq[PgValue] = {
+    val dt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(dateMs), java.time.ZoneOffset.UTC)
+    val dec = java.math.BigDecimal.valueOf(price).setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    Seq(
+      txt(pk.toString), txt(cust.toString), txt(status), txt(dec),
+      txt(dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))),
+      if (pk % 7 == 3) PgNull else txt(prio),
+      txt(price.toString),
+      txt(if (pk % 2 == 0) "t" else "f"),
+      txt(s"{t${pk % 10},x}"),
+      txt(s"""{"k":${pk % 100}}"""),
+      txt(f"\\xdead${pk % 256}%02xff"),
+      if (toastUnchanged) PgUnchanged else txt(s"v$pk"))
+  }
+
+  /** One partition of orders rows → one pgoutput segment: Relation, then a
+   * transaction of per-row Insert/Update/Delete (op mix pk%10, identical to
+   * [[CdcSynth.opFor]]), Commit. */
+  def ordersSegment(rows: Iterator[(Long, Long, String, Double, Long, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(framed(0L, relation(RelId, Schema, Table, ordersCols)))
+    out.write(framed(0L, begin(0L, CommitMicrosPg, 77L)))
+    rows.foreach { case (pk, cust, status, price, dateMs, prio) =>
+      val full = orderValues(pk, cust, status, price, dateMs, prio, toastUnchanged = false)
+      val msg = (pk % 10) match {
+        case m if m <= 5 => insert(RelId, full)
+        case m if m <= 8 =>
+          val after = orderValues(pk, cust, status, price, dateMs, prio, toastUnchanged = true)
+          update(RelId, full, after)
+        case _ => delete(RelId, full)
+      }
+      out.write(framed(pk, msg))
+    }
+    out.write(framed(0L, commit(0L, 0L, CommitMicrosPg)))
+    out.toByteArray
+  }
+
+  /** A driver-independent control segment carrying the op='t' truncate row
+   * (single row regardless of partitioning). */
+  def truncateSegment(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(framed(0L, relation(RelId, Schema, Table, ordersCols)))
+    out.write(framed(1L, truncate(Seq(RelId), cascade = true)))
+    out.toByteArray
+  }
+
+  /** orders → pgoutput segments → decoded rows; narrow distributed map. */
+  def decodedOrders(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val prepped = orders.repartition(par).select(
+      col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+      col("o_orderstatus"), col("o_totalprice").cast("double"),
+      unix_millis(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+      .as[(Long, Long, String, Double, Long, String)]
+    val dataSegments: Dataset[Array[Byte]] =
+      prepped.mapPartitions(it => Iterator.single(ordersSegment(it)))(
+        org.apache.spark.sql.Encoders.BINARY)
+    val control = spark.createDataset(Seq(truncateSegment()))(
+      org.apache.spark.sql.Encoders.BINARY)
+    dataSegments.union(control).flatMap(PgOutput.decodeSegment(_)).toDF()
+  }
+}
