@@ -21,8 +21,16 @@ import java.nio.charset.StandardCharsets
  *   GET  /pipelines/{id}         → status + lastProgress JSON
  *   POST /pipelines/{id}/stop    → stops the query
  *   GET  /dlq?path=...&limit=N   → recent DLQ journal entries
+ *
+ * With a [[PipelineManager]] attached, the full CRUD surface of the
+ * reference REST API (pipelines.rs:44-120) is served:
+ *   POST   /pipelines            → create from YAML/JSON spec body
+ *   PATCH  /pipelines/{name}     → deep-merge patch + restart from checkpoint
+ *   POST   /pipelines/{name}/pause|resume|stop
+ *   DELETE /pipelines/{name}     → stop + remove checkpoints/ledger
  */
-class ControlPlane(spark: SparkSession, port: Int = 0) {
+class ControlPlane(spark: SparkSession, port: Int = 0,
+                   manager: Option[PipelineManager] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -48,11 +56,37 @@ class ControlPlane(spark: SparkSession, port: Int = 0) {
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
     server.createContext("/pipelines", new HttpHandler {
+      private def body(ex: HttpExchange): String =
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      private def attempt(ex: HttpExchange, code: Int = 200)(f: => String): Unit =
+        try respond(ex, code, f)
+        catch {
+          case e: NoSuchElementException => respond(ex, 404, s"""{"error":"${esc(e.getMessage)}"}""")
+          case e: Throwable => respond(ex, 400, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+        }
       def handle(ex: HttpExchange): Unit = {
         val path = ex.getRequestURI.getPath.stripPrefix("/pipelines").stripPrefix("/")
-        (ex.getRequestMethod, path) match {
-          case ("GET", "") => respond(ex, 200, queryList())
-          case ("GET", id) =>
+        (ex.getRequestMethod, path, manager) match {
+          case ("GET", "", Some(mgr)) =>
+            respond(ex, 200, mgr.list().map { case (n, m) => mgr.infoJson(n, m) }
+              .mkString("[", ",", "]"))
+          case ("GET", "", None) => respond(ex, 200, queryList())
+          case ("POST", "", Some(mgr)) => attempt(ex, 201) {
+            val m = mgr.create(body(ex)); mgr.infoJson(m.pipeline.metadata.name, m)
+          }
+          case ("PATCH", name, Some(mgr)) if name.nonEmpty && !name.contains("/") =>
+            attempt(ex) { val m = mgr.patch(name, body(ex)); mgr.infoJson(name, m) }
+          case ("DELETE", name, Some(mgr)) if name.nonEmpty && !name.contains("/") =>
+            attempt(ex) { mgr.delete(name); """{"deleted":true}""" }
+          case ("POST", p, Some(mgr)) if p.endsWith("/pause") =>
+            attempt(ex) { val n = p.stripSuffix("/pause"); mgr.infoJson(n, mgr.pause(n)) }
+          case ("POST", p, Some(mgr)) if p.endsWith("/resume") =>
+            attempt(ex) { val n = p.stripSuffix("/resume"); mgr.infoJson(n, mgr.resume(n)) }
+          case ("POST", p, Some(mgr)) if p.endsWith("/stop") =>
+            attempt(ex) { val n = p.stripSuffix("/stop"); mgr.infoJson(n, mgr.stop(n)) }
+          case ("GET", name, Some(mgr)) if mgr.get(name).isDefined =>
+            respond(ex, 200, mgr.infoJson(name, mgr.get(name).get))
+          case ("GET", id, _) =>
             spark.streams.active.find(q => q.id.toString == id || q.name == id) match {
               case Some(q) =>
                 val prog = Option(q.lastProgress).map(_.json).getOrElse("null")
@@ -60,7 +94,7 @@ class ControlPlane(spark: SparkSession, port: Int = 0) {
                   s"""{"id":"${q.id}","isActive":${q.isActive},"lastProgress":$prog}""")
               case None => respond(ex, 404, s"""{"error":"no pipeline $id"}""")
             }
-          case ("POST", p) if p.endsWith("/stop") =>
+          case ("POST", p, None) if p.endsWith("/stop") =>
             val id = p.stripSuffix("/stop")
             spark.streams.active.find(q => q.id.toString == id || q.name == id) match {
               case Some(q) => q.stop(); respond(ex, 200, """{"stopped":true}""")
