@@ -48,6 +48,12 @@ class SchemaRegistry(spark: SparkSession, path: String) {
       .orderBy(col("sequence").desc).limit(1)
       .collect().headOption.map(r => (r.getAs[Long]("sequence"), r.getAs[String]("fingerprint")))
 
+  /** Latest registered schema structure for a table (reconciler input). */
+  def latestSchema(table: String): Option[StructType] =
+    ledger().filter(col("table") === table)
+      .orderBy(col("sequence").desc).limit(1)
+      .collect().headOption.map(r => DataType_fromJson(r.getAs[String]("schema_json")))
+
   /** Schema in force AT a sequence (greatest registered sequence ≤ target). */
   def getAtSequence(table: String, sequence: Long): Option[StructType] =
     ledger().filter(col("table") === table && col("sequence") <= sequence)
