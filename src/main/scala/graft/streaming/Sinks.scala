@@ -23,12 +23,30 @@ trait EventSink extends Serializable {
 /**
  * Partitioned parquet lake sink (reference S3 sink, crates/sinks/src/s3/ —
  * Hive `table=X/year=Y/month=M/day=D` layout from event time, router.rs:53-75).
- * Spark's committer gives atomic task output; `maxRecordsPerFile` replaces the
- * reference's rolling-writer thresholds (rolling.rs:17-62).
+ *
+ * Rolling parity (reference rolling.rs:17-69 via [[Rolling]]): files roll
+ * on WHICHEVER of the byte cap / event cap binds first — the event cap maps
+ * directly to `maxRecordsPerFile`, the byte cap through a measured average
+ * serialized row width (`spark.sessionState.executePlan.optimizedPlan`
+ * stats), re-derived per batch so wide envelopes produce more, smaller
+ * files. Age/idle caps are structurally satisfied: Spark's committer
+ * closes every file at micro-batch end, so no file outlives its trigger
+ * interval, and idle partitions simply produce no file.
  */
-class ParquetLakeSink(val id: String, path: String, maxRecordsPerFile: Long = 1000000L)
+class ParquetLakeSink(val id: String, path: String,
+                      rolling: Rolling.Config = Rolling.Config())
     extends EventSink {
+
+  /** Average in-memory row width from Catalyst plan statistics — no extra
+   * job; parquet compresses further, so this is a conservative estimate. */
+  private def avgRowBytes(batch: DataFrame, rows: Long): Double = {
+    val stats = batch.queryExecution.optimizedPlan.stats
+    if (rows <= 0) 1.0 else stats.sizeInBytes.toDouble / rows
+  }
+
   override def write(batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch.count()
+    val perFile = Rolling.recordsPerFile(rolling, avgRowBytes(batch, rows))
     val ts = timestamp_millis(col("ts_ms"))
     batch
       .withColumn("table", col("source.table"))
@@ -37,7 +55,7 @@ class ParquetLakeSink(val id: String, path: String, maxRecordsPerFile: Long = 10
       .withColumn("day", dayofmonth(ts))
       .withColumn("_batch_id", lit(batchId))
       .write
-      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("maxRecordsPerFile", perFile)
       .partitionBy("table", "year", "month", "day")
       .mode("append")
       .parquet(path)
