@@ -42,6 +42,37 @@ object AvroEncoding {
   }
 
   /**
+   * Confluent-protocol REST registry client with register-and-cache
+   * behavior (reference crates/sinks/src/encoding/avro.rs:347-480): POST
+   * `/subjects/{subject}-value/versions` with `{"schema": "..."}` JSON,
+   * cache the returned id per (subject, schema) so each executor registers
+   * a given schema exactly once; ids feed the `[0x00][id:4BE]` wire
+   * framing in [[encode]].
+   */
+  class HttpSchemaRegistryClient(baseUrl: String) extends SchemaRegistryClient {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def register(subject: String, schema: String): Int =
+      cache.computeIfAbsent(subject + "|" + schema, { _ =>
+        val body = mapper.createObjectNode()
+        body.put("schema", schema)
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"$baseUrl/subjects/$subject-value/versions"))
+          .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
+          .build()
+        val resp = java.net.http.HttpClient.newHttpClient()
+          .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() / 100 == 2,
+          s"schema registry ${resp.statusCode()}: ${resp.body().take(200)}")
+        mapper.readTree(resp.body()).get("id").asInt()
+      })
+  }
+
+  /**
    * Spark DDL type → Avro schema (nullable union of [null, T]).
    * Policies per reference avro_types.rs:22-66.
    */

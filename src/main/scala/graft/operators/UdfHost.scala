@@ -41,6 +41,16 @@ object UdfHost {
       key: String = null,
       synthetic: String = null)
 
+  /**
+   * User transform contract — STATELESS PER CHUNK: the iterator yields one
+   * chunk's events (≤ `chunkSize`), and every emitted `eventId` must refer
+   * to an event of the SAME chunk (or be null ⇒ synthetic/fabricated).
+   * Envelope rebinding is chunk-local; a transform that buffers events and
+   * re-emits an id from an earlier chunk or another partition gets no
+   * envelope back (a warning is logged and the event is treated as
+   * synthetic). Duplicate event_ids within a chunk resolve to the LAST
+   * occurrence.
+   */
   type Transform = Iterator[UserEvent] => Iterator[UserEvent]
 
   /**
@@ -106,6 +116,10 @@ object UdfHost {
           }
         produced.map { u =>
           val env = if (u.eventId == null) null else byId.get(u.eventId)
+          if (u.eventId != null && env == null)
+            System.err.println(s"[udf:$processorId] WARN produced eventId " +
+              s"'${u.eventId}' not in its chunk — stateless-per-chunk contract " +
+              "violated; treating as synthetic")
           Row(env, u.before, u.after, u.op, u.tsMs, u.eventId, u.topic, u.key, u.synthetic)
         }
       }

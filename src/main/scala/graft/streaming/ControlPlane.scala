@@ -30,9 +30,16 @@ import java.nio.charset.StandardCharsets
  *   DELETE /pipelines/{name}     → stop + remove checkpoints/ledger
  */
 class ControlPlane(spark: SparkSession, port: Int = 0,
-                   manager: Option[PipelineManager] = None) {
+                   manager: Option[PipelineManager] = None,
+                   metrics: Option[Metrics.Registry] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val dlqQueues = scala.collection.concurrent.TrieMap[String, Dlq.DlqQueue]()
+
+  /** Attach a pipeline's DLQ queue for the ack/purge/peek endpoints. */
+  def registerDlq(pipeline: String, queue: Dlq.DlqQueue): ControlPlane = {
+    dlqQueues(pipeline) = queue; this
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -108,6 +115,32 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
       def handle(ex: HttpExchange): Unit = {
         val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
           .filter(_.contains("=")).map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val sub = ex.getRequestURI.getPath.stripPrefix("/dlq").stripPrefix("/")
+        // queue surface: /dlq/{pipeline}/entries|count|ack|purge
+        // (reference rest-api dlq_peek/dlq_count/dlq_ack/dlq_purge)
+        if (sub.nonEmpty) {
+          val (name, action) = sub.split("/", 2) match {
+            case Array(n, a) => (n, a)
+            case Array(n) => (n, "entries")
+          }
+          dlqQueues.get(name) match {
+            case None => respond(ex, 404, s"""{"error":"no dlq for pipeline $name"}""")
+            case Some(q) => (ex.getRequestMethod, action) match {
+              case ("GET", "entries") =>
+                val limit = params.getOrElse("limit", "20").toInt
+                respond(ex, 200, q.peek(limit)
+                  .map { case (seq, j) => s"""{"seq":$seq,"entry":$j}""" }.mkString("[", ",", "]"))
+              case ("GET", "count") => respond(ex, 200,
+                s"""{"count":${q.len},"evicted":${q.evictedTotal},"rejected":${q.rejectedTotal}}""")
+              case ("POST", "ack") =>
+                val upTo = params.getOrElse("upTo", "-1").toLong
+                respond(ex, 200, s"""{"acked":${q.ack(upTo)}}""")
+              case ("POST", "purge") => respond(ex, 200, s"""{"purged":${q.purge()}}""")
+              case _ => respond(ex, 405, """{"error":"method not allowed"}""")
+            }
+          }
+          return
+        }
         params.get("path") match {
           case None => respond(ex, 400, """{"error":"path param required"}""")
           case Some(p) =>
@@ -122,6 +155,14 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
             }
         }
       }
+    })
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      val body = metrics.map(_.scrape()).getOrElse("")
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
     })
     server.start()
     this
