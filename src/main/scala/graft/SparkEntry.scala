@@ -335,8 +335,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qvec"))
       emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          Similarity.cosine(Similarity.asDouble(col("embedding")),
-            Similarity.asDouble(col("_qvec"))).as("cos_sim"))
+          Similarity.cosine(col("embedding"), col("_qvec")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(20)
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))

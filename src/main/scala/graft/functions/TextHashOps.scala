@@ -214,6 +214,47 @@ object TextHashOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /**
+   * Fused whole-array string hashing: `array<string>` → `array<long>` in one
+   * tight loop per row. Replaces `transform(arr, t => xxhash64(t))` — Spark
+   * higher-order functions are interpreted per ELEMENT (closure + expression
+   * tree eval each), measured at ~⅔ of the simhash/minhash query CPU. Values
+   * are bit-identical to the HOF formulations (`xxhash64` seed 42;
+   * `conv(substring(md5(t),1,15),16,10)` for the md5-60 variant), which the
+   * DuckDB oracles rely on.
+   */
+  case class HashStringArray(child: Expression, algo: String) extends UnaryExpression {
+    require(algo == "xxh64" || algo == "md5h60", s"unknown algo $algo")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = s"hash_string_array_$algo"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      if (algo == "xxh64") while (i < n) { out(i) = TextHashHelpers.xxh64(arr.getUTF8String(i)); i += 1 }
+      else while (i < n) { out(i) = TextHashHelpers.md5h60(arr.getUTF8String(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
+        val fn = if (algo == "xxh64") "xxh64" else "md5h60"
+        s"""
+           |int $n = $a.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++)
+           |  $out[$i] = graft.functions.TextHashHelpers.$fn($a.getUTF8String($i));
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def simhash64(tokenHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
   def minhashSignature(tokenHashes: Column, k: Int): Column =
@@ -222,4 +263,35 @@ object TextHashOps {
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
   def textNgrams(text: Column, n: Int): Column =
     GraftBridge.column(TextNgrams(GraftBridge.expression(text), n))
+  /** array<string> → array<long> via xxhash64 (seed 42, = `xxhash64()`). */
+  def xxhash64Array(tokens: Column): Column =
+    GraftBridge.column(HashStringArray(GraftBridge.expression(tokens), "xxh64"))
+  /** array<string> → array<long> via the md5-60-bit hash (DuckDB-reproducible). */
+  def md5Hash60Array(tokens: Column): Column =
+    GraftBridge.column(HashStringArray(GraftBridge.expression(tokens), "md5h60"))
+}
+
+/** Static helpers callable from generated code (static forwarders). */
+object TextHashHelpers {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, 42L)
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 as a long — bit-identical to
+   * `conv(substring(md5(t),1,15),16,10)` (60 bits, always positive). */
+  def md5h60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
 }

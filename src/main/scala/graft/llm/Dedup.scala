@@ -143,7 +143,7 @@ object Dedup {
     docs.repartition(par)
       .select(col(idCol).as("id"), feat.as("feats"))
       .withColumn("sig", TextHashOps.minhashSignature(
-        transform(col("feats"), t => xxhash64(t)), k))
+        TextHashOps.xxhash64Array(col("feats")), k))
       .repartition(par, col("id"))
   }
 
@@ -188,26 +188,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Default token hash: xxhash64 (fastest; not reproducible outside Spark). */
-  val xxhashTokens: Column => Column = t => xxhash64(t)
+  /** Default token-array hash: fused xxhash64 (fastest; Spark-only). */
+  val xxhashTokens: Column => Column = TextHashOps.xxhash64Array
 
   /**
-   * md5-based 60-bit token hash — bit-reproducible in any engine with md5
-   * (the DuckDB oracle uses `('0x' || substr(md5(t),1,15))::BIGINT`).
-   * 60 bits so the value is always a positive Long.
+   * md5-based 60-bit token-array hash — bit-reproducible in any engine with
+   * md5 (the DuckDB oracle uses `('0x' || substr(md5(t),1,15))::BIGINT`).
+   * 60 bits so the value is always a positive Long. Fused loop, value-equal
+   * to `transform(arr, t => conv(substring(md5(t),1,15),16,10))`.
    */
-  val md5Tokens: Column => Column = t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+  val md5Tokens: Column => Column = TextHashOps.md5Hash60Array
 
   /**
-   * SimHash 64-bit fingerprints via the fused native expression — narrow
-   * map, no shuffle. Token-level (unigram) hashing.
+   * SimHash 64-bit fingerprints via the fused native expressions — narrow
+   * map, no shuffle, no interpreted HOFs. Token-level (unigram) hashing;
+   * `tokenHasher` maps the distinct-token ARRAY to an array of hashes.
    */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               tokenHasher: Column => Column = xxhashTokens): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(par).select(col(idCol).as("id"),
       TextHashOps.simhash64(
-        transform(TextHashOps.textNgrams(col(textCol), 1), tokenHasher)).as("simhash"))
+        tokenHasher(TextHashOps.textNgrams(col(textCol), 1))).as("simhash"))
       .repartition(par, col("id")) // materialize fingerprints before banding
   }
 

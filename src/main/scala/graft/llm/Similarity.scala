@@ -37,7 +37,9 @@ object Similarity {
   def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
   def norm(a: Column): Column = sqrt(graft.functions.VectorOps.dot(a, a))
 
-  /** Cast float embedding to double once, up front (exact, deterministic math). */
+  /** Cast float embedding to double (exact). NOTE: interpreted HOF — the
+   * fused [[cosine]]/[[dot]] kernels read float arrays natively, so hot
+   * paths pass raw embeddings; this remains for API/debug parity. */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /**
@@ -48,7 +50,7 @@ object Similarity {
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = array(queryVec.map(lit): _*)
     vectors
-      .select(col(idCol), cosine(asDouble(col(vecCol)), q).as("cos_sim"))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -64,7 +66,7 @@ object Similarity {
     val joined = vectors.crossJoin(
       broadcast(queries.select(col(qIdCol).as("_qid"), col(qVecCol).as("_qvec"))))
       .select(col("_qid"), col(idCol),
-        cosine(asDouble(col(vecCol)), asDouble(col("_qvec"))).as("cos_sim"))
+        cosine(col(vecCol), col("_qvec")).as("cos_sim"))
     val w = Window.partitionBy("_qid").orderBy(col("cos_sim").desc, col(idCol))
     joined.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("_qid").as(qIdCol), col(idCol), col("cos_sim"))
@@ -95,7 +97,7 @@ object Similarity {
     val spark = vectors.sparkSession
     val b = if (blocks > 0) blocks else math.max(4, spark.sparkContext.defaultParallelism / 2)
     val base = vectors
-      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"),
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("blk"))
     val partners = array((0 until b).map(lit): _*)
     // block i is the LEFT of pairs (i, j≥i) and the RIGHT of pairs (i≤j, j)
@@ -132,9 +134,11 @@ object Similarity {
   }
 
   def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
-    val v = asDouble(vec)
+    // per-element cast (codegen'd) — a whole-array transform() is an
+    // interpreted HOF evaluated per row; float→double widening is exact
+    val v = (i: Int) => element_at(vec, i + 1).cast("double")
     (0 until bits).map { b =>
-      val proj = (0 until dim).map(i => element_at(v, i + 1) * lit(hyperplaneSign(b, i))).reduce(_ + _)
+      val proj = (0 until dim).map(i => v(i) * lit(hyperplaneSign(b, i))).reduce(_ + _)
       shiftleft(when(proj > 0, 1L).otherwise(0L), b)
     }.reduce((x, y) => x.bitwiseOR(y))
   }
@@ -153,7 +157,7 @@ object Similarity {
     val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, "sig").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(asDouble(col("v_a")), asDouble(col("v_b"))).as("cos_sim"))
+        cosine(col("v_a"), col("v_b")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
@@ -170,7 +174,7 @@ object Similarity {
     val joined = vectors.crossJoin(broadcast(
       centroids.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cvec"))))
       .select(col(idCol), col(vecCol), col("_cid"),
-        cosine(asDouble(col(vecCol)), asDouble(col("_cvec"))).as("_sim"))
+        cosine(col(vecCol), col("_cvec")).as("_sim"))
     val w = Window.partitionBy(idCol).orderBy(col("_sim").desc, col("_cid"))
     joined.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
       .select(col(idCol), col(vecCol), col("_cid").as(cIdCol))

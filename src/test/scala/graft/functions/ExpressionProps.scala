@@ -83,4 +83,25 @@ object ExpressionProps extends Properties("graft.expressions") {
       val b = fp(base) // identical input
       java.lang.Long.bitCount(a ^ b) == 0
     }
+
+  property("HashStringArray(xxh64) bit-equals per-token xxhash64(seed 42)") =
+    Prop.forAll(Gen.listOf(word)) { toks =>
+      val got = HashStringArray(Literal(strArray(toks), ArrayType(StringType)), "xxh64")
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = toks.map(t => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(t), StringType, 42L))
+      got == want
+    }
+
+  property("HashStringArray(md5h60) bit-equals conv(substring(md5,1,15),16,10)") =
+    Prop.forAll(Gen.listOf(word)) { toks =>
+      val got = HashStringArray(Literal(strArray(toks), ArrayType(StringType)), "md5h60")
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = toks.map { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      got == want
+    }
 }
