@@ -84,6 +84,7 @@ object Bench {
       .map { case (name, fn) =>
         val r = best(name, reps) {
           spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
+          System.gc() // reclaim prior queries' broadcast/shuffle refs — measured 2× CPU drift without it
           fn(spark, sfDir).count()
         }
         (name, r)

@@ -56,8 +56,12 @@ object BacklogSource {
   def segments(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator().asScala.filter(f => f.getFileName.toString.endsWith(".jsonl"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else Files.list(p).iterator().asScala.filter { f =>
+      val n = f.getFileName.toString
+      // .jsonl: one JSON event per line; .segb64: one base64 wire segment
+      // per line (MysqlBinlog/PgOutput bytes through the same offsets)
+      n.endsWith(".jsonl") || n.endsWith(".segb64")
+    }.toSeq.sortBy(_.getFileName.toString)
   }
 
   case class BacklogOffset(segment: Int, line: Long) extends Offset {

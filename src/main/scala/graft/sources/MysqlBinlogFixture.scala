@@ -355,6 +355,30 @@ object MysqlBinlogFixture {
     out.toByteArray
   }
 
+  /**
+   * Streaming decode over [[graft.sources.BacklogSource]] lines: each
+   * backlog line carries one base64-encoded binlog segment, so the DSv2
+   * micro-batch machinery (offsets, admission control, checkpoint resume)
+   * applies unchanged to real wire bytes — the reference's
+   * binlog-stream-into-coordinator wiring (mysql_event.rs:41-121)
+   * re-expressed as source → narrow decode.
+   */
+  def decodeBase64Segments(lines: DataFrame,
+                           names: IndexedSeq[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(unbase64(col("value")).as("seg"))
+      .as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+      .flatMap(seg => MysqlBinlog.decodeSegment(seg, (_, _) => names)).toDF()
+  }
+
+  /** Write one backlog segment file (a single base64 line) of binlog bytes. */
+  def writeBacklogSegment(dir: String, name: String, segment: Array[Byte]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+      java.util.Base64.getEncoder.encodeToString(segment).getBytes(StandardCharsets.UTF_8))
+  }
+
   /** orders → binlog segments (one per partition) → decoded envelope rows.
    * Distributed end to end: narrow map, no shuffle, no driver collect. */
   def decodedOrders(orders: DataFrame): DataFrame = {

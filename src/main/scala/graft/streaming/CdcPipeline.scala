@@ -40,7 +40,9 @@ object CdcPipeline {
       commitPolicy: CommitPolicy = CommitRequired,
       ledgerDir: String,
       sinkTimeout: Duration = 5.minutes,
-      processors: Seq[DataFrame => DataFrame] = Nil)
+      processors: Seq[DataFrame => DataFrame] = Nil,
+      pipelineName: String = "pipeline",
+      metrics: Option[Metrics.Registry] = None)
 
   def policySatisfied(cfg: Config, acks: Map[String, Boolean]): Boolean = cfg.commitPolicy match {
     case CommitAll => cfg.sinks.forall(s => acks.getOrElse(s.id, false))
@@ -57,7 +59,7 @@ object CdcPipeline {
     val batch = cfg.processors.foldLeft(batch0)((df, p) => p(df))
     batch.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      batch.count() // materialize once; sink jobs reuse the cached batch
+      val rows = batch.count() // materialize once; sink jobs reuse the cached batch
       val pool = Executors.newFixedThreadPool(math.max(cfg.sinks.size, 1))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val futures = cfg.sinks.map { sink =>
@@ -65,8 +67,16 @@ object CdcPipeline {
           if (ledger.committed(sink.id) >= batchId) true // idempotent replay skip
           else {
             val filtered = sink.filter.map(batch.filter).getOrElse(batch)
-            sink.write(filtered, batchId)
-            true
+            val t0 = System.nanoTime()
+            val ok = try { sink.write(filtered, batchId); true }
+            catch { case e: Throwable =>
+              cfg.metrics.foreach(Metrics.recordSinkBatch(_, cfg.pipelineName,
+                sink.id, rows, (System.nanoTime() - t0) / 1e9, ok = false))
+              throw e
+            }
+            cfg.metrics.foreach(Metrics.recordSinkBatch(_, cfg.pipelineName,
+              sink.id, rows, (System.nanoTime() - t0) / 1e9, ok = true))
+            ok
           }
         }
       }
