@@ -170,6 +170,17 @@ object PgOutputFixture {
     out.toByteArray
   }
 
+  /** Streaming decode over [[graft.sources.BacklogSource]] `.segb64` lines
+   * (base64 pgoutput segment per line) — the PG twin of
+   * [[MysqlBinlogFixture.decodeBase64Segments]]. */
+  def decodeBase64Segments(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(unbase64(col("value")).as("seg"))
+      .as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+      .flatMap(PgOutput.decodeSegment(_)).toDF()
+  }
+
   /** orders → pgoutput segments → decoded rows; narrow distributed map. */
   def decodedOrders(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession

@@ -42,6 +42,9 @@ object PipelineSpec {
   case class FilterCfg(ops: Seq[String], tables: Seq[String],
                        existsFields: Seq[String]) extends ProcessorCfg
   case class RouteCfg(topicTemplate: Option[String], staticTopic: String) extends ProcessorCfg
+  case class FlattenCfg(separator: String, maxDepth: Int) extends ProcessorCfg
+  case class OutboxCfg(topicTemplate: Option[String], defaultTopic: String,
+                       strict: Boolean) extends ProcessorCfg
 
   case class SinkCfg(kind: String, id: String, path: String, required: Boolean)
 
@@ -103,6 +106,11 @@ object PipelineSpec {
           case "filter" => FilterCfg(strSeq(p, "ops"), strSeq(p, "tables"), strSeq(p, "exists"))
           case "route" => RouteCfg(Option(p.get("topic_template")).map(_.asText),
             str(p, "static_topic", "events"))
+          case "flatten" => FlattenCfg(str(p, "separator", "__"),
+            Option(p.get("max_depth")).map(_.asInt).getOrElse(Int.MaxValue))
+          case "outbox" => OutboxCfg(Option(p.get("topic_template")).map(_.asText),
+            str(p, "default_topic", "outbox"),
+            Option(p.get("strict")).exists(_.asBoolean))
           case other => throw new IllegalArgumentException(s"unknown processor kind '$other'")
         }
       }
@@ -138,6 +146,15 @@ object PipelineSpec {
         col("routing.key").as("key"),
         col("routing.headers").as("headers"),
         col("routing.raw_payload").as("raw_payload")))
+    case FlattenCfg(sep, depth) =>
+      // schemaless payloads: the dynamic JSON flatten (number-fidelity safe)
+      (df: DataFrame) => df
+        .withColumn("after", graft.functions.JsonFlatten.flattenJson(col("after"), sep, depth))
+        .withColumn("before", graft.functions.JsonFlatten.flattenJson(col("before"), sep, depth))
+    case OutboxCfg(tpl, default, strict) =>
+      (df: DataFrame) => graft.operators.OutboxProcessor(
+        graft.operators.OutboxProcessor.Config(
+          topicTemplate = tpl, defaultTopic = default, strict = strict))(df)
   }
 
   def buildSinks(spec: Spec): Seq[EventSink] = spec.sinks.map { s =>

@@ -120,4 +120,14 @@ class PgOutputSpec extends SparkSpec {
     assert(lsnString(0x16B2D80L) == "0/16B2D80")
     assert(lsnString((3L << 32) | 0xADEL) == "3/ADE")
   }
+
+  test("pgoutput segments stream through the backlog source") {
+    val backlog = java.nio.file.Files.createTempDirectory("pgstream").toString
+    val seg = Fx.ordersSegment(Iterator((5L, 105L, "O", 9.99, 880934400000L, "2-HIGH")))
+    MysqlBinlogFixture.writeBacklogSegment(backlog, "seg-000.segb64", seg)
+    MysqlBinlogFixture.writeBacklogSegment(backlog, "seg-001.segb64", Fx.truncateSegment())
+    val decoded = Fx.decodeBase64Segments(spark.read.text(backlog))
+      .collect().map(r => r.getAs[String]("op")).filter(_ != null).sorted
+    assert(decoded.toSeq == Seq("c", "t"))
+  }
 }

@@ -126,6 +126,28 @@ class PipelineCrudSpec extends SparkSpec {
     } finally cp.stop()
   }
 
+  test("spec loader builds flatten and outbox processors") {
+    val p = PipelineSpec.load(
+      """metadata: {name: p2, tenant: t}
+        |spec:
+        |  source: {kind: backlog, path: /tmp/x}
+        |  processors:
+        |    - {kind: flatten, separator: "__", max_depth: 2}
+        |    - {kind: outbox, topic_template: "${aggregate_type}.${event_type}", strict: true}
+        |  sinks: [{kind: memory, id: m}]
+        |""".stripMargin)
+    assert(p.spec.processors == Seq(
+      PipelineSpec.FlattenCfg("__", 2),
+      PipelineSpec.OutboxCfg(Some("${aggregate_type}.${event_type}"), "outbox", strict = true)))
+    // transforms apply over a conformed envelope without error
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.core.ChangeEvent.conform(
+      Seq(1).toDF("i").select(lit("""{"a":{"b":1}}""").as("after"), lit("c").as("op")))
+    val out = PipelineSpec.buildProcessors(p.spec).foldLeft(df)((d, f) => f(d))
+    assert(out.select("after").as[String].head() == """{"a__b":1}""")
+  }
+
   test("spec loader: env expansion, commit policies, merge semantics") {
     val node = PipelineSpec.parseYaml(
       """metadata: {name: p1, tenant: t}
