@@ -317,6 +317,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // connected components over the near-dup pair graph: every doc gets
+      // the min doc_id reachable through J>=0.5 pairs as its cluster id
+      // (singletons cluster with themselves). Iterative min-label
+      // propagation — one shuffle join per round, no graph library.
+      val docs = t(s, dir, "documents")
+      Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.5, maxDf = Some(1000L)))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
@@ -715,6 +725,25 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_jaccard" -> jaccardExactSql,
+
+    // connected components via recursive CTE over the exact pair graph:
+    // reach(id, r) closes over edges, min(r) per id = cluster id.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(1, greatest(len(toks)-2, 0)),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+         |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+         |p AS (SELECT ia, ib FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |      WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5),
+         |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // LSH recall at test scale is complete (spec-pinned: candidates from
     // 32 bands of r=2 miss a J>=0.5 pair with p<=0.75^32~1e-4, and the

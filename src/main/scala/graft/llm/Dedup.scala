@@ -188,6 +188,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /**
+   * Connected components over near-dup pairs → cluster ids, via iterative
+   * min-label propagation: every node starts labeled with itself; each
+   * round every node takes the min of its own and its neighbors' labels;
+   * stop when no label changes. Rounds = graph diameter (near-dup clusters
+   * are near-cliques, so 2–3 rounds in practice, O(log n) worst case with
+   * large-star-ish chains); each round is ONE shuffle join + aggregate over
+   * the edge list — the standard large-scale CC shape without a graph
+   * library. Docs with no near-dup edges are their own singleton cluster.
+   *
+   * Output: (doc_id, cluster_id) for EVERY doc in `docs`; `cluster_id` is
+   * the minimum doc id reachable through the pair graph — so the canonical
+   * survivor of each cluster is exactly the row where doc_id == cluster_id.
+   */
+  def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+               maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("_nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"),
+          (col("_nmin") < col("label")).as("_changed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("_changed")).limit(1).count() == 0
+      val prev = labels
+      labels = next.select("id", "label").persist(StorageLevel.MEMORY_AND_DISK)
+      prev.unpersist(); next.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Canonical survivors: one representative row per near-dup cluster. */
+  def clusterSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(clusters(docs, pairs, idCol).filter(col(idCol) === col("cluster_id"))
+      .select(idCol), idCol)
+
   /** Default token-array hash: fused xxhash64 (fastest; Spark-only). */
   val xxhashTokens: Column => Column = TextHashOps.xxhash64Array
 

@@ -106,4 +106,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
     assert(assigned == Map(1L -> 10L, 2L -> 20L))
   }
+
+  test("clusters: multi-hop chains collapse to min label; singletons stand alone") {
+    import spark.implicits._
+    // chain 10-11, 11-12 (10 and 12 NOT directly paired) + isolated 13
+    val ids = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
+
+  test("clusterSurvivors keeps exactly one doc per near-dup cluster") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5)
+    val survivors = Dedup.clusterSurvivors(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // docs 0,1,3 are one cluster (survivor 0); 2 and 4 stand alone
+    assert(survivors.toSeq == Seq(0L, 2L, 4L))
+  }
 }
