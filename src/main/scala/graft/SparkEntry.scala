@@ -381,6 +381,46 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    "data_split" -> ((s, dir) => {
+      // deterministic hash-based train/test split — reproducible in ANY
+      // engine with md5 (the sharding every training pipeline needs; no
+      // RNG, stable under reruns and repartitioning)
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType), lit(100L))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      // token-budget sequence packing: shard by doc_id, order within the
+      // shard, pack_id = exclusive-prefix-sum(tokens) / budget — the
+      // deterministic packing used to fill fixed-size training batches.
+      // One window per shard; at 100 TB shards are the parallel unit.
+      val budget = 512L
+      val shard = pmod(col("doc_id"), lit(8L)).as("shard")
+      val tokens = TextAnalysis.nWords(col("text")).cast(LongType).as("n_tokens")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents").select(col("doc_id"), shard, tokens)
+        .withColumn("pack_id",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
+    "ann_topk_batch" -> ((s, dir) => {
+      // batched ANN: top-5 corpus neighbors for EACH of 3 query vectors in
+      // one pass (query side broadcast, corpus streams once)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.topKBatch(emb, queries, 5, qIdCol = "query_id")
+        .select(col("query_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     "text_metrics" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(
@@ -813,6 +853,33 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos_sim
         |FROM probed WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "data_split" ->
+      """WITH b AS (SELECT doc_id,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |FROM documents)
+        |SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        | CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ann_topk_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id <= 2),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cs,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id, round(cs, 6) AS cos_sim FROM scored WHERE rk <= 5
+        |ORDER BY query_id, cs DESC, vec_id""".stripMargin,
 
     "text_metrics" ->
       """SELECT doc_id,
