@@ -134,5 +134,11 @@ object Bench {
     try { pw.println(json) } finally { pw.close() }
     println(json)
     spark.stop()
+    // Sentinel-prefixed FINAL stdout line, printed after spark.stop() so no
+    // Spark shutdown chatter follows it. sbt appends its own "[success]
+    // Total time" line, so a driver scraping the LAST line never sees bare
+    // JSON (BENCH_r02/r03 both parsed:null) — grep for this prefix instead
+    // (or read bench_out.json, written above).
+    println(s"BENCH_JSON: $json")
   }
 }

