@@ -49,27 +49,42 @@ object AvroEncoding {
    * a given schema exactly once; ids feed the `[0x00][id:4BE]` wire
    * framing in [[encode]].
    */
-  class HttpSchemaRegistryClient(baseUrl: String) extends SchemaRegistryClient {
+  class HttpSchemaRegistryClient(baseUrl: String,
+                                 timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends SchemaRegistryClient {
     @transient private lazy val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
     @transient private lazy val mapper =
       new com.fasterxml.jackson.databind.ObjectMapper()
+    // ONE client per registry instance (connection reuse), with explicit
+    // connect + request timeouts — a hung registry must not pin an
+    // executor thread forever
+    @transient private lazy val http =
+      java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
 
-    def register(subject: String, schema: String): Int =
-      cache.computeIfAbsent(subject + "|" + schema, { _ =>
-        val body = mapper.createObjectNode()
-        body.put("schema", schema)
-        val req = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(s"$baseUrl/subjects/$subject-value/versions"))
-          .header("Content-Type", "application/vnd.schemaregistry.v1+json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
-          .build()
-        val resp = java.net.http.HttpClient.newHttpClient()
-          .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        require(resp.statusCode() / 100 == 2,
-          s"schema registry ${resp.statusCode()}: ${resp.body().take(200)}")
-        mapper.readTree(resp.body()).get("id").asInt()
-      })
+    def register(subject: String, schema: String): Int = {
+      val key = subject + "|" + schema
+      val cached = cache.get(key)
+      if (cached != null) return cached.intValue()
+      // the blocking HTTP call happens OUTSIDE computeIfAbsent — holding a
+      // CHM segment lock across a network round trip stalls unrelated
+      // cache mutations; a rare duplicate register is harmless (the
+      // registry returns the same id for an identical schema)
+      val body = mapper.createObjectNode()
+      body.put("schema", schema)
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"$baseUrl/subjects/$subject-value/versions"))
+        .timeout(timeout)
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
+        .build()
+      val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2,
+        s"schema registry ${resp.statusCode()}: ${resp.body().take(200)}")
+      val id = mapper.readTree(resp.body()).get("id").asInt()
+      val prev = cache.putIfAbsent(key, id)
+      if (prev != null) prev.intValue() else id
+    }
   }
 
   /**

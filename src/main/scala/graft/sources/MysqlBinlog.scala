@@ -35,6 +35,7 @@ object MysqlBinlog {
   // ——— binlog event type codes (public replication protocol) ———
   val QUERY_EVENT = 2
   val ROTATE_EVENT = 4
+  val FORMAT_DESCRIPTION_EVENT = 15
   val XID_EVENT = 16
   val TABLE_MAP_EVENT = 19
   val WRITE_ROWS_V2 = 30
@@ -279,8 +280,14 @@ object MysqlBinlog {
     case other => throw new IllegalArgumentException(s"unsupported jsonb type 0x${other.toHexString}")
   }
 
+  private lazy val jsonValidator = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** JSON column handler with the reference's fallback chain
-   * (mysql_object.rs:62-72): JSONB → textual JSON → base64 wrapper. */
+   * (mysql_object.rs:62-72): JSONB → textual JSON → base64 wrapper.
+   * The textual fragment is VALIDATED before raw passthrough — an
+   * unparsed `{…` fragment spliced into the rendered row would corrupt
+   * the whole row JSON, not just this field; malformed text falls back
+   * to a JSON string, matching serde's parse-or-string behavior. */
   def handleJson(bytes: Array[Byte]): J =
     try jsonbDecode(bytes)
     catch {
@@ -288,8 +295,10 @@ object MysqlBinlog {
         utf8OrNull(bytes) match {
           case s: String =>
             val t = s.trim
-            if (t.nonEmpty && (t.head == '{' || t.head == '[')) JRaw(t) // textual JSON passthrough
-            else JStr(s)
+            val parses = t.nonEmpty && (t.head == '{' || t.head == '[') &&
+              (try { jsonValidator.readTree(t); true }
+               catch { case _: Exception => false })
+            if (parses) JRaw(t) else JStr(s)
           case _ => JObj(Seq("_base64_json" -> JStr(b64(bytes))))
         }
     }
@@ -363,7 +372,13 @@ object MysqlBinlog {
       val len = if (meta < 256) r.u1() else r.u2()
       stringish(r.bytes(len))
     case T.STRING =>
-      val maxLen = meta & 0xff
+      // meta = (realType << 8) | lenByte; CHAR columns wider than 255
+      // BYTES (e.g. CHAR(100) utf8mb4) steal bits 4-5 of the type byte to
+      // carry length bits 8-9: len = lenByte | (((m0 & 0x30) ^ 0x30) << 4)
+      // (public MySQL row-format metadata packing)
+      val m0 = (meta >> 8) & 0xff
+      val m1 = meta & 0xff
+      val maxLen = if (m0 != 0 && (m0 & 0x30) != 0x30) m1 | (((m0 & 0x30) ^ 0x30) << 4) else m1
       val len = if (maxLen < 256) r.u1() else r.u2()
       stringish(r.bytes(len))
     case T.BLOB =>
@@ -488,13 +503,42 @@ object MysqlBinlog {
     val out = Vector.newBuilder[Record]
     val maps = scala.collection.mutable.Map[Long, TableMapInfo]()
     var lastGtid: String = null
+    // binlog_checksum trailer width (0 or 4). CRC32 is the MySQL default
+    // since 5.6: every post-FDE event carries a 4-byte CRC INSIDE
+    // event_length, so value loops must stop 4 bytes early or they parse
+    // the CRC as another row. The algorithm is declared by the
+    // FORMAT_DESCRIPTION event (alg byte at event end - 5, public
+    // replication protocol).
+    var checksumLen = 0
     val r = new Reader(seg, 0)
     while (r.off < seg.length) {
       val evStart = r.off
       val h = Header(r.u4(), r.u1(), r.u4(), r.i4(), r.u4(), r.u2())
       val evEnd = evStart + h.eventLength
+      val payloadEnd =
+        if (h.eventType == FORMAT_DESCRIPTION_EVENT) evEnd else evEnd - checksumLen
+      if (checksumLen == 4 && h.eventType != FORMAT_DESCRIPTION_EVENT) {
+        // verify, not just skip: CRC32 over header + payload
+        val crc = new java.util.zip.CRC32()
+        crc.update(seg, evStart, h.eventLength - 4)
+        var stored = 0L
+        var i = 0
+        while (i < 4) { stored |= (seg(evEnd - 4 + i) & 0xffL) << (8 * i); i += 1 }
+        if (crc.getValue != stored)
+          throw new IllegalArgumentException(
+            f"binlog CRC32 mismatch at offset $evStart (event type ${h.eventType})")
+      }
       val tsMs = h.tsSec * 1000L
       h.eventType match {
+        case FORMAT_DESCRIPTION_EVENT =>
+          // v4 layout: u2 binlog version, 50-byte server version, u4 create
+          // ts, u1 header length, per-type post-header lengths; 5.6.1+
+          // appends checksum_alg (1 byte) + the FDE's own CRC (4 bytes)
+          val binlogVersion = r.u2()
+          if (binlogVersion >= 4 && evEnd - 5 > r.off) {
+            val alg = seg(evEnd - 5) & 0xff
+            checksumLen = if (alg == 1) 4 else 0
+          }
         case TABLE_MAP_EVENT =>
           val tableId = r.u6(); r.u2() // flags
           r.u1(); val db = r.zeroTermString()
@@ -530,7 +574,7 @@ object MysqlBinlog {
           r.bytes(statusLen)
           val db = new String(r.bytes(schemaLen), StandardCharsets.UTF_8)
           r.u1() // null terminator
-          val sql = new String(r.bytes(evEnd - r.off), StandardCharsets.UTF_8)
+          val sql = new String(r.bytes(payloadEnd - r.off), StandardCharsets.UTF_8)
           val upper = sql.toUpperCase
           if (upper != "BEGIN" && upper != "COMMIT" && upper != "ROLLBACK" &&
             (upper.startsWith("ALTER") || upper.startsWith("CREATE") ||
@@ -547,7 +591,7 @@ object MysqlBinlog {
 
         case ROTATE_EVENT =>
           r.i8(); // position
-          r.bytes(evEnd - r.off) // new file name — segment-local, unused here
+          r.bytes(payloadEnd - r.off) // new file name — segment-local, unused here
 
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
           val tableId = r.u6(); r.u2() // flags
@@ -559,7 +603,7 @@ object MysqlBinlog {
           maps.get(tableId) match {
             case Some(tm) =>
               val names = columns(tm.db, tm.table)
-              while (r.remaining(evEnd)) h.eventType match {
+              while (r.remaining(payloadEnd)) h.eventType match {
                 case WRITE_ROWS_V2 =>
                   val after = decodeRowImage(r, tm, inc1, names)
                   out += Record("c", tm.db, tm.table, null, after, tsMs,

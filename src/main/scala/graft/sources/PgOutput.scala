@@ -41,7 +41,9 @@ object PgOutput {
     val VARCHAR = 1043; val DATE = 1082; val TIME = 1083
     val TIMESTAMP = 1114; val TIMESTAMPTZ = 1184; val NUMERIC = 1700
     val UUID = 2950; val JSONB = 3802
-    val arrayOids: Set[Int] = Set(1000, 1001, 1005, 1007, 1009, 1016, 1021, 1022, 1014, 1015, 2951, 3802, 199)
+    // 199 = json[], 3807 = jsonb[] (3802 is the SCALAR jsonb OID — it was
+    // listed here by mistake and unreachable, the JSON|JSONB case wins)
+    val arrayOids: Set[Int] = Set(1000, 1001, 1005, 1007, 1009, 1016, 1021, 1022, 1014, 1015, 2951, 3807, 199)
   }
 
   case class RelationColumn(name: String, typeOid: Int, typeModifier: Int, flags: Int) {

@@ -81,7 +81,60 @@ class MysqlBinlogSpec extends SparkSpec {
     val wrapped = handleJson(junk)
     assert(render(wrapped) ==
       s"""{"_base64_json":"${java.util.Base64.getEncoder.encodeToString(junk)}"}""")
+    // looks like JSON but is MALFORMED → JSON string, not raw splice
+    // (an unvalidated fragment would corrupt the whole rendered row)
+    val malformed = handleJson("""{"a": unclosed""".getBytes)
+    assert(render(malformed) == "\"{\\\"a\\\": unclosed\"")
   }
+
+  test("CHAR columns wider than 255 bytes decode via packed STRING meta") {
+    // CHAR(300)-equivalent: length bits 8-9 stolen from the type byte —
+    // meta byte0 = realType ^ ((len >> 8) << 4), byte1 = len & 0xff
+    val len = 300
+    val m0 = T.STRING ^ (((len >> 8) & 0x3) << 4)
+    val wide = Col_("wide", T.STRING, (m0 << 8) | (len & 0xff))
+    val text = "x" * 280
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Fx.tableMap(5L, "shop", "wide_t", Seq(wide), 1700000000L, 0))
+    out.write(Fx.rowsEvent(WRITE_ROWS_V2, 5L, Seq(wide), Seq(Seq(Seq(text))), 1700000000L, 1))
+    val recs = decodeSegment(out.toByteArray, (_, _) => IndexedSeq("wide"))
+    assert(recs.size == 1)
+    assert(recs.head.after == s"""{"wide":"$text"}""")
+  }
+
+  test("CRC32 checksum trailer: declared by FDE, verified, stripped from rows") {
+    val ts = 1700000000L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Fx.formatDescription(ts, alg = 1))
+    // every subsequent event carries a CRC32 trailer inside event_length
+    out.write(Fx.event(TABLE_MAP_EVENT, ts, 0,
+      dropHeader(Fx.tableMap(1L, "shop", "orders", cols, ts, 0)), crc32 = true))
+    out.write(Fx.event(WRITE_ROWS_V2, ts, 7,
+      dropHeader(Fx.rowsEvent(WRITE_ROWS_V2, 1L, cols, Seq(Seq(vals)), ts, 7)), crc32 = true))
+    out.write(Fx.event(XID_EVENT, ts, 8,
+      dropHeader(Fx.xid(42L, ts, 8)), crc32 = true))
+    val recs = decode(out.toByteArray)
+    // without the FDE-declared trailer the row loop would parse the CRC
+    // bytes as another row and throw or emit garbage
+    assert(recs.map(_.op) == Seq("c", null))
+    assert(recs.head.after.contains("\"o_orderkey\":10"))
+    assert(recs.last.txEnd)
+    // verification is real: flip a payload byte → CRC mismatch
+    val seg = out.toByteArray
+    val corrupt = seg.clone()
+    corrupt(seg.length - 10) = (corrupt(seg.length - 10) ^ 0x01).toByte
+    val ex = intercept[IllegalArgumentException] { decode(corrupt) }
+    assert(ex.getMessage.contains("CRC32 mismatch"))
+    // alg=0 FDE → no trailer expected, checksum-free events still decode
+    val plain = new java.io.ByteArrayOutputStream()
+    plain.write(Fx.formatDescription(ts, alg = 0))
+    plain.write(Fx.tableMap(1L, "shop", "orders", cols, ts, 0))
+    plain.write(Fx.rowsEvent(WRITE_ROWS_V2, 1L, cols, Seq(Seq(vals)), ts, 7))
+    assert(decode(plain.toByteArray).size == 1)
+  }
+
+  private def dropHeader(ev: Array[Byte]): Array[Byte] = ev.drop(19)
+  private def Col_(name: String, typ: Int, meta: Int) = Fx.Col(name, typ, meta)
 
   // — packed decimal —
 
