@@ -41,6 +41,61 @@ object SnapshotSupport {
   }
 
   /**
+   * Chunk-strategy chooser (reference postgres_snapshot.rs:349-362): a single
+   * integer PK gets range chunking; composite or missing PKs fall back to
+   * ctid page ranges.
+   */
+  sealed trait ChunkStrategy
+  case class ByPk(pkCol: String) extends ChunkStrategy
+  case object ByCtid extends ChunkStrategy
+
+  def chunkStrategy(pk: Seq[String], isIntegerCol: String => Boolean): ChunkStrategy =
+    pk match {
+      case Seq(single) if isIntegerCol(single) => ByPk(single)
+      case _ => ByCtid
+    }
+
+  /**
+   * Postgres ctid page-range chunking for PK-less / composite-PK tables
+   * (reference postgres_snapshot.rs:595-663). The heap is split into
+   * `[page, endPage)` tid ranges, each becoming one predicate — and with
+   * Spark's predicate-array JDBC reader, one partition/task. Page count
+   * comes from `pg_class.relpages` (ANALYZE first — relpages is 0 on
+   * never-analyzed tables, reference :599-607).
+   *
+   * Rows-per-page is an estimate only (reference assumes ~100, :626); a
+   * wrong estimate skews chunk *sizes*, never correctness — tid ranges
+   * partition the heap exactly, so every row lands in exactly one chunk.
+   */
+  def ctidPagesPerChunk(chunkSizeRows: Long, rowsPerPageEstimate: Long = 100L): Long =
+    math.max(1L, chunkSizeRows / math.max(1L, rowsPerPageEstimate))
+
+  def ctidPredicates(totalPages: Long, pagesPerChunk: Long): Array[String] = {
+    require(pagesPerChunk > 0, "pagesPerChunk must be positive")
+    if (totalPages <= 0) Array.empty
+    else (0L until totalPages by pagesPerChunk).map { page =>
+      val endPage = math.min(page + pagesPerChunk, totalPages)
+      // (page,1) sorts before every tuple on `page`; end bound exclusive —
+      // exactly the reference's WHERE clause (postgres_snapshot.rs:636-640)
+      s"ctid >= '($page,1)'::tid AND ctid < '($endPage,1)'::tid"
+    }.toArray
+  }
+
+  /**
+   * Partitioned ctid snapshot read: one Spark partition per page range via
+   * the predicate-array `jdbc` reader. `totalPages` is `pg_class.relpages`
+   * read by the caller (control-plane metadata, one row).
+   */
+  def jdbcCtidSnapshot(spark: SparkSession, url: String, table: String,
+                       totalPages: Long, chunkSizeRows: Long = 500000L,
+                       rowsPerPageEstimate: Long = 100L,
+                       props: java.util.Properties = new java.util.Properties()): DataFrame = {
+    val preds = ctidPredicates(totalPages, ctidPagesPerChunk(chunkSizeRows, rowsPerPageEstimate))
+    if (preds.isEmpty) spark.read.jdbc(url, table, props).limit(0)
+    else spark.read.jdbc(url, table, preds, props)
+  }
+
+  /**
    * Per-table snapshot resume ledger (reference SnapshotProgress,
    * mysql_snapshot.rs:44-74): tables already fully snapshotted are skipped
    * on restart. Same tiny-file pattern as the sink ledger.

@@ -59,6 +59,36 @@ object SchemaSensing {
   }
 
   /**
+   * Full S-4 evidence bundle per table in ONE aggregation pass (reference
+   * PathFieldStats.observe, high_cardinality.rs:138-160 — the three sketches
+   * updated together per event): HLL field-name cardinality
+   * (`approx_count_distinct`), SpaceSaving heavy hitters, and a bottom-k
+   * reservoir of sampled field names — the evidence channel pattern
+   * extraction reads (`get_samples` :172-175). All three are mergeable
+   * sketches, so the pass is one exchange regardless of table width.
+   */
+  def observeEvidence(batch: DataFrame, payload: Column = col("after"),
+                      sampleK: Int = 50, heavyK: Int = 16): DataFrame = {
+    batch
+      .select(col("source.table").as("table"), payload.as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("table"), explode(json_object_keys(col("p"))).as("field"))
+      .groupBy("table")
+      .agg(
+        approx_count_distinct(col("field")).as("n_unique_fields"),
+        graft.functions.SpaceSaving(heavyK)(col("field")).as("heavy_hitters"),
+        graft.functions.ReservoirSample(sampleK)(col("field")).as("sampled_fields"))
+  }
+
+  /**
+   * Samples excluding stable fields (reference get_dynamic_samples,
+   * high_cardinality.rs:178-187) — the dynamic-key evidence handed to
+   * pattern extraction (UUID/date-shaped map keys).
+   */
+  def dynamicSamples(sampledFields: Column, stableFields: Column): Column =
+    array_except(sampledFields, stableFields)
+
+  /**
    * Classify fields stable vs dynamic (reference high_cardinality.rs:56-70
    * thresholds: min events, stable ≥ stableFreq of events, a table with
    * ≥ minDynamicFields rare fields is a dynamic map).

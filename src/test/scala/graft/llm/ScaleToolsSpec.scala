@@ -27,6 +27,47 @@ class ScaleToolsSpec extends SparkSpec {
     assert(warmCount >= 200 && warmCount - warmErr <= 200)
   }
 
+  test("reservoir: k distinct samples, deterministic across partitionings") {
+    import graft.functions.ReservoirSample
+    import spark.implicits._
+    val data = (1 to 300).map(i => s"field$i") ++ Seq.fill(500)("hot") // dupes collapse
+    val sample8 = data.toDF("f").repartition(8)
+      .agg(ReservoirSample(50)(col("f"))).head().getSeq[String](0)
+    val sample3 = data.toDF("f").repartition(3)
+      .agg(ReservoirSample(50)(col("f"))).head().getSeq[String](0)
+    assert(sample8.length == 50 && sample8.distinct.length == 50)
+    assert(sample8 == sample3) // merge-order independent (bottom-k, not RNG)
+    // uniform over distinct values: 'hot' (500×) has the same 50/301 odds as
+    // any cold field — its presence is decided by hash priority alone
+    val small = Seq("a", "b").toDF("f").agg(ReservoirSample(50)(col("f")))
+      .head().getSeq[String](0)
+    assert(small.toSet == Set("a", "b")) // under k → everything kept
+  }
+
+  test("classifier evidence pass: HLL + heavy hitters + samples in one agg") {
+    import graft.streaming.SchemaSensing
+    import spark.implicits._
+    // stable fields id,v on every event; dynamic uuid-ish keys once each
+    val rows = (1 to 100).map { i =>
+      ("t1", s"""{"id":$i,"v":"x","k_$i":1}""")
+    }
+    val batch = rows.toDF("table", "after")
+      .select(struct(col("table")).as("source"), col("after"))
+    val ev = SchemaSensing.observeEvidence(batch, col("after"), sampleK = 20).head()
+    assert(ev.getAs[String]("table") == "t1")
+    assert(ev.getAs[Long]("n_unique_fields") >= 95) // ~102 distinct, HLL ±
+    val hh = ev.getSeq[org.apache.spark.sql.Row](ev.fieldIndex("heavy_hitters"))
+    assert(hh.take(2).map(_.getString(0)).toSet == Set("id", "v")) // 100× each
+    val samples = ev.getSeq[String](ev.fieldIndex("sampled_fields"))
+    assert(samples.length == 20 && samples.distinct.length == 20)
+    // dynamic-sample evidence: stable names excluded (get_dynamic_samples)
+    val dyn = Seq((samples, Seq("id", "v"))).toDF("s", "stable")
+      .select(SchemaSensing.dynamicSamples(col("s"), col("stable")))
+      .head().getSeq[String](0)
+    assert(dyn.forall(f => f != "id" && f != "v"))
+    assert(dyn.forall(_.startsWith("k_")))
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val big = (Seq.fill(1000)(1L) ++ (2L to 50L)).map(k => (k, s"v$k")).toDF("k", "payload")

@@ -44,6 +44,40 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotSupport.chunkCount(Long.MaxValue / 2) == 4096) // capped
   }
 
+  test("ctid page ranges tile the heap exactly: no gap, no overlap, end-exclusive") {
+    import SnapshotSupport._
+    val preds = ctidPredicates(totalPages = 10, pagesPerChunk = 3)
+    assert(preds.length == 4)
+    assert(preds(0) == "ctid >= '(0,1)'::tid AND ctid < '(3,1)'::tid")
+    assert(preds(3) == "ctid >= '(9,1)'::tid AND ctid < '(10,1)'::tid") // tail clamped
+    // adjacent chunks share the boundary tid as exclusive-end / inclusive-start
+    val bounds = preds.map { p =>
+      val m = """'\((\d+),1\)'::tid AND ctid < '\((\d+),1\)'::tid""".r
+        .findFirstMatchIn(p).get
+      (m.group(1).toLong, m.group(2).toLong)
+    }
+    bounds.sliding(2).foreach { case Array((_, e), (s, _)) => assert(e == s); case _ => }
+    assert(bounds.head._1 == 0L && bounds.last._2 == 10L)
+    assert(ctidPredicates(0, 3).isEmpty) // empty table → no chunks
+    assert(ctidPredicates(2, 100).length == 1) // tiny table → single chunk
+  }
+
+  test("ctid pages-per-chunk policy targets ~chunk_size rows (ref :626)") {
+    import SnapshotSupport._
+    assert(ctidPagesPerChunk(500000, 100) == 5000)
+    assert(ctidPagesPerChunk(50, 100) == 1) // never zero
+    assert(ctidPagesPerChunk(1000, 0) == 1000) // degenerate estimate guarded
+  }
+
+  test("chunk strategy: single integer PK → range; composite or missing → ctid") {
+    import SnapshotSupport._
+    val intCols = Set("id", "seq")
+    assert(chunkStrategy(Seq("id"), intCols) == ByPk("id"))
+    assert(chunkStrategy(Seq("uuid"), intCols) == ByCtid) // non-integer PK
+    assert(chunkStrategy(Seq("id", "region"), intCols) == ByCtid) // composite
+    assert(chunkStrategy(Nil, intCols) == ByCtid) // PK-less
+  }
+
   test("snapshot resume ledger skips completed tables") {
     val dir = Files.createTempDirectory("snap").toString
     val ledger = new SnapshotSupport.SnapshotLedger(dir)
