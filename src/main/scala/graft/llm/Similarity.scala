@@ -167,6 +167,85 @@ object Similarity {
    * `centroids`: (centroid_id, vec). Returns vectors tagged with their nearest
    * centroid — at scale, write partitionBy("centroid_id") and probe cells.
    */
+  /**
+   * Spherical k-means centroid training — DataFrame-only, deterministic,
+   * the "train" half of the IVF coarse index ([[ivfAssign]] is the other).
+   *
+   * Design for 100 TB:
+   *  - init = bottom-k by `xxhash64(id)`: a deterministic uniform sample of
+   *    the corpus, no RNG (stable under task retries), one TakeOrdered pass;
+   *  - each iteration: assign by max cosine against the broadcast centroid
+   *    table (the corpus streams through once, no shuffle on the big side),
+   *    then recompute each cell's centroid as the element-wise mean via
+   *    posexplode → (cell, pos) partial aggregation — ONE exchange of
+   *    k×dim partial sums regardless of corpus size;
+   *  - per-round centroids (k×dim doubles) are collected to the driver and
+   *    rebroadcast — bounded control-plane data, the same loop shape Spark
+   *    ML's KMeans uses; means are L2-normalized so argmax-cosine assignment
+   *    is exact spherical k-means.
+   *
+   * Empty cells keep their previous centroid (no respawn — deterministic).
+   */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(k > 0 && iters >= 0)
+    // corpus stays array<float> — the fused cosine kernel reads it natively;
+    // only the k centroids are double (exact math where it matters)
+    val base = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+
+    var cents: Seq[(Long, Seq[Double])] = base
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("v")).collect().toSeq
+      .zipWithIndex.map { case (r, i) =>
+        (i.toLong, normalize(r.getSeq[Number](0).map(_.doubleValue())))
+      }
+
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF(cIdCol, cVecCol)
+      val assigned = ivfAssign(base, cdf, idCol = "id", vecCol = "v",
+        cIdCol = cIdCol, cVecCol = cVecCol)
+      val means = assigned
+        .select(col(cIdCol), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col(cIdCol), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col(cIdCol))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col(cIdCol), transform(col("pm"), e => e.getField("m")).as("mean"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, means.get(cid).map(normalize).getOrElse(old))
+      }
+    }
+    cents.toDF(cIdCol, cVecCol)
+  }
+
+  private def normalize(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /**
+   * IVF top-k query: probe the `nprobe` cells nearest the query vector and
+   * brute-force only inside them — the full "train once, probe cells" path
+   * ([[trainCentroids]] → [[ivfAssign]] → this).
+   */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Double],
+              k: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    val probes = centroids
+      .select(col(cIdCol), cosine(col(cVecCol), q).as("_sim"))
+      .orderBy(col("_sim").desc, col(cIdCol)).limit(nprobe)
+      .select(cIdCol)
+    assigned.join(broadcast(probes), cIdCol)
+      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {

@@ -107,6 +107,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(assigned == Map(1L -> 10L, 2L -> 20L))
   }
 
+  test("trained IVF centroids: recall vs exact top-k beats the modulo stub") {
+    import spark.implicits._
+    // 90 vectors in 3 tight clusters around orthogonal axes (dim 6) with
+    // deterministic jitter — k-means should recover the 3 clusters exactly
+    def jitter(id: Long, pos: Int): Float = {
+      val h = graft.functions.ReservoirSample.priority(s"$id:$pos")
+      ((h & 0xff).toFloat / 255f - 0.5f) * 0.2f
+    }
+    val vecs = (0L until 90L).map { id =>
+      val axis = (id % 3).toInt
+      id -> Array.tabulate(6)(p => (if (p == axis * 2) 5.0f else 0.0f) + jitter(id, p))
+    }.toDF("vec_id", "embedding")
+    val query = Seq(5.0, 0.0, 0.1, 0.0, 0.05, 0.0) // near axis-0 cluster
+
+    val exact = Similarity.topK(vecs, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Similarity.ivfAssign(vecs, cents)
+      val got = Similarity.ivfTopK(assigned, cents, query, k = 10, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+
+    // the SparkEntry oracle-stable stub: every 30th vector is a "centroid"
+    val stub = vecs.filter(col("vec_id") % 30 === 0)
+      .select((col("vec_id") / 30).cast("long").as("centroid_id"),
+        col("embedding").as("vec"))
+    val trained = Similarity.trainCentroids(vecs, k = 3, iters = 4)
+
+    assert(trained.count() == 3)
+    val (rTrained, rStub) = (recall(trained), recall(stub))
+    assert(rTrained >= rStub)
+    assert(rTrained == 1.0) // tight clusters + nprobe=1: trained nails it
+    // centroids are unit vectors (spherical k-means invariant)
+    val norms = trained.select(Similarity.norm(col("vec"))).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9))
+  }
+
   test("clusters: multi-hop chains collapse to min label; singletons stand alone") {
     import spark.implicits._
     // chain 10-11, 11-12 (10 and 12 NOT directly paired) + isolated 13
