@@ -1,0 +1,230 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.ChangeEvent
+import graft.operators.AvroEncoding
+import graft.sources.BacklogSource
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+
+/**
+ * Fault-injection suite — the in-sandbox analog of the reference chaos
+ * harness (crates/chaos/src/scenarios/: sink_outage.rs, crash_recovery.rs,
+ * dlq_poison.rs, sr_outage.rs, exactly_once.rs). Where the reference cuts
+ * Toxiproxy links around live containers, these scenarios inject the same
+ * faults at the sink/registry seam and assert the same invariants:
+ *
+ *  - sink outage     → checkpoint never advances while a required sink is
+ *                      down; after recovery every event arrives (no gaps);
+ *                      healthy sinks never re-receive committed batches.
+ *  - crash recovery  → a query that dies mid-batch resumes from the
+ *                      checkpoint and delivers everything (no loss).
+ *  - DLQ poison      → poison events route to the DLQ, good events keep
+ *                      flowing, overflow policies bound the queue, ack
+ *                      drains it.
+ *  - SR outage       → encoding continues on the cached schema id while the
+ *                      registry is down; new registrations succeed after
+ *                      recovery.
+ *  - exactly-once    → a send crash mid-transaction leaves NO partial batch;
+ *                      the replay delivers every event exactly once.
+ */
+class ChaosSpec extends SparkSpec {
+  import CdcPipeline._
+
+  private def events(n: Int): DataFrame = {
+    import spark.implicits._
+    ChangeEvent.conform(
+      (1 to n).map(i => ("c", s"""{"id":$i}""", i.toLong)).toDF("op", "after", "ts_ms")
+        .withColumn("source", struct(lit("db").as("db"), lit("t").as("table"),
+          col("ts_ms").as("sequence")))
+        .withColumn("event_id", concat(lit("e"), col("ts_ms")))
+        .withColumn("tx_end", lit(true)))
+  }
+
+  private def tmp(): String = Files.createTempDirectory("graft-chaos").toString
+
+  test("sink_outage: checkpoint gated while down; full delivery after recovery; no gaps") {
+    val dir = tmp()
+    // kafka-shaped sink down for the first 3 write attempts (ref
+    // sink_outage.rs OUTAGE_HOLD), lake sink healthy throughout
+    val flaky = new MemorySink("kafka", failTimes = 3)
+    val healthy = new MemorySink("lake")
+    val cfg = Config(Seq(flaky, healthy), CommitAll, ledgerDir = dir)
+    val ledger = new SinkLedger(dir)
+
+    // batches 0..2 arrive while the outage holds: the coordinator throws
+    // (Spark would retry/fail the trigger), and the COMMIT GATE holds — the
+    // reference's "does NOT advance the checkpoint while the sink is down"
+    var failedAttempts = 0
+    for (batchId <- 0L to 2L) {
+      var delivered = false
+      while (!delivered) {
+        delivered = try { processBatch(cfg, ledger)(events(10), batchId); true }
+        catch { case _: RuntimeException => failedAttempts += 1; false }
+        if (!delivered) {
+          assert(ledger.committed("kafka") < batchId) // outage: no advance
+          // CommitAll gates EVERYTHING: the healthy sink acked but is not
+          // committed either, so the global resume point stays put
+          assert(ledger.minCommitted(Seq("kafka", "lake")) < batchId)
+        }
+      }
+      assert(ledger.committed("kafka") == batchId) // recovered round committed
+    }
+    assert(failedAttempts == 3) // the injected outage was actually exercised
+    // no gaps: every batch id present in the flaky sink exactly once
+    assert((0L to 2L).forall(flaky.batches.containsKey))
+    assert(flaky.totalRows == 30)
+    // at-least-once: the healthy sink re-received batch 0 during the outage
+    // (CommitAll gated its commit), but replays converge on the same state —
+    // the reference's "duplicates possible, never gaps"
+    assert(healthy.totalRows == 30)
+    assert((0L to 2L).forall(healthy.batches.containsKey))
+  }
+
+  test("crash_recovery: query dies mid-batch, restart from checkpoint loses nothing") {
+    val src = tmp()
+    val out = tmp()
+    Files.write(Paths.get(src, "seg-000.jsonl"),
+      (1 to 8).map(i => s"""{"op":"c","after":"{\\"id\\":$i}","ts_ms":$i,"event_id":"e$i"}""")
+        .mkString("\n").concat("\n").getBytes)
+
+    val sink = new MemorySink("mem", failTimes = 1) // injected crash on batch 0
+    val cfg = Config(Seq(sink), ledgerDir = s"$out/ledger")
+    val ledger = new SinkLedger(s"$out/ledger")
+
+    def run(): Option[Throwable] = {
+      val stream = spark.readStream.format(classOf[BacklogSource].getName)
+        .option("path", src).load()
+        .select(from_json(col("value"), ChangeEvent.schema).as("e"))
+        .select(col("e.*"))
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/chk")
+        .foreachBatch((df: DataFrame, id: Long) => processBatch(cfg, ledger)(df, id))
+        .start()
+      try { q.awaitTermination(60000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+
+    assert(run().isDefined) // the crash happened — query died mid-batch
+    assert(sink.totalRows == 0 && ledger.committed("mem") == -1L) // nothing half-done
+    assert(run().isEmpty) // restart from the same checkpoint succeeds
+    assert(sink.totalRows == 8) // every event delivered, no loss
+    assert(ledger.committed("mem") >= 0L)
+  }
+
+  test("dlq_poison: poison routes to DLQ, good events flow, overflow policies bound it") {
+    val dir = tmp()
+    import spark.implicits._
+    // 1 poison event (unparseable payload) among 9 good ones
+    val batch = ChangeEvent.conform(
+      ((1 to 9).map(i => ("c", s"""{"id":$i}""", s"g$i")) :+ (("c", """{broken""", "poison")))
+        .toDF("op", "after", "event_id")
+        .withColumn("source", struct(lit("db").as("db"), lit("t").as("table"))))
+    val sink = new MemorySink("mem")
+    val dlqCfg = Dlq.Config("pipe", "mem", s"$dir/dlq-journal")
+    val ledgerDir = tmp()
+    val cfg = Config(Seq(sink), ledgerDir = ledgerDir,
+      processors = Seq(b => Dlq.splitAndJournal(dlqCfg, b,
+        Dlq.jsonParses(col("after")), "serialization", lit("bad json"))))
+    processBatch(cfg, new SinkLedger(ledgerDir))(batch, 0L) // must NOT throw
+    assert(sink.totalRows == 9) // good events flowed (pipeline healthy)
+    val journal = spark.read.parquet(s"$dir/dlq-journal")
+    assert(journal.count() == 1)
+    assert(journal.head().getAs[String]("event_id") == "poison")
+
+    // poison FLOOD against the bounded operator queue, one run per policy
+    val drop = new Dlq.DlqQueue(s"$dir/q-drop", maxEntries = 5, Dlq.DropOldest)
+    (1 to 8).foreach(i => drop.push(s"""{"n":$i}"""))
+    assert(drop.len == 5 && drop.evictedTotal == 3)
+    assert(drop.peek(1).head._2.contains("\"n\":4")) // oldest survivors shifted
+
+    val rej = new Dlq.DlqQueue(s"$dir/q-rej", maxEntries = 5, Dlq.Reject)
+    (1 to 8).foreach(i => rej.push(s"""{"n":$i}"""))
+    assert(rej.len == 5 && rej.rejectedTotal == 3)
+    assert(rej.peek(1).head._2.contains("\"n\":1")) // oldest kept under Reject
+
+    val blk = new Dlq.DlqQueue(s"$dir/q-blk", maxEntries = 2, Dlq.Block,
+      blockTimeoutMs = 200)
+    blk.push("a"); blk.push("b")
+    assert(blk.push("c").isEmpty && blk.rejectedTotal == 1) // timed out, fell back
+    // operator ack drains and recovers capacity (rest-api dlq_ack)
+    assert(blk.ack(upToSeq = Long.MaxValue) == 2)
+    assert(blk.push("d").isDefined && blk.len == 1)
+  }
+
+  test("sr_outage: cached schema id survives the outage; new subjects register after recovery") {
+    val down = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val registrations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        if (down.get()) ex.sendResponseHeaders(503, -1)
+        else {
+          val id = registrations.incrementAndGet()
+          val body = s"""{"id":$id}"""
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body.getBytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val reg = new AvroEncoding.HttpSchemaRegistryClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+
+      assert(AvroEncoding.encode(df, "orders", reg).collect().length == 2) // warmup registers
+      assert(registrations.get() == 1)
+
+      down.set(true) // ── cut the registry (ref sr_outage.rs step 3)
+      // same schema keeps encoding from the cache — zero HTTP, no failure
+      val encoded = AvroEncoding.encode(df, "orders", reg).collect()
+      assert(encoded.length == 2 && registrations.get() == 1)
+      assert(encoded.head(0) == 0.toByte) // wire format intact (magic byte)
+      // a NEW subject needs a live registry → fails fast, does not corrupt
+      intercept[Exception] { AvroEncoding.encode(df, "fresh", reg).collect() }
+
+      down.set(false) // ── restore (step 6)
+      assert(AvroEncoding.encode(df, "fresh", reg).collect().length == 2)
+      assert(registrations.get() == 2) // new registration succeeded post-recovery
+    } finally server.stop(0)
+  }
+
+  test("exactly_once: crash mid-transaction leaves no partials; replay delivers all, once") {
+    import MessagingSinks._
+    val q = ChaosSpec.buffer
+    q.clear()
+    ChaosSpec.failures.set(1) // outage on: every producer crashes on first send
+    val sink = new KafkaLikeSink("k",
+      () => new CollectingProducer(ChaosSpec.buffer,
+        failOnSend = if (ChaosSpec.failures.get() > 0) 1 else 0),
+      staticTopic = "t")
+    val dir = tmp()
+    val cfg = Config(Seq(sink), ledgerDir = dir)
+    val ledger = new SinkLedger(dir)
+
+    val batch = events(20)
+    intercept[RuntimeException] { processBatch(cfg, ledger)(batch, 0L) }
+    assert(q.isEmpty) // aborted transactions: NOT EVEN ONE record visible
+    assert(ledger.committed("k") == -1L)
+
+    ChaosSpec.failures.set(0) // outage lifts
+    processBatch(cfg, ledger)(batch, 0L) // Spark's replay of the failed trigger
+    assert(q.size() == 20) // all delivered
+    val keys = q.toArray(Array.empty[WireRecord]).map(_.key)
+    assert(keys.distinct.length == 20) // exactly once — no duplicates
+    assert(ledger.committed("k") == 0L)
+  }
+}
+
+object ChaosSpec {
+  val buffer = new java.util.concurrent.ConcurrentLinkedQueue[MessagingSinks.WireRecord]()
+  val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+}
