@@ -381,6 +381,25 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    "ann_ivf_trained" -> ((s, dir) => {
+      // The FULL trained-IVF path: deterministic spherical k-means
+      // (Similarity.trainCentroids — bottom-k-hash init, no RNG) → cell
+      // assignment → cell-probed top-k. Probing nprobe == k (every cell)
+      // makes the result provably identical to the exact scan, which gives
+      // the whole trained pipeline a byte-exact DuckDB oracle; production
+      // sets nprobe << k for the 1/C scan saving (recall spec:
+      // DedupSimilaritySpec "trained IVF centroids").
+      val emb = t(s, dir, "embeddings")
+      val k = 8
+      val cents = Similarity.trainCentroids(emb, k = k, iters = 3)
+      val assigned = Similarity.ivfAssign(emb, cents)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Number](0).map(_.doubleValue()) // one bounded row
+      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents,
+          qv, k = 20, nprobe = k)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
     "data_split" -> ((s, dir) => {
       // deterministic hash-based train/test split — reproducible in ANY
       // engine with md5 (the sharding every training pipeline needs; no
@@ -848,6 +867,16 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos_sim
         |FROM probed WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id LIMIT 20""".stripMargin,
+
+    // probing every cell (nprobe == k) makes trained-IVF == exact scan, so
+    // the exact top-k SQL is a valid byte-exact oracle for the whole
+    // train→assign→probe pipeline (training only decides WHICH cell each
+    // vector sits in, never the union of all cells)
+    "ann_ivf_trained" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id LIMIT 20""".stripMargin,
 
     "data_split" ->
       """WITH b AS (SELECT doc_id,
