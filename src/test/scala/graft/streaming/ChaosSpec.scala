@@ -197,6 +197,75 @@ class ChaosSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("network_partition: a HUNG sink trips the per-sink deadline, not the pipeline") {
+    // The sink-side partition (ref network_partition.rs / ch_outage.rs): the
+    // connection doesn't fail, it silently hangs. The per-sink deadline must
+    // convert the hang into an unacked sink so the commit gate holds; the
+    // replay after "connectivity restores" delivers everything.
+    val dir = tmp()
+    val hang = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val sink = new EventSink {
+      val id = "hung"
+      val rows = new java.util.concurrent.atomic.AtomicLong(0)
+      def write(batch: DataFrame, batchId: Long): Unit = {
+        if (hang.get()) Thread.sleep(60000) // partitioned: no error, no progress
+        else rows.addAndGet(batch.count()): Unit
+      }
+    }
+    val cfg = Config(Seq(sink), ledgerDir = dir,
+      sinkTimeout = scala.concurrent.duration.Duration(2, "seconds"))
+    val ledger = new SinkLedger(dir)
+    val t0 = System.nanoTime()
+    intercept[RuntimeException] { processBatch(cfg, ledger)(events(5), 0L) }
+    val heldSecs = (System.nanoTime() - t0) / 1e9
+    assert(heldSecs < 30, s"deadline did not bound the hang: ${heldSecs}s") // not 60s
+    assert(ledger.committed("hung") == -1L) // gate held
+    hang.set(false) // connectivity restored
+    processBatch(cfg, ledger)(events(5), 0L)
+    assert(sink.rows.get() == 5 && ledger.committed("hung") == 0L) // no loss
+  }
+
+  test("schema_drift: new column mid-stream is sensed, versioned, and does not stall delivery") {
+    import spark.implicits._
+    val dir = tmp()
+    val reg = new SchemaRegistry(spark, s"$dir/registry")
+    val declared = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val v1 = reg.register("t", declared, atMs = 1000L)
+
+    def batchOf(rows: Seq[(String, String, String)]): DataFrame =
+      ChangeEvent.conform(rows.toDF("op", "after", "event_id")
+        .withColumn("source", struct(lit("db").as("db"), lit("t").as("table"))))
+
+    val sink = new MemorySink("mem")
+    val cfg = Config(Seq(sink), ledgerDir = dir)
+    val ledger = new SinkLedger(dir)
+
+    // batch 0: declared shape; batch 1: ALTER TABLE happened upstream —
+    // a `new_col` field appears (ref schema_drift.rs: drift mid-stream)
+    processBatch(cfg, ledger)(batchOf(Seq(("c", """{"id":1,"v":"a"}""", "e1"))), 0L)
+    val drifted = batchOf(Seq(("c", """{"id":2,"v":"b","new_col":7}""", "e2")))
+    processBatch(cfg, ledger)(drifted, 1L)
+    assert(sink.totalRows == 2) // delivery never stalled
+
+    // the sensing path flags exactly the drifted column …
+    val observed = SchemaSensing.observeFields(drifted)
+    val drift = SchemaSensing.drift(observed, Map("t" -> Seq("id", "v"))).collect()
+    assert(drift.length == 1)
+    assert(drift.head.getAs[String]("field") == "new_col" &&
+      drift.head.getAs[String]("kind") == "undeclared_column")
+
+    // … and re-registering the evolved shape bumps the ledger version while
+    // an unchanged shape does not (targeted reload, not a version storm)
+    val evolved = declared.add("new_col", org.apache.spark.sql.types.LongType)
+    val v2 = reg.register("t", evolved, atMs = 2000L)
+    assert(v2 > v1)
+    assert(reg.register("t", evolved, atMs = 3000L) == v2) // idempotent
+    assert(reg.getAtSequence("t", v1).get.fieldNames.toSeq == Seq("id", "v"))
+    assert(reg.getAtSequence("t", v2).get.fieldNames.contains("new_col"))
+  }
+
   test("exactly_once: crash mid-transaction leaves no partials; replay delivers all, once") {
     import MessagingSinks._
     val q = ChaosSpec.buffer
