@@ -391,11 +391,15 @@ object SparkEntry {
       // DedupSimilaritySpec "trained IVF centroids").
       val emb = t(s, dir, "embeddings")
       val k = 8
-      val cents = Similarity.trainCentroids(emb, k = k, iters = 3)
-      val assigned = Similarity.ivfAssign(emb, cents)
+      val cents = Similarity.trainCentroidsSeq(emb, k = k, iters = 3)
+      // assignment is the zero-shuffle literal fold — the corpus never
+      // exchanges; only the k-row centroid table becomes a DataFrame (probes)
+      val assigned = Similarity.ivfAssignLiteral(emb, cents)
+      import s.implicits._
+      val centsDf = cents.toDF("centroid_id", "vec")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Number](0).map(_.doubleValue()) // one bounded row
-      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents,
+      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), centsDf,
           qv, k = 20, nprobe = k)
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),

@@ -163,22 +163,17 @@ object Similarity {
   }
 
   /**
-   * IVF coarse index: centroid assignment against a broadcast centroid table.
-   * `centroids`: (centroid_id, vec). Returns vectors tagged with their nearest
-   * centroid — at scale, write partitionBy("centroid_id") and probe cells.
-   */
-  /**
    * Spherical k-means centroid training — DataFrame-only, deterministic,
    * the "train" half of the IVF coarse index ([[ivfAssign]] is the other).
    *
    * Design for 100 TB:
    *  - init = bottom-k by `xxhash64(id)`: a deterministic uniform sample of
    *    the corpus, no RNG (stable under task retries), one TakeOrdered pass;
-   *  - each iteration: assign by max cosine against the broadcast centroid
-   *    table (the corpus streams through once, no shuffle on the big side),
-   *    then recompute each cell's centroid as the element-wise mean via
-   *    posexplode → (cell, pos) partial aggregation — ONE exchange of
-   *    k×dim partial sums regardless of corpus size;
+   *  - each iteration: assign by max cosine via [[ivfAssignLiteral]] — a
+   *    ZERO-SHUFFLE narrow map (the corpus streams through untouched), then
+   *    recompute each cell's centroid as the element-wise mean via
+   *    posexplode → (cell, pos) partial aggregation — the iteration's only
+   *    exchange carries k×dim partial sums regardless of corpus size;
    *  - per-round centroids (k×dim doubles) are collected to the driver and
    *    rebroadcast — bounded control-plane data, the same loop shape Spark
    *    ML's KMeans uses; means are L2-normalized so argmax-cosine assignment
@@ -191,6 +186,14 @@ object Similarity {
                      cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    trainCentroidsSeq(vectors, k, iters, idCol, vecCol, cIdCol).toDF(cIdCol, cVecCol)
+  }
+
+  /** [[trainCentroids]] returning the driver-held centroid list — feed it to
+   * [[ivfAssignLiteral]] for shuffle-free assignment of the full corpus. */
+  def trainCentroidsSeq(vectors: DataFrame, k: Int, iters: Int = 5,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        cIdCol: String = "centroid_id"): Seq[(Long, Seq[Double])] = {
     require(k > 0 && iters >= 0)
     // corpus stays array<float> — the fused cosine kernel reads it natively;
     // only the k centroids are double (exact math where it matters)
@@ -204,9 +207,8 @@ object Similarity {
       }
 
     for (_ <- 1 to iters) {
-      val cdf = cents.toDF(cIdCol, cVecCol)
-      val assigned = ivfAssign(base, cdf, idCol = "id", vecCol = "v",
-        cIdCol = cIdCol, cVecCol = cVecCol)
+      val assigned = ivfAssignLiteral(base, cents, idCol = "id", vecCol = "v",
+        cIdCol = cIdCol)
       val means = assigned
         .select(col(cIdCol), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col(cIdCol), col("pos")).agg(avg(col("x")).as("m"))
@@ -218,7 +220,7 @@ object Similarity {
         (cid, means.get(cid).map(normalize).getOrElse(old))
       }
     }
-    cents.toDF(cIdCol, cVecCol)
+    cents
   }
 
   private def normalize(v: Seq[Double]): Seq[Double] = {
@@ -246,6 +248,13 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * IVF coarse index: centroid assignment against a broadcast centroid table.
+   * `centroids`: (centroid_id, vec). Returns vectors tagged with their nearest
+   * centroid — at scale, write partitionBy("centroid_id") and probe cells.
+   * Exchanges the corpus on `idCol` for the per-vector rank; when the
+   * centroids are driver-held, prefer the shuffle-free [[ivfAssignLiteral]].
+   */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {
@@ -257,5 +266,28 @@ object Similarity {
     val w = Window.partitionBy(idCol).orderBy(col("_sim").desc, col("_cid"))
     joined.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
       .select(col(idCol), col(vecCol), col("_cid").as(cIdCol))
+  }
+
+  /**
+   * ZERO-SHUFFLE centroid assignment for driver-held centroids: the argmax
+   * over k centroids folds into one `greatest()` chain of
+   * `struct(cosine, -cid)` literals (struct ordering = sim desc, cid asc on
+   * ties — identical to [[ivfAssign]]'s window). The window variant
+   * exchanges the WHOLE corpus on `idCol` to rank k rows per vector; this
+   * is a narrow map with k fused-cosine evals per row — at 100 TB × several
+   * k-means iterations that's the difference between zero and 5 full-corpus
+   * shuffles. For coarse-IVF k (≤ a few hundred) the expression tree stays
+   * codegen-friendly; larger k → use [[ivfAssign]].
+   */
+  def ivfAssignLiteral(vectors: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       cIdCol: String = "centroid_id"): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val best = centroids.map { case (cid, cv) =>
+      struct(cosine(col(vecCol), array(cv.map(lit): _*)).as("sim"),
+        lit(-cid).as("negcid"))
+    }.reduce((a, b) => greatest(a, b))
+    vectors.select(col(idCol), col(vecCol),
+      (-best.getField("negcid")).cast("long").as(cIdCol))
   }
 }

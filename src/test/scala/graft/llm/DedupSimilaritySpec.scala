@@ -135,7 +135,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val stub = vecs.filter(col("vec_id") % 30 === 0)
       .select((col("vec_id") / 30).cast("long").as("centroid_id"),
         col("embedding").as("vec"))
+    val trainedSeq = Similarity.trainCentroidsSeq(vecs, k = 3, iters = 4)
     val trained = Similarity.trainCentroids(vecs, k = 3, iters = 4)
+
+    // the zero-shuffle literal fold assigns identically to the window path
+    val viaWindow = Similarity.ivfAssign(vecs, trained).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    val viaLiteral = Similarity.ivfAssignLiteral(vecs, trainedSeq).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(viaLiteral == viaWindow)
+    // and its physical plan has NO exchange — pure narrow map
+    val literalPlan = Similarity.ivfAssignLiteral(vecs, trainedSeq)
+      .queryExecution.executedPlan.toString
+    assert(!literalPlan.contains("Exchange"), s"unexpected shuffle:\n$literalPlan")
 
     assert(trained.count() == 3)
     val (rTrained, rStub) = (recall(trained), recall(stub))
