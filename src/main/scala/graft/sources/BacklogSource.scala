@@ -64,14 +64,27 @@ object BacklogSource {
     }.toSeq.sortBy(_.getFileName.toString)
   }
 
-  case class BacklogOffset(segment: Int, line: Long) extends Offset {
-    override def json(): String = s"""{"segment":$segment,"line":$line}"""
+  /**
+   * `(segmentIndex, line)` plus the segment's FILE NAME — the identity that
+   * makes purge detectable. A MySQL binlog position names its file
+   * (`binlog.000042:1337`); an index alone cannot tell "resumed where I
+   * left off" from "the backlog was purged and a different segment now sits
+   * at my index" (chaos scenario binlog_purge.rs: the guard must halt, not
+   * silently skip). `name` is empty on pre-upgrade checkpoints and synthetic
+   * offsets — identity is then unverifiable and the old index check applies.
+   */
+  case class BacklogOffset(segment: Int, line: Long, name: String = "") extends Offset {
+    override def json(): String =
+      if (name.isEmpty) s"""{"segment":$segment,"line":$line}"""
+      else s"""{"segment":$segment,"line":$line,"name":"$name"}"""
   }
 
   def parseOffset(json: String): BacklogOffset = {
-    val m = """\{"segment":(\d+),"line":(\d+)\}""".r
+    val bare = """\{"segment":(\d+),"line":(\d+)\}""".r
+    val named = """\{"segment":(\d+),"line":(\d+),"name":"([^"]*)"\}""".r
     json match {
-      case m(s, l) => BacklogOffset(s.toInt, l.toLong)
+      case bare(s, l) => BacklogOffset(s.toInt, l.toLong)
+      case named(s, l, n) => BacklogOffset(s.toInt, l.toLong, n)
       case _ => throw new IllegalArgumentException(s"bad backlog offset: $json")
     }
   }
@@ -107,20 +120,23 @@ private class BacklogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     if (maxLinesPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(maxLinesPerTrigger)
 
+  private def segName(segs: Seq[Path], idx: Int): String =
+    if (idx >= 0 && idx < segs.length) segs(idx).getFileName.toString else ""
+
   // Trigger.AvailableNow: snapshot the end position once; batches drain to it
   @volatile private var availableNowEnd: BacklogOffset = _
   override def prepareForTriggerAvailableNow(): Unit = {
     val segs = segments(path)
     availableNowEnd =
       if (segs.isEmpty) BacklogOffset(0, 0)
-      else BacklogOffset(segs.length - 1, lineCount(segs.last))
+      else BacklogOffset(segs.length - 1, lineCount(segs.last), segName(segs, segs.length - 1))
   }
 
   /** Admission control: advance at most `limit` lines past `start`. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val segs = segments(path)
     if (segs.isEmpty) return BacklogOffset(0, 0)
-    val live = BacklogOffset(segs.length - 1, lineCount(segs.last))
+    val live = BacklogOffset(segs.length - 1, lineCount(segs.last), segName(segs, segs.length - 1))
     val full = Option(availableNowEnd).getOrElse(live)
     val cap = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
@@ -135,7 +151,7 @@ private class BacklogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
       line += take; budget -= take
       if (line >= upper && seg < full.segment) { seg += 1; line = 0 }
     }
-    BacklogOffset(seg, line)
+    BacklogOffset(seg, line, segName(segs, seg))
   }
 
   override def deserializeOffset(json: String): Offset = parseOffset(json)
@@ -145,6 +161,17 @@ private class BacklogMicroBatchStream(path: String, maxLinesPerTrigger: Long)
     val s = start.asInstanceOf[BacklogOffset]
     val e = end.asInstanceOf[BacklogOffset]
     val segs = segments(path)
+    // F12 purge guard (reference snapshot health guard, binlog_purge.rs):
+    // the checkpointed position names its segment; if that identity no
+    // longer holds — the file is gone, or a different file has shifted
+    // into its index — HALT loudly. Resuming by index would silently skip
+    // (or re-read) events, which is the one unacceptable outcome.
+    if (s.name.nonEmpty && segName(segs, s.segment) != s.name)
+      throw new IllegalStateException(
+        s"backlog position ${s.json()} no longer exists in $path " +
+          s"(segment at index ${s.segment} is now " +
+          s"'${segName(segs, s.segment)}') — purged/rotated while offline; " +
+          "halting instead of silently skipping. Re-snapshot or reset the checkpoint.")
     val parts = Seq.newBuilder[InputPartition]
     var seg = s.segment
     var from = s.line

@@ -125,8 +125,14 @@ object SnapshotSupport {
   def decideResume(requested: BacklogSource.BacklogOffset, backlogDir: String,
                    policy: ReachabilityPolicy): ResumeDecision = {
     val segs = BacklogSource.segments(backlogDir)
-    val reachable = requested.segment < segs.length ||
-      (segs.isEmpty && requested == BacklogSource.BacklogOffset(0, 0))
+    // Identity-aware when the offset names its segment (binlog positions
+    // name their file): index-in-range is NOT enough — after a purge a
+    // different segment can shift into the index (chaos binlog_purge).
+    val indexOk = requested.segment < segs.length ||
+      (segs.isEmpty && requested.segment == 0 && requested.line == 0L)
+    val identityOk = requested.name.isEmpty || (requested.segment < segs.length &&
+      segs(requested.segment).getFileName.toString == requested.name)
+    val reachable = indexOk && identityOk
     if (reachable) Resume
     else policy match {
       case Adapt => Resnapshot

@@ -197,6 +197,65 @@ class ChaosSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("binlog_purge: purged checkpoint position halts or resnapshots — never silently resumes") {
+    import graft.sources.SnapshotSupport
+    val src = tmp()
+    val out = tmp()
+    Files.write(Paths.get(src, "seg-000.jsonl"),
+      (1 to 4).map(i => s"""{"op":"c","after":"{\\"id\\":$i}","ts_ms":$i,"event_id":"e$i"}""")
+        .mkString("\n").concat("\n").getBytes)
+
+    def run(chk: String, dataDir: String): Unit = {
+      val q = spark.readStream.format(classOf[BacklogSource].getName)
+        .option("path", src).load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", dataDir).start()
+      q.awaitTermination(60000): Unit
+    }
+    run(s"$out/chk", s"$out/data")
+    assert(spark.read.parquet(s"$out/data").count() == 4)
+
+    // offline purge (the RESET BINARY LOGS analog, binlog_purge.rs steps
+    // 2-3): the consumed segment is gone; a NEW segment has taken index 0
+    Files.delete(Paths.get(src, "seg-000.jsonl"))
+    Files.write(Paths.get(src, "seg-001.jsonl"),
+      (5 to 7).map(i => s"""{"op":"c","after":"{\\"id\\":$i}","ts_ms":$i,"event_id":"e$i"}""")
+        .mkString("\n").concat("\n").getBytes)
+
+    // the REAL saved position from Spark's offset log — not a synthetic one
+    val offsetsDir = Paths.get(s"$out/chk/offsets")
+    val newest = Files.list(offsetsDir).toArray.map(_.toString)
+      .filterNot(_.endsWith(".crc")).sorted.last
+    val savedJson = Files.readAllLines(Paths.get(newest)).toArray.map(_.toString)
+      .filter(l => l.startsWith("{") && l.contains("segment")).last
+    val saved = BacklogSource.parseOffset(savedJson)
+    assert(saved.name == "seg-000.jsonl") // the position NAMES the purged file
+
+    // restarting on the stale checkpoint must fail LOUDLY — resuming by
+    // index would read seg-001 (now at index 0) from line 4, silently
+    // skipping its first 4 events. This is the exact failure mode the
+    // scenario exists to rule out.
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(s"$out/chk", s"$out/data")
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(thrown).exists(_.contains("purged/rotated")))
+    assert(spark.read.parquet(s"$out/data").count() == 4) // nothing half-written
+
+    // the operator-facing guard agrees (F12: halt or adapt, never resume)
+    SnapshotSupport.decideResume(saved, src, SnapshotSupport.Halt) match {
+      case SnapshotSupport.HaltWith(reason) => assert(reason.contains("purged"))
+      case other => fail(s"expected halt, got $other")
+    }
+    assert(SnapshotSupport.decideResume(saved, src, SnapshotSupport.Adapt) ==
+      SnapshotSupport.Resnapshot)
+    run(s"$out/chk2", s"$out/data2") // the operator's resnapshot: fresh checkpoint
+    val resnap = spark.read.parquet(s"$out/data2")
+    assert(resnap.count() == 3) // everything still available is delivered
+  }
+
   test("network_partition: a HUNG sink trips the per-sink deadline, not the pipeline") {
     // The sink-side partition (ref network_partition.rs / ch_outage.rs): the
     // connection doesn't fail, it silently hangs. The per-sink deadline must
