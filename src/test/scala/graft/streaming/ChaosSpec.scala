@@ -197,6 +197,50 @@ class ChaosSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("soak: repeated crash/restart cycles stay exactly-once in sink state") {
+    // Reference soak.rs: run for a while with periodic kills; the invariant
+    // is cumulative — after N kill/recover cycles nothing is lost and the
+    // committed state has no duplicates. 3 rounds: each appends a segment,
+    // crashes on the first write attempt, then recovers on the replay.
+    val src = tmp()
+    val out = tmp()
+    val sink = new MemorySink("mem", failTimes = 0) {
+      private val crashNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def armCrash(): Unit = crashNext.set(true)
+      override def write(batch: DataFrame, batchId: Long): Unit = {
+        if (crashNext.getAndSet(false)) throw new RuntimeException("soak: injected kill")
+        super.write(batch, batchId)
+      }
+    }
+    val cfg = Config(Seq(sink), ledgerDir = s"$out/ledger")
+    val ledger = new SinkLedger(s"$out/ledger")
+
+    def run(): Boolean = {
+      val stream = spark.readStream.format(classOf[BacklogSource].getName)
+        .option("path", src).load()
+        .select(from_json(col("value"), ChangeEvent.schema).as("e")).select(col("e.*"))
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/chk")
+        .foreachBatch((df: DataFrame, id: Long) => processBatch(cfg, ledger)(df, id))
+        .start()
+      try { q.awaitTermination(60000); true }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
+    }
+
+    var expected = 0L
+    for (round <- 0 to 2) {
+      Files.write(Paths.get(src, f"seg-$round%03d.jsonl"),
+        (1 to 5).map(i => s"""{"op":"c","after":"{\\"id\\":$i}","ts_ms":${round * 10 + i},"event_id":"e$round-$i"}""")
+          .mkString("\n").concat("\n").getBytes)
+      expected += 5
+      sink.armCrash()
+      assert(!run()) // the kill landed
+      assert(run()) // recovery run
+      assert(sink.totalRows == expected, s"round $round") // no loss, no dupes
+      assert(ledger.committed("mem") == round.toLong) // monotonic commit
+    }
+  }
+
   test("binlog_purge: purged checkpoint position halts or resnapshots — never silently resumes") {
     import graft.sources.SnapshotSupport
     val src = tmp()
