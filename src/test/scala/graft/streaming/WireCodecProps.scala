@@ -63,6 +63,25 @@ object WireCodecProps extends Properties("graft.wire") {
           frame.length == headerStart + tlen.toInt + 2 // trailing CRLF, nothing more
     }
 
+  property("Kafka: zigzag varlong round-trips any long") =
+    Prop.forAll(Gen.long) { n =>
+      val out = new ByteArrayOutputStream()
+      KafkaWire.writeVarLong(out, n)
+      val in = new ByteArrayInputStream(out.toByteArray)
+      KafkaWire.readVarLong(in) == n && in.read() == -1
+    }
+
+  property("Kafka: record batch v2 round-trips arbitrary records, CRC intact") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(binArg, binArg, Gen.choose(0L, 1L << 40)))) { rs =>
+      val recs = rs.map { case (k, v, ts) => KafkaWire.Record(k, v, Nil, ts) }
+      val (_, _, _, _, got) = KafkaWire.decodeBatch(
+        KafkaWire.encodeBatch(recs, producerId = 5L, producerEpoch = 1, baseSequence = 9))
+      got.length == recs.length && got.zip(recs).forall { case (g, r) =>
+        java.util.Arrays.equals(g.key, r.key) &&
+          java.util.Arrays.equals(g.value, r.value) && g.timestampMs == r.timestampMs
+      }
+    }
+
   property("RowBinary: LEB128 var-uint round-trips any non-negative long") =
     Prop.forAll(Gen.choose(0L, Long.MaxValue)) { n =>
       val out = new ByteArrayOutputStream()
