@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.SparkSpec
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/**
+ * Real byte-parsing decoders for library-free media formats (PPM/BMP/WAV),
+ * the batch contract, and the fallback for compressed formats.
+ */
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  private def ppm2x2: Array[Byte] = {
+    // pixels (255,0,0) (0,255,0) (0,0,255) (255,255,255) → mean 1530/12 = 127.5
+    val px = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    "P6\n# comment line\n2 2\n255\n".getBytes(US_ASCII) ++ px
+  }
+
+  private def bmp2x2(value: Int): Array[Byte] = {
+    val rowBytes = 8 // 2 px × 3 B = 6, padded to 8
+    val buf = ByteBuffer.allocate(54 + rowBytes * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * 2)
+      .putShort(0).putShort(0).putInt(54) // data offset
+    buf.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until 2).foreach { _ =>
+      (0 until 6).foreach(_ => buf.put(value.toByte))
+      buf.putShort(0) // row padding — must NOT enter the mean
+    }
+    buf.array()
+  }
+
+  private def wavPcm16(samples: Seq[Short], channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataLen).put("WAVE".getBytes(US_ASCII))
+    buf.put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(16000)
+      .putInt(16000 * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes(US_ASCII)).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  private def feats(mediaType: String, bytes: Array[Byte]): MediaFeatures =
+    RealDecoder.decodeBatch(Iterator(
+      MediaRow(1L, mediaType, bytes, 2, 2, 16000))).next()
+
+  test("ppm: header with comments parses; mean luminance exact") {
+    val f = feats("image", ppm2x2)
+    assert(f.mean_value == 127.5 && f.n_frames == 1)
+  }
+
+  test("bmp: 24bpp rows decode; 4-byte row padding excluded from the mean") {
+    val f = feats("image", bmp2x2(100))
+    assert(f.mean_value == 100.0 && f.n_frames == 1)
+    // padding bytes are zeros: including them would drag the mean to 75
+  }
+
+  test("wav: PCM16 RMS amplitude and per-channel frame count") {
+    val f = feats("audio", wavPcm16(Seq(16384, -16384, 0, 32767)))
+    assert(f.mean_value == 0.61) // sqrt((0.25+0.25+0+~1)/4) rounded 2dp
+    assert(f.n_frames == 4)
+    val stereo = feats("audio", wavPcm16(Seq(100, 100, 100, 100), channels = 2))
+    assert(stereo.n_frames == 2) // frames = samples / channels
+  }
+
+  test("compressed/unknown bytes fall back to the deterministic byte-stat stub") {
+    val junk = Array[Byte](0x1f, 0x2e, 0x3d, 0x4c)
+    val real = feats("image", junk)
+    val fake = FakeDecoder.decodeBatch(Iterator(
+      MediaRow(1L, "image", junk, 2, 2, 16000))).next()
+    assert(real == fake) // total function, same contract
+  }
+
+  test("extractFeatures e2e: real decoder through the partition-batched path") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", ppm2x2, 2, 2, 0),
+      MediaRow(2L, "audio", wavPcm16(Seq(0, 0)), 0, 0, 16000),
+      MediaRow(3L, "video", Array[Byte](9, 9, 9), 0, 0, 0)).toDF()
+    val out = Multimodal.extractFeatures(media, RealDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).mean_value == 127.5)
+    assert(out(2L).mean_value == 0.0 && out(2L).n_frames == 2)
+    assert(out(3L).n_bytes == 3) // fallback path still emits features
+  }
+}
