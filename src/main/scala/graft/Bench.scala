@@ -98,8 +98,15 @@ object Bench {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val n = 1000000L
       val mult = math.max(1L, n / math.max(orders.count(), 1L))
+      // orders.parquet is ONE sub-4m file → one scan task; a real backlog
+      // arrives as many segments, so spread the synthesized stream across
+      // the executor threads (the exchange is timed — part of the pipeline)
+      // spread BEFORE the ×mult explode: the exchange then carries the 150k
+      // base rows, and the explode + everything downstream runs 32-wide
+      val par = spark.sparkContext.defaultParallelism
       val backlog = graft.sources.CdcSynth.changeEvents(
-        orders.withColumn("_rep", explode(array((0L until mult).map(lit): _*)))
+        orders.repartition(par)
+          .withColumn("_rep", explode(array((0L until mult).map(lit): _*)))
           .withColumn("o_orderkey", col("o_orderkey") * mult + col("_rep"))
           .drop("_rep"),
         "inventory", "orders", "o_orderkey")
@@ -114,7 +121,12 @@ object Bench {
           Envelopes.debezium.as("value"))
       }
       val inputEvents = orders.count() * mult
-      best("drain", reps)(chain.count()) match {
+      // sum(length(...)) over BOTH output columns, not count(): count() lets
+      // ColumnPruning drop the envelope/routing projections entirely, so it
+      // would measure synth+filter only — the envelope encode is the bulk of
+      // the work the reference's 151K number includes
+      best("drain", reps)(
+        chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()) match {
         case Some((wall, _)) if wall > 0 => math.round(inputEvents / wall)
         case _ => 0L
       }
