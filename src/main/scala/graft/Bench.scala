@@ -85,7 +85,11 @@ object Bench {
         val r = best(name, reps) {
           spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
           System.gc() // reclaim prior queries' broadcast/shuffle refs — measured 2× CPU drift without it
-          fn(spark, sfDir).count()
+          // noop sink, not count(): count() lets ColumnPruning drop computed
+          // output columns (envelope JSON, flattened fields, text scores) —
+          // the timing then omits the very work the query claims. The noop
+          // writer evaluates EVERY output column and discards the bytes.
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         }
         (name, r)
       }

@@ -42,9 +42,16 @@ object CdcSynth {
       pkCol: String,
       connector: String = "mysql",
       tsCol: Option[String] = None): DataFrame = {
+    // A real backlog arrives as many segments/partitions; the driver's test
+    // parquet is often ONE sub-4m file → one task, which serializes every
+    // downstream per-row JSON encode. Spread under-partitioned inputs —
+    // the narrow base row moves BEFORE the payload encode, so the wrap and
+    // everything after runs at executor parallelism.
+    val par = table.sparkSession.sparkContext.defaultParallelism
+    val spread = if (table.rdd.getNumPartitions < par) table.repartition(par) else table
     val pk = col(pkCol)
     val op = opFor(pk)
-    val payload = to_json(struct(table.columns.map(col).toIndexedSeq: _*))
+    val payload = to_json(struct(spread.columns.map(col).toIndexedSeq: _*))
     val tsMs = tsCol
       .map(c => (col(c).cast(TimestampType).cast(DoubleType) * 1000).cast(LongType))
       .getOrElse(lit(1700000000000L) + pk)
@@ -67,7 +74,7 @@ object CdcSynth {
       pk.cast(LongType).as("sequence"))
 
     ChangeEvent.conform(
-      table.select(
+      spread.select(
         when(op.isin(ChangeEvent.Op.Update, ChangeEvent.Op.Delete), payload).as("before"),
         when(op =!= ChangeEvent.Op.Delete, payload).as("after"),
         source.as("source"),
