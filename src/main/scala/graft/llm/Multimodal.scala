@@ -78,12 +78,17 @@ object Multimodal {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(r.content).map("%02x".format(_)).mkString
       val b = r.content
+      // total function: ANY malformed-header surprise (overflowed offsets,
+      // truncated chunks) degrades to the byte-stat fallback — a media blob
+      // must never kill the task
       val decoded: Option[(Double, Int)] =
-        if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
-        else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
-        else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
-          new String(b, 8, 4, "US-ASCII") == "WAVE") decodeWav(b)
-        else None
+        try {
+          if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
+          else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+          else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(b, 8, 4, "US-ASCII") == "WAVE") decodeWav(b)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
       decoded match {
         case Some((mean, frames)) =>
           MediaFeatures(r.doc_id, r.media_type, b.length.toLong, sha,
@@ -134,12 +139,14 @@ object Multimodal {
       val bpp = u16le(b, 28)
       val compression = i32le(b, 30)
       if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
-      val rowBytes = ((w * 3 + 3) / 4) * 4 // each row padded to 4 bytes
-      if (b.length < dataOffset + rowBytes * h) return None
+      // bounds math in Long: a forged header (w,h ~ 40000) overflows Int and
+      // would defeat the guard → ArrayIndexOutOfBounds instead of fallback
+      val rowBytes = ((w.toLong * 3 + 3) / 4) * 4 // each row padded to 4 bytes
+      if (dataOffset < 0 || b.length.toLong < dataOffset.toLong + rowBytes * h) return None
       var sum = 0L
       var row = 0
       while (row < h) {
-        var p = dataOffset + row * rowBytes
+        var p = (dataOffset + row * rowBytes).toInt // guard above proves it fits
         val end = p + w * 3 // padding bytes excluded from the mean
         while (p < end) { sum += (b(p) & 0xff); p += 1 }
         row += 1
@@ -157,6 +164,9 @@ object Multimodal {
       while (i + 8 <= b.length && result.isEmpty) {
         val id = new String(b, i, 4, "US-ASCII")
         val size = i32le(b, i + 4)
+        // a forged/corrupt negative chunk size would advance i by <= 0 —
+        // an infinite loop in an executor task; treat as malformed
+        if (size < 0) return None
         if (id == "fmt " && i + 8 + 16 <= b.length) {
           fmtOk = u16le(b, i + 8) == 1 // PCM
           channels = u16le(b, i + 10)

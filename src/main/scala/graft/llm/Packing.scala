@@ -21,7 +21,13 @@ import org.apache.spark.sql.types.LongType
 object Packing {
 
   /**
-   * @param budget    max tokens per pack
+   * @param budget    TARGET tokens per pack — greedy/approximate, not a hard
+   *                  cap: a document whose tokens straddle a pack boundary
+   *                  stays in the earlier pack (packs can exceed the budget
+   *                  by up to one document; a doc larger than the budget
+   *                  occupies its floor-assigned pack alone-ish). Callers
+   *                  sizing fixed training batches must size for
+   *                  budget + max_doc_tokens, or pre-split long docs
    * @param shards    number of independent packing shards; None = 4×parallelism
    * @param tokens    token-count column (defaults to whitespace word count of `text`)
    * @return (idCol, shard, n_tokens, pack_id) — pack_id is shard-local

@@ -82,12 +82,14 @@ object ScriptHost {
 
   // Engines are not thread-safe; UdfHost runs one transform thread per
   // partition, so engines are cached per (thread, engine, script).
-  private val engineCache = new ThreadLocal[java.util.HashMap[(String, Int), ScriptEngine]] {
-    override def initialValue() = new java.util.HashMap[(String, Int), ScriptEngine]()
+  // keyed by the FULL script text, not its hashCode — a 32-bit String
+  // hash collision would silently hand one processor another's engine
+  private val engineCache = new ThreadLocal[java.util.HashMap[(String, String), ScriptEngine]] {
+    override def initialValue() = new java.util.HashMap[(String, String), ScriptEngine]()
   }
 
   private def engineFor(lang: Language, script: String): ScriptEngine = {
-    val key = (lang.engineName, (lang.preamble + script).hashCode)
+    val key = (lang.engineName, lang.preamble + script)
     val cache = engineCache.get()
     var e = cache.get(key)
     if (e == null) {

@@ -72,12 +72,17 @@ object SnapshotSupport {
 
   def ctidPredicates(totalPages: Long, pagesPerChunk: Long): Array[String] = {
     require(pagesPerChunk > 0, "pagesPerChunk must be positive")
-    if (totalPages <= 0) Array.empty
+    // relpages is an ESTIMATE (stale until VACUUM/ANALYZE, 0 on
+    // never-analyzed tables): the LAST chunk must be open-ended so rows on
+    // pages appended after the estimate still land in exactly one chunk —
+    // a bounded tail would silently drop them from the snapshot.
+    if (totalPages <= 0) Array("ctid >= '(0,1)'::tid")
     else (0L until totalPages by pagesPerChunk).map { page =>
-      val endPage = math.min(page + pagesPerChunk, totalPages)
+      val endPage = page + pagesPerChunk
       // (page,1) sorts before every tuple on `page`; end bound exclusive —
-      // exactly the reference's WHERE clause (postgres_snapshot.rs:636-640)
-      s"ctid >= '($page,1)'::tid AND ctid < '($endPage,1)'::tid"
+      // the reference's WHERE clause (postgres_snapshot.rs:636-640)
+      if (endPage >= totalPages) s"ctid >= '($page,1)'::tid"
+      else s"ctid >= '($page,1)'::tid AND ctid < '($endPage,1)'::tid"
     }.toArray
   }
 
@@ -91,8 +96,7 @@ object SnapshotSupport {
                        rowsPerPageEstimate: Long = 100L,
                        props: java.util.Properties = new java.util.Properties()): DataFrame = {
     val preds = ctidPredicates(totalPages, ctidPagesPerChunk(chunkSizeRows, rowsPerPageEstimate))
-    if (preds.isEmpty) spark.read.jdbc(url, table, props).limit(0)
-    else spark.read.jdbc(url, table, preds, props)
+    spark.read.jdbc(url, table, preds, props)
   }
 
   /**

@@ -120,6 +120,15 @@ object ClickHouseWire {
      * (caller isolates the row into the DLQ, sink.rs:138-144) — but the
      * declarative split should have caught those already.
      */
+    /** Types [[encodeValue]] can put on the wire (constructor-time guard). */
+    def encodes(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType |
+           TimestampType | TimestampNTZType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
     def encodeValue(out: ByteArrayOutputStream, dt: DataType, nullable: Boolean, v: Any): Unit = {
       if (nullable) {
         if (v == null) { out.write(1); return }
@@ -389,15 +398,27 @@ object ClickHouseWire {
       autoCreate: Boolean = true,
       dlq: Option[Dlq.Config] = None) extends EventSink {
 
-    // validate the schema maps at construction, not first-batch (fail fast)
-    wireSchema(userSchema).fields.foreach(f => ClickHouseDdl.chType(f.dataType))
+    // Fail fast at CONSTRUCTION on any type this sink cannot deliver:
+    // both the DDL mapping AND the RowBinary encoder must support it —
+    // ClickHouseDdl.chType alone accepts Array/Map, which would otherwise
+    // surface as a per-row encode exception that fails every micro-batch.
+    wireSchema(userSchema).fields.foreach { f =>
+      ClickHouseDdl.chType(f.dataType)
+      require(RowBinary.encodes(f.dataType),
+        s"ClickHouse sink $id: column '${f.name}' has type " +
+          s"${f.dataType.simpleString}, which has no RowBinary encoding")
+    }
 
     @transient private lazy val tableEnsured = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     override def write(batch: DataFrame, batchId: Long): Unit = {
-      if (autoCreate && tableEnsured.compareAndSet(false, true)) {
+      // latch only AFTER the DDL succeeds: latching before means one failed
+      // CREATE TABLE (timeout/5xx) is never retried and every later batch
+      // fails against a missing table until the query restarts
+      if (autoCreate && !tableEnsured.get()) {
         transportFactory().executeDdl(
           ClickHouseDdl.createTable(database, table, userSchema, primaryKey, mode))
+        tableEnsured.set(true) // idempotent DDL: a racing duplicate is harmless
       }
       val good = dlq match {
         case Some(cfg) => Dlq.splitAndJournal(cfg, batch, encodable(userSchema),

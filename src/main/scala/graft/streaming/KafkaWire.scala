@@ -48,7 +48,11 @@ object KafkaWire {
 
   def readVarLong(in: InputStream): Long = {
     var z = 0L; var shift = 0; var b = in.read()
-    while ((b & 0x80) != 0) { z |= (b & 0x7fL) << shift; shift += 7; b = in.read() }
+    while ((b & 0x80) != 0) {
+      if (b < 0) throw new java.io.EOFException("truncated varint")
+      z |= (b & 0x7fL) << shift; shift += 7; b = in.read()
+    }
+    if (b < 0) throw new java.io.EOFException("truncated varint")
     z |= (b & 0x7fL) << shift
     (z >>> 1) ^ -(z & 1) // un-zigzag
   }
@@ -262,10 +266,20 @@ object KafkaWire {
   /**
    * A [[MessagingSinks.TransactionalProducer]] over Produce v3. Buffers the
    * transaction's records; commit encodes ONE idempotently-sequenced batch
-   * per topic and requires acks=-1 success on every partition — abort (or
-   * any error before the responses land) leaves nothing delivered, giving
-   * the batch-atomicity half of the reference's exactly-once (the
-   * coordinator-fenced txn markers need a live cluster; see scaladoc).
+   * per topic and requires acks=-1 success on every partition.
+   *
+   * Delivery semantics, stated precisely: abort before commit touches the
+   * wire not at all. A commit that FAILS leaves `pending` intact and does
+   * NOT advance any sequence, so the caller's replay (a fresh producer for
+   * the same micro-batch partition) re-sends byte-identical batches with
+   * the SAME (producerId, epoch, baseSequence) — a broker's idempotent
+   * dedup collapses them. Sequences are per topic (Kafka tracks them per
+   * topic-partition; a shared counter would be rejected as
+   * OUT_OF_ORDER_SEQUENCE_NUMBER). A multi-topic commit is therefore NOT
+   * atomic mid-flight — it is idempotent-convergent: topics acked before a
+   * failure are re-sent on replay and deduped. True cross-topic atomicity
+   * needs the coordinator txn RPCs (EndTxn markers), which need a live
+   * cluster and stay environment-bound.
    */
   class SocketProducer(host: String, port: Int, clientId: String,
                        transactionalId: String = null,
@@ -275,7 +289,7 @@ object KafkaWire {
       extends MessagingSinks.TransactionalProducer {
     private var inTx = false
     private val pending = new scala.collection.mutable.ArrayBuffer[MessagingSinks.WireRecord]()
-    private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val seqByTopic = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     private val corr = new java.util.concurrent.atomic.AtomicInteger(0)
 
     override def beginTransaction(): Unit = { require(!inTx); inTx = true }
@@ -283,8 +297,10 @@ object KafkaWire {
       if (inTx) pending += rec else flush(Seq(rec))
     override def abortTransaction(): Unit = { pending.clear(); inTx = false }
     override def commitTransaction(): Unit = {
-      try { if (pending.nonEmpty) flush(pending.toSeq) }
-      finally { pending.clear(); inTx = false }
+      // failure does NOT clear pending or advance sequences — the replay
+      // must observe the exact same (pid, epoch, seq) triple to be deduped
+      if (pending.nonEmpty) flush(pending.toSeq)
+      pending.clear(); inTx = false
     }
 
     private def flush(recs: Seq[MessagingSinks.WireRecord]): Unit = {
@@ -294,13 +310,14 @@ object KafkaWire {
         socket.setSoTimeout(readTimeoutMs)
         val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
         val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
-        recs.groupBy(_.topic).foreach { case (topic, rs) =>
+        recs.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (topic, rs) =>
+          val baseSeq: Int = Option(seqByTopic.get(topic)).fold(0)(_.intValue())
           val batch = encodeBatch(
             rs.map(r => Record(
               if (r.key == null) null else r.key.getBytes(UTF_8), r.value,
               r.headers.toSeq.sortBy(_._1).map { case (k, v) => k -> v.getBytes(UTF_8) })),
             producerId = producerId, producerEpoch = 0,
-            baseSequence = seq.getAndAdd(rs.length))
+            baseSequence = baseSeq)
           val id = corr.incrementAndGet()
           out.write(encodeProduceRequest(id, clientId, transactionalId,
             acks = -1, timeoutMs = readTimeoutMs, topic = topic,
@@ -312,6 +329,7 @@ object KafkaWire {
             throw new RuntimeException(
               s"produce to $topic[${a.partition}] failed: error ${a.errorCode}")
           }
+          seqByTopic.put(topic, baseSeq + rs.length) // advance ONLY on ack
         }
       } finally socket.close()
     }

@@ -67,6 +67,29 @@ class MultimodalSpec extends SparkSpec {
     assert(stereo.n_frames == 2) // frames = samples / channels
   }
 
+  test("malformed headers degrade to the fallback — never hang or crash the task") {
+    // WAV with a negative chunk size: 'i += 8 + size' would otherwise spin forever
+    val evilWav = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes(US_ASCII)).putInt(16).put("WAVE".getBytes(US_ASCII))
+      b.put("fmt ".getBytes(US_ASCII)).putInt(-8) // forged negative size
+      b.array()
+    }
+    // BMP with 40000x40000 dims: Int bounds math would overflow past the guard
+    val evilBmp = {
+      val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(40000).putInt(40000).putShort(1).putShort(24).putInt(0)
+      b.array()
+    }
+    Seq(evilWav, evilBmp).foreach { evil =>
+      val real = feats("image", evil)
+      val fake = FakeDecoder.decodeBatch(Iterator(
+        MediaRow(1L, "image", evil, 2, 2, 16000))).next()
+      assert(real == fake) // fell back; and the test finishing proves no hang
+    }
+  }
+
   test("compressed/unknown bytes fall back to the deterministic byte-stat stub") {
     val junk = Array[Byte](0x1f, 0x2e, 0x3d, 0x4c)
     val real = feats("image", junk)

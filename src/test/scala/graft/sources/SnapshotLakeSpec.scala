@@ -44,22 +44,26 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotSupport.chunkCount(Long.MaxValue / 2) == 4096) // capped
   }
 
-  test("ctid page ranges tile the heap exactly: no gap, no overlap, end-exclusive") {
+  test("ctid page ranges tile the heap with an OPEN tail: no gap, no overlap, no stale-estimate loss") {
     import SnapshotSupport._
     val preds = ctidPredicates(totalPages = 10, pagesPerChunk = 3)
     assert(preds.length == 4)
     assert(preds(0) == "ctid >= '(0,1)'::tid AND ctid < '(3,1)'::tid")
-    assert(preds(3) == "ctid >= '(9,1)'::tid AND ctid < '(10,1)'::tid") // tail clamped
-    // adjacent chunks share the boundary tid as exclusive-end / inclusive-start
-    val bounds = preds.map { p =>
+    // the LAST chunk is open-ended: relpages is an estimate, and rows on
+    // pages appended after ANALYZE must still land in exactly one chunk
+    assert(preds(3) == "ctid >= '(9,1)'::tid")
+    // adjacent bounded chunks share the boundary tid exclusive/inclusive
+    val bounded = preds.init.map { p =>
       val m = """'\((\d+),1\)'::tid AND ctid < '\((\d+),1\)'::tid""".r
         .findFirstMatchIn(p).get
       (m.group(1).toLong, m.group(2).toLong)
     }
-    bounds.sliding(2).foreach { case Array((_, e), (s, _)) => assert(e == s); case _ => }
-    assert(bounds.head._1 == 0L && bounds.last._2 == 10L)
-    assert(ctidPredicates(0, 3).isEmpty) // empty table → no chunks
-    assert(ctidPredicates(2, 100).length == 1) // tiny table → single chunk
+    bounded.sliding(2).foreach { case Array((_, e), (s, _)) => assert(e == s); case _ => }
+    assert(bounded.head._1 == 0L && bounded.last._2 == 9L)
+    // never-analyzed table (relpages=0): ONE full-heap chunk, NOT an empty
+    // snapshot — the regression the open tail exists to prevent
+    assert(ctidPredicates(0, 3).toSeq == Seq("ctid >= '(0,1)'::tid"))
+    assert(ctidPredicates(2, 100).toSeq == Seq("ctid >= '(0,1)'::tid")) // tiny → single open chunk
   }
 
   test("ctid pages-per-chunk policy targets ~chunk_size rows (ref :626)") {

@@ -98,6 +98,37 @@ class ClickHouseWireSpec extends SparkSpec {
         .withColumn("event_id", concat(lit("e"), monotonically_increasing_id())))
   }
 
+  test("un-encodable column types fail at CONSTRUCTION, not per-row") {
+    val bad = StructType(Seq(StructField("tags", ArrayType(StringType))))
+    val e = intercept[IllegalArgumentException] {
+      new ClickHouseSink("chbad", "p", () => sys.error("unused"),
+        "db", "t", bad, Seq("tags"))
+    }
+    assert(e.getMessage.contains("no RowBinary encoding"))
+    assert(!RowBinary.encodes(MapType(StringType, StringType)))
+    assert(RowBinary.encodes(DecimalType(10, 2)) && RowBinary.encodes(TimestampType))
+  }
+
+  test("failed CREATE TABLE is retried on the next batch (no latched false success)") {
+    // counters live in the companion object: the transport closure is
+    // serialized to executors, so instance fields would mutate a copy
+    ClickHouseWireSpec.ddls.set(0); ClickHouseWireSpec.inserts.set(0)
+    val transport = new ChTransport {
+      override def executeDdl(sql: String): Unit =
+        if (ClickHouseWireSpec.ddls.incrementAndGet() == 1)
+          throw new RuntimeException("ch unavailable")
+      override def insertRowBinary(table: String, token: String, body: Array[Byte]): Unit =
+        ClickHouseWireSpec.inserts.incrementAndGet(): Unit
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val sink = new ClickHouseSink("chddl", "p", () => transport, "db", "t", schema, Seq("id"))
+    val batch = eventsDf(Seq(("c", null, """{"id":1}""", 1L))).coalesce(1)
+    intercept[RuntimeException] { sink.write(batch, 0L) } // DDL down → batch fails
+    assert(ClickHouseWireSpec.inserts.get() == 0) // nothing inserted against a missing table
+    sink.write(batch, 0L) // replay: DDL retried and succeeds this time
+    assert(ClickHouseWireSpec.ddls.get() == 2 && ClickHouseWireSpec.inserts.get() == 1)
+  }
+
   test("projection: insert uses after-image + meta; delete uses before + _deleted") {
     val userSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
     val batch = eventsDf(Seq(
@@ -210,4 +241,9 @@ class ClickHouseWireSpec extends SparkSpec {
       intercept[ChAuthException] { c.executeDdl("SELECT 1") }
     } finally server.stop(0)
   }
+}
+
+object ClickHouseWireSpec {
+  val ddls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val inserts = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -127,6 +127,34 @@ class KafkaWireSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("truncated varint raises EOF instead of spinning") {
+    intercept[java.io.EOFException] {
+      readVarLong(new java.io.ByteArrayInputStream(Array[Byte](0x80.toByte)))
+    }
+    intercept[java.io.EOFException] {
+      readVarLong(new java.io.ByteArrayInputStream(Array.empty[Byte]))
+    }
+  }
+
+  test("sequences are per topic and advance only on ack — replay re-sends the same triple") {
+    // failing stub: the FIRST produce request errors; pending must survive
+    val stub = new BrokerStub(failFirst = true)
+    try {
+      val p = new SocketProducer("127.0.0.1", stub.port, "c-seq")
+      p.beginTransaction()
+      p.send(MessagingSinks.WireRecord("topic-a", "k1", "v1".getBytes(UTF_8), Map.empty))
+      p.send(MessagingSinks.WireRecord("topic-b", "k2", "v2".getBytes(UTF_8), Map.empty))
+      intercept[RuntimeException] { p.commitTransaction() } // topic-a errors first
+      assert(stub.log.isEmpty) // nothing appended by the failed round
+      p.commitTransaction() // replay: stub healthy from request 2 on
+      val appended = stub.log.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[stub.Appended])
+      assert(appended.map(_.key).toSet == Set("k1", "k2")) // both delivered
+      // per-topic sequencing, NOT a shared counter; and the failed attempt
+      // did not advance it — both topics start at 0 (broker-dedup-able)
+      assert(appended.forall(_.baseSeq == 0))
+    } finally stub.stop()
+  }
+
   test("abort leaves nothing on the wire; broker error fails the batch write") {
     val stub = new BrokerStub()
     try {
