@@ -119,7 +119,7 @@ object Metrics {
             val nowMs = java.time.Instant.parse(p.timestamp).toEpochMilli
             if (wmMs > 0)
               registry.gauge("graft_source_lag_seconds",
-                math.max(0.0, nowMs - wmMs) / 1000.0, pipeline)
+                math.max(0.0, (nowMs - wmMs).toDouble) / 1000.0, pipeline)
           } catch { case _: Exception => }
         }
       }
