@@ -178,13 +178,12 @@ object SparkEntry {
         col("o_orderkey").cast(StringType).as("aggregate_id"),
         eventType.as("event_type"),
         struct(col("o_orderkey"), col("o_totalprice")).as("payload")))
-      val ev = CdcSynth.changeEvents(o.withColumn("_outbox", outboxAfter),
-        "inventory", "outbox_orders", "o_orderkey")
+      // after IS the outbox row directly — no double-encode + re-extract
+      val ev = CdcSynth.changeEvents(o, "inventory", "outbox_orders", "o_orderkey",
+        payloadOverride = Some(outboxAfter))
         .withColumn("source", col("source").withField("schema", lit("__outbox")))
-      // rebuild after from the outbox row (changeEvents serialized the whole row)
-      val ev2 = ev.withColumn("after", jget("after", "_outbox"))
       OutboxProcessor(OutboxProcessor.Config(
-        topicTemplate = Some("${aggregate_type}.${event_type}")))(ev2)
+        topicTemplate = Some("${aggregate_type}.${event_type}")))(ev)
         .select(col("routing.topic").as("topic"), col("routing.key").as("event_key"))
         .orderBy(col("event_key").cast(LongType))
     }),

@@ -68,37 +68,58 @@ object FilterProcessor {
     }
   }
 
-  /** Compile one predicate to a Catalyst Column (null-safe: null ⇒ false). */
-  def compile(p: FieldPredicate): Column = {
-    val after = col("after")
+  /**
+   * Compile one predicate given field-access functions for the `after` and
+   * `before` payloads. `afterF`/`beforeF` map a dot-path to the extracted
+   * string value — either a fresh `get_json_object` (compat path) or a
+   * pre-extracted parse-once column (the hot path, see [[apply]]).
+   */
+  private def compileOn(
+      p: FieldPredicate,
+      afterF: String => Column,
+      beforeF: String => Column): Column = {
+    def cmpF(path: String, value: Any, f: (Column, Column) => Column): Column = {
+      val raw = afterF(path)
+      value match {
+        case n: Int => f(raw.cast(DoubleType), lit(n.toDouble))
+        case n: Long => f(raw.cast(DoubleType), lit(n.toDouble))
+        case n: Double => f(raw.cast(DoubleType), lit(n))
+        case n: BigDecimal => f(raw.cast(DoubleType), lit(n.toDouble))
+        case s => f(raw, lit(s.toString))
+      }
+    }
     val c = p match {
-      case Eq(path, v) => cmp(after, path, v, _ === _)
-      case Ne(path, v) => cmp(after, path, v, _ =!= _)
-      case Gt(path, v) => cmp(after, path, v, _ > _)
-      case Gte(path, v) => cmp(after, path, v, _ >= _)
-      case Lt(path, v) => cmp(after, path, v, _ < _)
-      case Lte(path, v) => cmp(after, path, v, _ <= _)
+      case Eq(path, v) => cmpF(path, v, _ === _)
+      case Ne(path, v) => cmpF(path, v, _ =!= _)
+      case Gt(path, v) => cmpF(path, v, _ > _)
+      case Gte(path, v) => cmpF(path, v, _ >= _)
+      case Lt(path, v) => cmpF(path, v, _ < _)
+      case Lte(path, v) => cmpF(path, v, _ <= _)
       case In(path, vs) =>
-        val raw = field(after, path)
+        val raw = afterF(path)
         if (vs.forall(_.isInstanceOf[String])) raw.isin(vs: _*)
         else raw.cast(DoubleType).isin(vs.map(v => v.toString.toDouble): _*)
       case NotIn(path, vs) =>
         // not_in passes when the field is missing (reference filter.rs:177-184)
-        val raw = field(after, path)
+        val raw = afterF(path)
         val inC =
           if (vs.forall(_.isInstanceOf[String])) raw.isin(vs: _*)
           else raw.cast(DoubleType).isin(vs.map(v => v.toString.toDouble): _*)
         raw.isNull || !inC
-      case Contains(path, v) => field(after, path).contains(v)
-      case Regex(path, pat) => field(after, path).rlike(pat)
-      case Exists(path) => field(after, path).isNotNull
-      case NotExists(path) => field(after, path).isNull
+      case Contains(path, v) => afterF(path).contains(v)
+      case Regex(path, pat) => afterF(path).rlike(pat)
+      case Exists(path) => afterF(path).isNotNull
+      case NotExists(path) => afterF(path).isNull
       case Changed(path) =>
         col("op").isin(ChangeEvent.Op.Create, ChangeEvent.Op.Delete) ||
-          !(get_json_object(col("before"), jsonPath(path)) <=> field(after, path))
+          !(beforeF(path) <=> afterF(path))
     }
     coalesce(c, lit(false))
   }
+
+  /** Compile one predicate to a Catalyst Column (null-safe: null ⇒ false). */
+  def compile(p: FieldPredicate): Column =
+    compileOn(p, field(col("after"), _), field(col("before"), _))
 
   /**
    * Compile a table glob allow-list to one Column over `db.table`.
@@ -131,5 +152,35 @@ object FilterProcessor {
     opGate && tableGate && fieldGate
   }
 
-  def apply(cfg: Config)(df: DataFrame): DataFrame = df.filter(gate(cfg))
+  /**
+   * Parse-once filter. The op/table gates go first (they push down to the
+   * scan); payload predicates then read columns produced by ONE fused
+   * [[graft.functions.JsonPathOps.JsonPathsGenerate]] pass over `after`
+   * (plus one over `before` iff any `changed` predicate) — the reference's
+   * one-parse-per-event cost model (crates/processors/src/filter.rs:111-130),
+   * vs one full re-parse per predicate with naive `get_json_object`.
+   */
+  def apply(cfg: Config)(df: DataFrame): DataFrame = {
+    val opGate = if (cfg.ops.isEmpty) lit(true) else col("op").isin(cfg.ops: _*)
+    val tableGate = if (cfg.tables.isEmpty) lit(true) else tablePredicate(cfg.tables)
+    val pre = df.filter(opGate && tableGate)
+    if (cfg.predicates.isEmpty) return pre
+
+    import graft.functions.JsonPathOps.jsonPathsTuple
+    val afterPaths = cfg.predicates.map(_.path).distinct
+    val beforePaths = cfg.predicates.collect { case Changed(p) => p }.distinct
+    val aNames = afterPaths.indices.map(i => s"__jpa$i")
+    val bNames = beforePaths.indices.map(i => s"__jpb$i")
+    val aCol = afterPaths.zip(aNames).toMap
+    val bCol = beforePaths.zip(bNames).toMap
+
+    var staged = pre.select(col("*"), jsonPathsTuple(col("after"), afterPaths).as(aNames))
+    if (beforePaths.nonEmpty)
+      staged = staged.select(col("*"), jsonPathsTuple(col("before"), beforePaths).as(bNames))
+
+    val fieldGate = cfg.predicates
+      .map(p => compileOn(p, path => col(aCol(path)), path => col(bCol(path))))
+      .reduce((a: Column, b: Column) => if (cfg.matchMode == MatchAll) a && b else a || b)
+    staged.filter(fieldGate).drop(aNames ++ bNames: _*)
+  }
 }

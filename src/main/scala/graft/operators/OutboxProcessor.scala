@@ -41,63 +41,100 @@ object OutboxProcessor {
   def applies: Column =
     col("source.schema") === "__outbox" && col("op") === ChangeEvent.Op.Create
 
-  /** Template over outbox row columns: `${field}` → get_json_object(after, $.field). */
-  private def rowTemplate(tpl: String): Column = {
+  /** `${field}` references in a template. */
+  private def templateRefs(tpl: String): Seq[String] =
+    tpl.split("""(?=\$\{)|(?<=\})""").toSeq
+      .filter(p => p.startsWith("${") && p.endsWith("}"))
+      .map(_.drop(2).dropRight(1))
+
+  /** Template over outbox row columns: `${field}` → extracted field value. */
+  private def rowTemplate(tpl: String, field: String => Column): Column = {
     val parts = tpl.split("""(?=\$\{)|(?<=\})""").toSeq
     val cols = parts.filter(_.nonEmpty).map { p =>
-      if (p.startsWith("${") && p.endsWith("}")) coalesce(f(p.drop(2).dropRight(1)), lit(""))
+      if (p.startsWith("${") && p.endsWith("}")) coalesce(field(p.drop(2).dropRight(1)), lit(""))
       else lit(p)
     }
     if (cols.isEmpty) lit("") else concat(cols: _*)
   }
 
   /** Topic cascade (reference outbox.rs:267-290): template → topic column → default. */
-  def topic(cfg: Config): Column = {
-    val fromTemplate = cfg.topicTemplate.map(rowTemplate)
-    val fromColumn = when(length(f(cfg.topicCol)) > 0, f(cfg.topicCol))
+  private def topicOn(cfg: Config, field: String => Column): Column = {
+    val fromTemplate = cfg.topicTemplate.map(rowTemplate(_, field))
+    val fromColumn = when(length(field(cfg.topicCol)) > 0, field(cfg.topicCol))
     coalesce(Seq(fromTemplate, Some(fromColumn), Some(lit(cfg.defaultTopic))).flatten: _*)
   }
 
-  def key(cfg: Config): Column =
-    cfg.keyTemplate.map(rowTemplate).getOrElse(f(cfg.aggregateIdCol))
+  def topic(cfg: Config): Column = topicOn(cfg, f)
+
+  private def keyOn(cfg: Config, field: String => Column): Column =
+    cfg.keyTemplate.map(rowTemplate(_, field)).getOrElse(field(cfg.aggregateIdCol))
+
+  def key(cfg: Config): Column = keyOn(cfg, f)
 
   /** df-* headers + extras (reference outbox.rs:165-210). */
-  def headers(cfg: Config): Column = {
+  private def headersOn(cfg: Config, field: String => Column): Column = {
     val base: Seq[Column] = Seq(
-      lit("df-event-id"), coalesce(f("id"), col("event_id")),
-      lit("df-aggregate-type"), f(cfg.aggregateTypeCol),
-      lit("df-aggregate-id"), f(cfg.aggregateIdCol),
-      lit("df-event-type"), f(cfg.eventTypeCol),
+      lit("df-event-id"), coalesce(field("id"), col("event_id")),
+      lit("df-aggregate-type"), field(cfg.aggregateTypeCol),
+      lit("df-aggregate-id"), field(cfg.aggregateIdCol),
+      lit("df-event-type"), field(cfg.eventTypeCol),
       lit("df-source-kind"), col("source.connector"))
     val extras = cfg.extraHeaderCols.toSeq.sortBy(_._1).flatMap { case (h, c) =>
-      Seq(lit(h), f(c))
+      Seq(lit(h), field(c))
     }
     map(base ++ extras: _*)
   }
 
-  private def requiredOk(cfg: Config): Column =
-    f(cfg.aggregateTypeCol).isNotNull && f(cfg.aggregateIdCol).isNotNull &&
-      f(cfg.eventTypeCol).isNotNull && f(cfg.payloadCol).isNotNull
+  def headers(cfg: Config): Column = headersOn(cfg, f)
+
+  private def requiredOkOn(cfg: Config, field: String => Column): Column =
+    field(cfg.aggregateTypeCol).isNotNull && field(cfg.aggregateIdCol).isNotNull &&
+      field(cfg.eventTypeCol).isNotNull && field(cfg.payloadCol).isNotNull
+
+  /** Every outbox-row field the configured transform reads. */
+  private def neededFields(cfg: Config): Seq[String] =
+    (Seq("id", cfg.aggregateTypeCol, cfg.aggregateIdCol, cfg.eventTypeCol,
+      cfg.payloadCol, cfg.topicCol) ++
+      cfg.extraHeaderCols.values ++
+      cfg.topicTemplate.toSeq.flatMap(templateRefs) ++
+      cfg.keyTemplate.toSeq.flatMap(templateRefs)).distinct
 
   /**
    * Transform outbox rows into routed domain events: `after` replaced by the
    * payload, routing struct populated. Non-outbox events pass through.
+   *
+   * Parse-once: ALL outbox fields (aggregate columns, payload, topic column,
+   * template refs, extra headers) are extracted by a single fused
+   * [[graft.functions.JsonPathOps.JsonPathsGenerate]] pass over `after` —
+   * the reference parses each event exactly once (outbox.rs:111-244) where
+   * per-field `get_json_object` would re-parse ~10× per row. Non-outbox rows
+   * skip the parse entirely (`when(applies, after)` gates the generator input).
    */
   def apply(cfg: Config = Config())(df: DataFrame): DataFrame = {
+    import graft.functions.JsonPathOps.jsonPathsTuple
+    val fields = neededFields(cfg)
+    val names = fields.indices.map(i => s"__ob$i")
+    val byField = fields.zip(names).toMap
+    val field: String => Column = p => col(byField(p))
+
+    val staged = df.select(col("*"),
+      jsonPathsTuple(when(applies, col("after")), fields).as(names))
+
     val routing = struct(
-      topic(cfg).as("topic"),
-      key(cfg).as("key"),
-      headers(cfg).as("headers"),
+      topicOn(cfg, field).as("topic"),
+      keyOn(cfg, field).as("key"),
+      headersOn(cfg, field).as("headers"),
       lit(cfg.rawPayload).as("raw_payload"))
-    val keepGate = if (cfg.strict) applies && requiredOk(cfg) else applies
-    df.filter(!col("source.schema").eqNullSafe("__outbox") || keepGate)
+    val keepGate = if (cfg.strict) applies && requiredOkOn(cfg, field) else applies
+    staged.filter(!col("source.schema").eqNullSafe("__outbox") || keepGate)
       .withColumn("routing", when(applies, routing).otherwise(col("routing")))
-      .withColumn("after", when(applies, f(cfg.payloadCol)).otherwise(col("after")))
+      .withColumn("after", when(applies, field(cfg.payloadCol)).otherwise(col("after")))
+      .drop(names: _*)
   }
 
   /** Strict-mode violations side-channel (reference errors list missing fields). */
   def strictViolations(cfg: Config)(df: DataFrame): DataFrame =
-    df.filter(applies && !requiredOk(cfg))
+    df.filter(applies && !requiredOkOn(cfg, f))
       .withColumn("missing_fields", concat_ws(",",
         when(f(cfg.aggregateTypeCol).isNull, lit(cfg.aggregateTypeCol)),
         when(f(cfg.aggregateIdCol).isNull, lit(cfg.aggregateIdCol)),

@@ -58,12 +58,31 @@ object Routing {
   /**
    * Compile a template to a Column. `strict = true` yields NULL when any
    * segment is missing (caller routes to DLQ); lenient substitutes "".
+   *
+   * Parse-once: when a template references ≥2 paths into the same JSON
+   * payload (`before.*`/`after.*`), they are fused into a single
+   * [[graft.functions.JsonPathOps.JsonPathsExtract]] — one parse per row per
+   * payload instead of one per segment (whole-stage codegen CSE evaluates the
+   * shared array once; the reference compiles templates parse-once too,
+   * common/src/routing.rs:94-236).
    */
   def template(tpl: String, strict: Boolean = false): Column = {
     val segs = parse(tpl)
+    val payloadRefs = segs.collect {
+      case Ref(p) if p.startsWith("before.") || p.startsWith("after.") => p
+    }.distinct
+    val fused: Map[String, Column] = payloadRefs
+      .groupBy(_.takeWhile(_ != '.'))
+      .filter(_._2.size >= 2)
+      .flatMap { case (root, refs) =>
+        val arr = graft.functions.JsonPathOps.jsonPaths(
+          col(root), refs.map(_.drop(root.length + 1)))
+        refs.zipWithIndex.map { case (r, i) => r -> arr.getItem(i) }
+      }
+    def resolve(p: String): Column = fused.getOrElse(p, resolvePath(p))
     val cols = segs.map {
       case Lit(s) => lit(s)
-      case Ref(p) => if (strict) resolvePath(p) else coalesce(resolvePath(p), lit(""))
+      case Ref(p) => if (strict) resolve(p) else coalesce(resolve(p), lit(""))
     }
     if (cols.isEmpty) lit("") else concat(cols: _*)
   }

@@ -41,7 +41,8 @@ object CdcSynth {
       tableName: String,
       pkCol: String,
       connector: String = "mysql",
-      tsCol: Option[String] = None): DataFrame = {
+      tsCol: Option[String] = None,
+      payloadOverride: Option[Column] = None): DataFrame = {
     // A real backlog arrives as many segments/partitions; the driver's test
     // parquet is often ONE sub-4m file → one task, which serializes every
     // downstream per-row JSON encode. Spread under-partitioned inputs —
@@ -51,7 +52,8 @@ object CdcSynth {
     val spread = if (table.rdd.getNumPartitions < par) table.repartition(par) else table
     val pk = col(pkCol)
     val op = opFor(pk)
-    val payload = to_json(struct(spread.columns.map(col).toIndexedSeq: _*))
+    val payload = payloadOverride.getOrElse(
+      to_json(struct(spread.columns.map(col).toIndexedSeq: _*)))
     val tsMs = tsCol
       .map(c => (col(c).cast(TimestampType).cast(DoubleType) * 1000).cast(LongType))
       .getOrElse(lit(1700000000000L) + pk)
