@@ -80,8 +80,15 @@ object CdcPipeline {
           }
         }
       }
+      // ONE outer deadline across the whole fan-out (reference applies a
+      // single batch-level timeout, coordinator.rs:893-1030) — a sequential
+      // fresh-timeout-per-sink await would bound the worst case at
+      // sinks×timeout instead of timeout.
+      val deadline = System.nanoTime() + (
+        if (cfg.sinkTimeout.isFinite) cfg.sinkTimeout.toNanos else Long.MaxValue / 2)
       val acks: Map[String, Boolean] = futures.map { case (id, f) =>
-        id -> Try(Await.result(f, cfg.sinkTimeout)).getOrElse(false)
+        val remaining = math.max(0L, deadline - System.nanoTime())
+        id -> Try(Await.result(f, remaining.nanos)).getOrElse(false)
       }.toMap
       pool.shutdown()
       if (!policySatisfied(cfg, acks))
@@ -108,19 +115,27 @@ object CdcPipeline {
    * semantic, C-1: a batch never splits a source transaction —
    * coordinator.rs:87-110). Spark micro-batches are offset-sliced, so we
    * split each batch into (complete, carryover): events after the last
-   * `tx_end` of their source partition are held back and prepended to the
-   * next batch by the caller.
+   * `tx_end` of their SOURCE STREAM are held back and prepended to the next
+   * batch by the caller.
+   *
+   * The boundary is per source stream (`source.name`), NOT per table: a
+   * source transaction can span tables with the commit marker on its final
+   * event only, and a per-table boundary would deliver the tables of one
+   * transaction across two batches — exactly what `respect_source_tx`
+   * forbids. `source.sequence` is the source's total order, so every event
+   * of a committed transaction — whatever table it touched — sits at or
+   * below that stream's last `tx_end` sequence.
    */
   def splitCompleteTx(batch: DataFrame): (DataFrame, DataFrame) = {
     val lastEnd = batch.filter(col("tx_end"))
-      .groupBy(ChangeEvent.qualifiedTable.as("_tbl"))
+      .groupBy(col("source.name").as("_src"))
       .agg(max(col("source.sequence")).as("_last_end"))
     val tagged = batch.join(
-      broadcast(lastEnd), ChangeEvent.qualifiedTable === col("_tbl"), "left")
+      broadcast(lastEnd), col("source.name") <=> col("_src"), "left")
     val complete = tagged.filter(col("_last_end").isNotNull &&
-      col("source.sequence") <= col("_last_end")).drop("_tbl", "_last_end")
+      col("source.sequence") <= col("_last_end")).drop("_src", "_last_end")
     val carryover = tagged.filter(col("_last_end").isNull ||
-      col("source.sequence") > col("_last_end")).drop("_tbl", "_last_end")
+      col("source.sequence") > col("_last_end")).drop("_src", "_last_end")
     (complete, carryover)
   }
 }

@@ -102,6 +102,48 @@ class CdcPipelineSpec extends SparkSpec {
     assert(carry.select(min(col("source.sequence"))).head().getLong(0) == 4L)
   }
 
+  test("tx-boundary split never splits a MULTI-TABLE transaction (C-1)") {
+    import spark.implicits._
+    // One source stream, transactions spanning two tables; the commit marker
+    // (tx_end) sits on the FINAL event only — which lands in table B while
+    // earlier events of the same tx are in table A (coordinator.rs:87-110).
+    //   tx1: seq 1(orders) 2(items) 3(items, tx_end)
+    //   tx2: seq 4(items)  5(orders) — no tx_end yet → held back WHOLE
+    val df = ChangeEvent.conform(
+      Seq((1L, "orders", false), (2L, "items", false), (3L, "items", true),
+        (4L, "items", false), (5L, "orders", false))
+        .toDF("seq", "tbl", "end")
+        .select(lit("c").as("op"), lit("""{"x":1}""").as("after"),
+          struct(lit("src1").as("name"), lit("db").as("db"), col("tbl").as("table"),
+            col("seq").as("sequence")).as("source"),
+          col("end").as("tx_end")))
+    val (complete, carry) = splitCompleteTx(df)
+    // per-TABLE boundaries would put seq 1 (orders, after orders' last end —
+    // there is none) in carryover and split tx1 across batches
+    assert(complete.select(col("source.sequence")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(carry.select(col("source.sequence")).as[Long].collect().sorted.toSeq ==
+      Seq(4L, 5L))
+  }
+
+  test("tx-boundary split keeps independent source streams independent") {
+    import spark.implicits._
+    // Stream A committed through seq 2; stream B has an open tx at seq 10.
+    // B's open tail must not hold back A's committed events, and A's commit
+    // must not release B's tail.
+    val df = ChangeEvent.conform(
+      Seq(("a", 1L, false), ("a", 2L, true), ("b", 10L, false))
+        .toDF("src", "seq", "end")
+        .select(lit("c").as("op"), lit("""{"x":1}""").as("after"),
+          struct(col("src").as("name"), lit("db").as("db"), lit("t").as("table"),
+            col("seq").as("sequence")).as("source"),
+          col("end").as("tx_end")))
+    val (complete, carry) = splitCompleteTx(df)
+    assert(complete.select(col("source.name")).as[String].collect().toSet == Set("a"))
+    assert(complete.count() == 2)
+    assert(carry.select(col("source.name")).as[String].collect().toSeq == Seq("b"))
+  }
+
   test("DLQ splits ineligible rows into the journal with metadata") {
     val dir = tmp()
     import spark.implicits._

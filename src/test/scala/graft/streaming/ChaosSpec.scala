@@ -328,6 +328,26 @@ class ChaosSpec extends SparkSpec {
     assert(sink.rows.get() == 5 && ledger.committed("hung") == 0L) // no loss
   }
 
+  test("fan-out deadline is ONE outer budget, not a fresh timeout per sink") {
+    // Reference coordinator.rs:893-1030 applies a single batch-level deadline
+    // across the concurrent fan-out. With N hung sinks the batch must still
+    // resolve in ~timeout, not N×timeout (the sequential-await trap).
+    val dir = tmp()
+    def hungSink(sid: String) = new EventSink {
+      val id = sid
+      def write(batch: DataFrame, batchId: Long): Unit = Thread.sleep(60000)
+    }
+    val cfg = Config(
+      Seq(hungSink("h1"), hungSink("h2"), hungSink("h3")),
+      ledgerDir = dir,
+      sinkTimeout = scala.concurrent.duration.Duration(2, "seconds"))
+    val t0 = System.nanoTime()
+    intercept[RuntimeException] { processBatch(cfg, new SinkLedger(dir))(events(5), 0L) }
+    val wall = (System.nanoTime() - t0) / 1e9
+    // 3 sinks × 2 s sequential would be ≥6 s; one outer budget stays ≈2 s
+    assert(wall < 5.0, s"fan-out took ${wall}s — deadline is per-sink, not outer")
+  }
+
   test("schema_drift: new column mid-stream is sensed, versioned, and does not stall delivery") {
     import spark.implicits._
     val dir = tmp()
