@@ -24,13 +24,17 @@ import java.util.zip.CRC32C
  *    batches entered at v3), nullable strings, array framing,
  *    transactional_id, acks, per-partition error codes.
  *
- * What stays environment-bound (documented, not faked): broker discovery
- * (Metadata), group coordination, and the transaction RPCs
- * (InitProducerId/AddPartitionsToTxn/EndTxn) that need a live cluster's
- * coordinator — the [[MessagingSinks.TransactionalProducer]] contract
- * carries those semantics; [[SocketProducer]] gives batch-atomic,
- * idempotently-sequenced delivery against any endpoint that speaks
- * Produce (spec: a live local TCP stub that CRC-checks and decodes).
+ * Coordinator RPCs implemented on the wire (reference kafka.rs:191-355 —
+ * rdkafka's init_transactions/begin/commit drive the same five RPCs):
+ * Metadata v1 (broker/leader discovery), InitProducerId v0 (pid allocation
+ * + epoch bump = fencing), AddPartitionsToTxn v0, EndTxn v0 (commit/abort
+ * markers), all in the same non-flexible framing as Produce v3. The
+ * transactional producer path is: InitProducerId at begin (epoch-bumped per
+ * producer incarnation, so sequences restarting at 0 are correct and a
+ * zombie instance is fenced) → AddPartitionsToTxn → Produce with the
+ * transactional attribute bit → EndTxn. What stays environment-bound is
+ * only the live multi-broker cluster itself; the spec drives every RPC
+ * against a CRC-checking, epoch-tracking TCP broker stub.
  */
 object KafkaWire {
 
@@ -68,7 +72,7 @@ object KafkaWire {
    */
   def encodeBatch(records: Seq[Record], baseOffset: Long = 0L,
                   producerId: Long = -1L, producerEpoch: Short = -1,
-                  baseSequence: Int = -1): Array[Byte] = {
+                  baseSequence: Int = -1, transactional: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
     val baseTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
@@ -96,7 +100,8 @@ object KafkaWire {
 
     // everything the CRC covers: attributes … records
     val crcBody = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4 + recBytes.size())
-    crcBody.putShort(0) // attributes: no compression, no txn bit
+    // attributes: no compression; bit 4 = isTransactional (KIP-98 batch layout)
+    crcBody.putShort(if (transactional) 0x10 else 0)
     crcBody.putInt(records.length - 1) // lastOffsetDelta
     crcBody.putLong(baseTs)
     crcBody.putLong(maxTs)
@@ -118,6 +123,10 @@ object KafkaWire {
     out.put(crcBody.array(), 0, crcBody.position())
     out.array()
   }
+
+  /** The attributes word of an encoded batch (bit 4 = transactional). */
+  def batchAttributes(bytes: Array[Byte]): Short =
+    ByteBuffer.wrap(bytes).getShort(8 + 4 + 4 + 1 + 4) // offset+len+leaderEpoch+magic+crc
 
   /** Decode + CRC-verify a magic-2 batch (spec/stub side). */
   def decodeBatch(bytes: Array[Byte]): (Long, Long, Short, Int, Seq[Record]) = {
@@ -263,6 +272,231 @@ object KafkaWire {
     framed.array()
   }
 
+  // —————————————————— coordinator RPCs (Metadata / InitProducerId / AddPartitionsToTxn / EndTxn) ——————————————————
+
+  /** Kafka error codes used on the fencing path. */
+  object Errors {
+    val None: Short = 0
+    val InvalidProducerEpoch: Short = 47 // stale epoch on Produce
+    val ProducerFenced: Short = 90 // stale epoch at the txn coordinator
+    def isFence(code: Short): Boolean =
+      code == InvalidProducerEpoch || code == ProducerFenced
+  }
+
+  /** Common request header (apiKey, apiVersion, correlationId, clientId). */
+  case class RequestHeader(apiKey: Short, apiVersion: Short, correlationId: Int, clientId: String)
+
+  /**
+   * Read one framed request and return (header, body reader). The dispatcher
+   * side of a multi-RPC broker: peek the api key, then decode the body.
+   */
+  def readRequest(in: DataInputStream): (RequestHeader, DataInputStream) = {
+    val size = in.readInt()
+    val buf = new Array[Byte](size)
+    in.readFully(buf)
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(buf))
+    val h = RequestHeader(d.readShort(), d.readShort(), d.readInt(), readString(d))
+    (h, d)
+  }
+
+  private def writeHeader(d: DataOutputStream, apiKey: Short, apiVersion: Short,
+                          correlationId: Int, clientId: String): Unit = {
+    d.writeShort(apiKey); d.writeShort(apiVersion); d.writeInt(correlationId)
+    writeString(d, clientId)
+  }
+
+  private def frame(body: ByteArrayOutputStream): Array[Byte] = {
+    val out = ByteBuffer.allocate(4 + body.size())
+    out.putInt(body.size()); out.put(body.toByteArray); out.array()
+  }
+
+  // —— Metadata v1 (apiKey 3): broker + partition-leader discovery ——
+
+  case class BrokerNode(nodeId: Int, host: String, port: Int)
+  case class PartitionMeta(errorCode: Short, partition: Int, leaderId: Int)
+  case class TopicMeta(errorCode: Short, name: String, partitions: Seq[PartitionMeta])
+  case class MetadataResponse(correlationId: Int, brokers: Seq[BrokerNode],
+                              controllerId: Int, topics: Seq[TopicMeta])
+
+  def encodeMetadataRequest(correlationId: Int, clientId: String, topics: Seq[String]): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    writeHeader(d, 3, 1, correlationId, clientId)
+    d.writeInt(topics.length)
+    topics.foreach(writeString(d, _))
+    d.flush(); frame(body)
+  }
+
+  /** Broker side: topics requested (header already consumed by [[readRequest]]). */
+  def readMetadataRequestBody(d: DataInputStream): Seq[String] = {
+    val n = d.readInt()
+    if (n < 0) Nil else (0 until n).map(_ => readString(d))
+  }
+
+  def encodeMetadataResponse(resp: MetadataResponse): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    d.writeInt(resp.correlationId)
+    d.writeInt(resp.brokers.length)
+    resp.brokers.foreach { b =>
+      d.writeInt(b.nodeId); writeString(d, b.host); d.writeInt(b.port)
+      writeString(d, null) // rack
+    }
+    d.writeInt(resp.controllerId)
+    d.writeInt(resp.topics.length)
+    resp.topics.foreach { t =>
+      d.writeShort(t.errorCode); writeString(d, t.name); d.writeBoolean(false) // is_internal
+      d.writeInt(t.partitions.length)
+      t.partitions.foreach { p =>
+        d.writeShort(p.errorCode); d.writeInt(p.partition); d.writeInt(p.leaderId)
+        d.writeInt(1); d.writeInt(p.leaderId) // replicas
+        d.writeInt(1); d.writeInt(p.leaderId) // isr
+      }
+    }
+    d.flush(); frame(body)
+  }
+
+  def readMetadataResponse(in: DataInputStream): MetadataResponse = {
+    val size = in.readInt(); val buf = new Array[Byte](size); in.readFully(buf)
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(buf))
+    val corr = d.readInt()
+    val brokers = (0 until d.readInt()).map { _ =>
+      val b = BrokerNode(d.readInt(), readString(d), d.readInt())
+      readString(d) // rack
+      b
+    }
+    val controller = d.readInt()
+    val topics = (0 until d.readInt()).map { _ =>
+      val err = d.readShort(); val name = readString(d); d.readBoolean()
+      val parts = (0 until d.readInt()).map { _ =>
+        val p = PartitionMeta(d.readShort(), d.readInt(), d.readInt())
+        (0 until d.readInt()).foreach(_ => d.readInt()) // replicas
+        (0 until d.readInt()).foreach(_ => d.readInt()) // isr
+        p
+      }
+      TopicMeta(err, name, parts)
+    }
+    MetadataResponse(corr, brokers, controller, topics)
+  }
+
+  // —— InitProducerId v0 (apiKey 22): pid allocation + epoch bump (fencing) ——
+
+  case class InitProducerIdResponse(correlationId: Int, errorCode: Short,
+                                    producerId: Long, producerEpoch: Short)
+
+  def encodeInitProducerIdRequest(correlationId: Int, clientId: String,
+                                  transactionalId: String, txnTimeoutMs: Int = 60000): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    writeHeader(d, 22, 0, correlationId, clientId)
+    writeString(d, transactionalId)
+    d.writeInt(txnTimeoutMs)
+    d.flush(); frame(body)
+  }
+
+  /** Broker side: (transactionalId, txnTimeoutMs). */
+  def readInitProducerIdRequestBody(d: DataInputStream): (String, Int) =
+    (readString(d), d.readInt())
+
+  def encodeInitProducerIdResponse(resp: InitProducerIdResponse): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    d.writeInt(resp.correlationId)
+    d.writeInt(0) // throttle_time_ms
+    d.writeShort(resp.errorCode)
+    d.writeLong(resp.producerId)
+    d.writeShort(resp.producerEpoch)
+    d.flush(); frame(body)
+  }
+
+  def readInitProducerIdResponse(in: DataInputStream): InitProducerIdResponse = {
+    val size = in.readInt(); val buf = new Array[Byte](size); in.readFully(buf)
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(buf))
+    val corr = d.readInt(); d.readInt() // throttle
+    InitProducerIdResponse(corr, d.readShort(), d.readLong(), d.readShort())
+  }
+
+  // —— AddPartitionsToTxn v0 (apiKey 24) ——
+
+  case class AddPartitionsToTxnRequest(transactionalId: String, producerId: Long,
+                                       producerEpoch: Short, topics: Seq[(String, Seq[Int])])
+  case class AddPartitionsToTxnResponse(correlationId: Int,
+                                        results: Seq[(String, Seq[(Int, Short)])])
+
+  def encodeAddPartitionsToTxnRequest(correlationId: Int, clientId: String,
+                                      req: AddPartitionsToTxnRequest): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    writeHeader(d, 24, 0, correlationId, clientId)
+    writeString(d, req.transactionalId)
+    d.writeLong(req.producerId); d.writeShort(req.producerEpoch)
+    d.writeInt(req.topics.length)
+    req.topics.foreach { case (t, ps) =>
+      writeString(d, t); d.writeInt(ps.length); ps.foreach(d.writeInt)
+    }
+    d.flush(); frame(body)
+  }
+
+  def readAddPartitionsToTxnRequestBody(d: DataInputStream): AddPartitionsToTxnRequest = {
+    val txn = readString(d); val pid = d.readLong(); val epoch = d.readShort()
+    val topics = (0 until d.readInt()).map { _ =>
+      val t = readString(d)
+      t -> (0 until d.readInt()).map(_ => d.readInt())
+    }
+    AddPartitionsToTxnRequest(txn, pid, epoch, topics)
+  }
+
+  def encodeAddPartitionsToTxnResponse(resp: AddPartitionsToTxnResponse): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    d.writeInt(resp.correlationId)
+    d.writeInt(0) // throttle_time_ms
+    d.writeInt(resp.results.length)
+    resp.results.foreach { case (t, ps) =>
+      writeString(d, t); d.writeInt(ps.length)
+      ps.foreach { case (p, err) => d.writeInt(p); d.writeShort(err) }
+    }
+    d.flush(); frame(body)
+  }
+
+  def readAddPartitionsToTxnResponse(in: DataInputStream): AddPartitionsToTxnResponse = {
+    val size = in.readInt(); val buf = new Array[Byte](size); in.readFully(buf)
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(buf))
+    val corr = d.readInt(); d.readInt() // throttle
+    val results = (0 until d.readInt()).map { _ =>
+      val t = readString(d)
+      t -> (0 until d.readInt()).map(_ => (d.readInt(), d.readShort()))
+    }
+    AddPartitionsToTxnResponse(corr, results)
+  }
+
+  // —— EndTxn v0 (apiKey 26): commit/abort markers ——
+
+  case class EndTxnRequest(transactionalId: String, producerId: Long,
+                           producerEpoch: Short, committed: Boolean)
+
+  def encodeEndTxnRequest(correlationId: Int, clientId: String, req: EndTxnRequest): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    writeHeader(d, 26, 0, correlationId, clientId)
+    writeString(d, req.transactionalId)
+    d.writeLong(req.producerId); d.writeShort(req.producerEpoch)
+    d.writeBoolean(req.committed)
+    d.flush(); frame(body)
+  }
+
+  def readEndTxnRequestBody(d: DataInputStream): EndTxnRequest =
+    EndTxnRequest(readString(d), d.readLong(), d.readShort(), d.readBoolean())
+
+  def encodeEndTxnResponse(correlationId: Int, errorCode: Short): Array[Byte] = {
+    val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+    d.writeInt(correlationId)
+    d.writeInt(0) // throttle_time_ms
+    d.writeShort(errorCode)
+    d.flush(); frame(body)
+  }
+
+  /** (correlationId, errorCode). */
+  def readEndTxnResponse(in: DataInputStream): (Int, Short) = {
+    val size = in.readInt(); val buf = new Array[Byte](size); in.readFully(buf)
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(buf))
+    val corr = d.readInt(); d.readInt() // throttle
+    (corr, d.readShort())
+  }
+
   /**
    * A [[MessagingSinks.TransactionalProducer]] over Produce v3. Buffers the
    * transaction's records; commit encodes ONE idempotently-sequenced batch
@@ -291,47 +525,147 @@ object KafkaWire {
     private val pending = new scala.collection.mutable.ArrayBuffer[MessagingSinks.WireRecord]()
     private val seqByTopic = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     private val corr = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val transactional = transactionalId != null
+    // idempotence identity: constructor pid for the plain path; coordinator-
+    // issued (pid, epoch) for the transactional path (InitProducerId)
+    private var pid: Long = producerId
+    private var epoch: Short = 0
+    private var initialized = false
+    private var fenced = false
+    private var txnOnWire = false // uncommitted produce reached the broker
+    // produce goes to the partition leader Metadata reports (single-broker
+    // stubs report themselves; a real cluster may redirect)
+    private var leaderHost: String = host
+    private var leaderPort: Int = port
 
-    override def beginTransaction(): Unit = { require(!inTx); inTx = true }
+    override def isFenced: Boolean = fenced
+
+    private def withConn[A](h: String, p: Int)(body: (BufferedOutputStream, DataInputStream) => A): A = {
+      val socket = new Socket()
+      try {
+        socket.connect(new InetSocketAddress(h, p), connectTimeoutMs)
+        socket.setSoTimeout(readTimeoutMs)
+        body(new BufferedOutputStream(socket.getOutputStream, 1 << 16),
+          new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16)))
+      } finally socket.close()
+    }
+
+    private def fence(code: Short, rpc: String): Nothing = {
+      fenced = true
+      throw new IllegalStateException(
+        s"producer fenced ($rpc error $code): a newer $transactionalId incarnation holds epoch > $epoch")
+    }
+
+    /**
+     * Coordinator bootstrap (reference kafka.rs init_transactions):
+     * Metadata discovers the leader; InitProducerId allocates the pid and
+     * BUMPS THE EPOCH for this incarnation — sequences restart at 0 under
+     * the new epoch (so a fresh producer per micro-batch partition is
+     * correctly sequenced) and any older incarnation is fenced.
+     */
+    private def initTransactions(out: BufferedOutputStream, in: DataInputStream): Unit = {
+      val mdCorr = corr.incrementAndGet()
+      out.write(encodeMetadataRequest(mdCorr, clientId, Nil)); out.flush()
+      val md = readMetadataResponse(in)
+      require(md.correlationId == mdCorr, "metadata correlation mismatch")
+      md.brokers.headOption.foreach { b => leaderHost = b.host; leaderPort = b.port }
+      val ipCorr = corr.incrementAndGet()
+      out.write(encodeInitProducerIdRequest(ipCorr, clientId, transactionalId)); out.flush()
+      val ip = readInitProducerIdResponse(in)
+      require(ip.correlationId == ipCorr, "init_producer_id correlation mismatch")
+      if (ip.errorCode != Errors.None)
+        throw new RuntimeException(s"InitProducerId failed: error ${ip.errorCode}")
+      pid = ip.producerId; epoch = ip.producerEpoch
+      initialized = true
+    }
+
+    override def beginTransaction(): Unit = {
+      require(!inTx, "already in a transaction")
+      if (transactional && !initialized) withConn(host, port)(initTransactions)
+      inTx = true
+    }
+
     override def send(rec: MessagingSinks.WireRecord): Unit =
       if (inTx) pending += rec else flush(Seq(rec))
-    override def abortTransaction(): Unit = { pending.clear(); inTx = false }
-    override def commitTransaction(): Unit = {
-      // failure does NOT clear pending or advance sequences — the replay
-      // must observe the exact same (pid, epoch, seq) triple to be deduped
-      if (pending.nonEmpty) flush(pending.toSeq)
+
+    override def abortTransaction(): Unit = {
+      // nothing hit the wire before commit → local clear; if a failed commit
+      // left uncommitted transactional data on the broker, write the abort
+      // marker so it can never become visible
+      if (transactional && txnOnWire && !fenced)
+        try withConn(leaderHost, leaderPort)(endTxn(_, _, committed = false))
+        catch { case _: Exception => () } // abort is best-effort; txn times out server-side
+      txnOnWire = false
       pending.clear(); inTx = false
     }
 
-    private def flush(recs: Seq[MessagingSinks.WireRecord]): Unit = {
-      val socket = new Socket()
-      try {
-        socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-        socket.setSoTimeout(readTimeoutMs)
-        val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
-        val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
-        recs.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (topic, rs) =>
-          val baseSeq: Int = Option(seqByTopic.get(topic)).fold(0)(_.intValue())
-          val batch = encodeBatch(
-            rs.map(r => Record(
-              if (r.key == null) null else r.key.getBytes(UTF_8), r.value,
-              r.headers.toSeq.sortBy(_._1).map { case (k, v) => k -> v.getBytes(UTF_8) })),
-            producerId = producerId, producerEpoch = 0,
-            baseSequence = baseSeq)
-          val id = corr.incrementAndGet()
-          out.write(encodeProduceRequest(id, clientId, transactionalId,
-            acks = -1, timeoutMs = readTimeoutMs, topic = topic,
-            partitionBatches = Seq(0 -> batch)))
-          out.flush()
-          val resp = readProduceResponse(in)
-          require(resp.correlationId == id, s"correlation mismatch: ${resp.correlationId} vs $id")
-          resp.acks.find(_.errorCode != 0).foreach { a =>
-            throw new RuntimeException(
-              s"produce to $topic[${a.partition}] failed: error ${a.errorCode}")
-          }
-          seqByTopic.put(topic, baseSeq + rs.length) // advance ONLY on ack
+    override def commitTransaction(): Unit = {
+      // failure does NOT clear pending or advance sequences — the replay
+      // must observe the exact same (pid, epoch, seq) triple to be deduped
+      if (pending.nonEmpty) {
+        if (transactional) commitWithCoordinator()
+        else flush(pending.toSeq)
+      }
+      pending.clear(); inTx = false; txnOnWire = false
+    }
+
+    /** AddPartitionsToTxn → Produce(transactional) → EndTxn(commit). */
+    private def commitWithCoordinator(): Unit =
+      withConn(leaderHost, leaderPort) { (out, in) =>
+        val topics = pending.map(_.topic).distinct.sorted.toSeq
+        val apCorr = corr.incrementAndGet()
+        out.write(encodeAddPartitionsToTxnRequest(apCorr, clientId,
+          AddPartitionsToTxnRequest(transactionalId, pid, epoch, topics.map(_ -> Seq(0)))))
+        out.flush()
+        val ap = readAddPartitionsToTxnResponse(in)
+        require(ap.correlationId == apCorr, "add_partitions correlation mismatch")
+        ap.results.flatMap(_._2).find(_._2 != Errors.None).foreach { case (_, code) =>
+          if (Errors.isFence(code)) fence(code, "AddPartitionsToTxn")
+          throw new RuntimeException(s"AddPartitionsToTxn failed: error $code")
         }
-      } finally socket.close()
+        produce(out, in, pending.toSeq)
+        endTxn(out, in, committed = true)
+      }
+
+    private def endTxn(out: BufferedOutputStream, in: DataInputStream, committed: Boolean): Unit = {
+      val id = corr.incrementAndGet()
+      out.write(encodeEndTxnRequest(id, clientId,
+        EndTxnRequest(transactionalId, pid, epoch, committed)))
+      out.flush()
+      val (rcorr, code) = readEndTxnResponse(in)
+      require(rcorr == id, "end_txn correlation mismatch")
+      if (Errors.isFence(code)) fence(code, "EndTxn")
+      if (code != Errors.None) throw new RuntimeException(s"EndTxn failed: error $code")
+    }
+
+    private def flush(recs: Seq[MessagingSinks.WireRecord]): Unit =
+      withConn(leaderHost, leaderPort)(produce(_, _, recs))
+
+    private def produce(out: BufferedOutputStream, in: DataInputStream,
+                        recs: Seq[MessagingSinks.WireRecord]): Unit = {
+      recs.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (topic, rs) =>
+        val baseSeq: Int = Option(seqByTopic.get(topic)).fold(0)(_.intValue())
+        val batch = encodeBatch(
+          rs.map(r => Record(
+            if (r.key == null) null else r.key.getBytes(UTF_8), r.value,
+            r.headers.toSeq.sortBy(_._1).map { case (k, v) => k -> v.getBytes(UTF_8) })),
+          producerId = pid, producerEpoch = epoch,
+          baseSequence = baseSeq, transactional = transactional && inTx)
+        val id = corr.incrementAndGet()
+        out.write(encodeProduceRequest(id, clientId, transactionalId,
+          acks = -1, timeoutMs = readTimeoutMs, topic = topic,
+          partitionBatches = Seq(0 -> batch)))
+        out.flush()
+        if (transactional && inTx) txnOnWire = true
+        val resp = readProduceResponse(in)
+        require(resp.correlationId == id, s"correlation mismatch: ${resp.correlationId} vs $id")
+        resp.acks.find(_.errorCode != 0).foreach { a =>
+          if (Errors.isFence(a.errorCode)) fence(a.errorCode, "Produce")
+          throw new RuntimeException(
+            s"produce to $topic[${a.partition}] failed: error ${a.errorCode}")
+        }
+        seqByTopic.put(topic, baseSeq + rs.length) // advance ONLY on ack
+      }
     }
   }
 }

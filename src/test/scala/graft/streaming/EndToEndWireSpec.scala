@@ -88,12 +88,14 @@ class EndToEndWireSpec extends SparkSpec {
     try {
       val names = Fx.ordersCols.map(_.name).toIndexedSeq
       val port = broker.port
-      // one producerId per Spark partition (what InitProducerId would hand
-      // each producer instance): repartition-by-key is deterministic, so a
-      // restarted attempt's partition re-sends under the SAME pid — the
-      // precondition for broker-side sequence dedup
+      // IDEMPOTENT (non-transactional) path: one stable producerId per Spark
+      // partition slot; repartition-by-key is deterministic, so a restarted
+      // attempt's partition re-sends under the SAME (pid, epoch 0, baseSeq)
+      // — the precondition for broker-side sequence dedup. (The
+      // transactional path — InitProducerId epoch bumps + EndTxn markers —
+      // is exercised wire-level in KafkaWireSpec against KafkaBrokerStub.)
       val sink = new MessagingSinks.KafkaLikeSink("kafka",
-        () => new SocketProducer("127.0.0.1", port, "graft-e2e", "graft-pipe-e2e",
+        () => new SocketProducer("127.0.0.1", port, "graft-e2e", transactionalId = null,
           producerId = org.apache.spark.TaskContext.getPartitionId() + 1L),
         topicTemplate = Some("cdc.${source.db}.${source.table}"))
       val cfg = CdcPipeline.Config(Seq(sink), ledgerDir = s"$root/ledger")

@@ -64,66 +64,26 @@ class KafkaWireSpec extends SparkSpec {
     assert(resp.correlationId == 9 && resp.acks.head.baseOffset == 1234L)
   }
 
-  /** Minimal broker: decodes Produce v3, CRC-checks batches, appends, acks. */
-  private class BrokerStub(failFirst: Boolean = false) {
-    case class Appended(topic: String, pid: Long, baseSeq: Int, key: String, value: String)
-    val log = new ConcurrentLinkedQueue[Appended]()
-    val requests = new AtomicInteger(0)
-    private val server = new ServerSocket(0)
-    val port: Int = server.getLocalPort
-    @volatile private var running = true
-    private val acceptor = new Thread(() => {
-      while (running) {
-        try {
-          val sock = server.accept()
-          new Thread(() => {
-            try {
-              val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-              val out = new BufferedOutputStream(sock.getOutputStream)
-              while (true) {
-                val req = readProduceRequest(in)
-                val n = requests.incrementAndGet()
-                if (failFirst && n == 1) {
-                  out.write(encodeProduceResponse(ProduceResponse(req.correlationId,
-                    req.topic, Seq(PartitionAck(0, 7, -1L))))) // REQUEST_TIMED_OUT
-                } else {
-                  req.batches.foreach { case (_, b) =>
-                    val (_, pid, _, baseSeq, recs) = decodeBatch(b) // CRC-verifies
-                    recs.foreach { r =>
-                      log.add(Appended(req.topic, pid, baseSeq,
-                        if (r.key == null) null else new String(r.key, UTF_8),
-                        new String(r.value, UTF_8)))
-                    }
-                  }
-                  out.write(encodeProduceResponse(ProduceResponse(req.correlationId,
-                    req.topic, Seq(PartitionAck(0, 0, log.size().toLong)))))
-                }
-                out.flush()
-              }
-            } catch { case _: java.io.IOException => () }
-            finally sock.close()
-          }).start()
-        } catch { case _: java.io.IOException => () }
-      }
-    })
-    acceptor.start()
-    def stop(): Unit = { running = false; server.close() }
-  }
-
-  test("kafka sink e2e over the wire: batches land CRC-verified with idempotence fields") {
-    val stub = new BrokerStub()
+  test("kafka sink e2e over the wire: txn batches land CRC-verified, coordinator-inited") {
+    val stub = new KafkaBrokerStub()
     try {
       val port = stub.port
+      // transactional.id per Spark partition slot (the Kafka pattern for
+      // parallel writers): each producer incarnation InitProducerIds its own
+      // (pid, epoch) and cannot fence its siblings
       val sink = new MessagingSinks.KafkaLikeSink("kw",
-        () => new SocketProducer("127.0.0.1", port, "graft-kw", "graft-pipe-kw"),
+        () => new SocketProducer("127.0.0.1", port, "graft-kw",
+          s"graft-pipe-kw-${org.apache.spark.TaskContext.getPartitionId()}"),
         topicTemplate = Some("cdc.${source.table}"))
       sink.write(events(40), 0L)
-      val appended = stub.log.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[stub.Appended])
+      val appended = stub.visible
       assert(appended.length == 40)
       assert(appended.forall(_.topic == "cdc.t"))
-      assert(appended.forall(_.pid == 1L)) // idempotence triple on the wire
+      assert(appended.forall(_.pid >= 1000L)) // pid allocated by InitProducerId
+      assert(appended.forall(_.epoch == 0)) // first incarnation per slot
       assert(appended.map(_.key).distinct.length == 40) // event-id keys
       assert(appended.head.value.contains("\"op\":\"c\""))
+      assert(stub.uncommittedCount == 0) // everything EndTxn-committed
     } finally stub.stop()
   }
 
@@ -138,16 +98,16 @@ class KafkaWireSpec extends SparkSpec {
 
   test("sequences are per topic and advance only on ack — replay re-sends the same triple") {
     // failing stub: the FIRST produce request errors; pending must survive
-    val stub = new BrokerStub(failFirst = true)
+    val stub = new KafkaBrokerStub(failFirstProduce = true)
     try {
       val p = new SocketProducer("127.0.0.1", stub.port, "c-seq")
       p.beginTransaction()
       p.send(MessagingSinks.WireRecord("topic-a", "k1", "v1".getBytes(UTF_8), Map.empty))
       p.send(MessagingSinks.WireRecord("topic-b", "k2", "v2".getBytes(UTF_8), Map.empty))
       intercept[RuntimeException] { p.commitTransaction() } // topic-a errors first
-      assert(stub.log.isEmpty) // nothing appended by the failed round
+      assert(stub.visible.isEmpty) // nothing appended by the failed round
       p.commitTransaction() // replay: stub healthy from request 2 on
-      val appended = stub.log.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[stub.Appended])
+      val appended = stub.visible
       assert(appended.map(_.key).toSet == Set("k1", "k2")) // both delivered
       // per-topic sequencing, NOT a shared counter; and the failed attempt
       // did not advance it — both topics start at 0 (broker-dedup-able)
@@ -156,27 +116,115 @@ class KafkaWireSpec extends SparkSpec {
   }
 
   test("abort leaves nothing on the wire; broker error fails the batch write") {
-    val stub = new BrokerStub()
+    val stub = new KafkaBrokerStub()
     try {
       val p = new SocketProducer("127.0.0.1", stub.port, "c1")
       p.beginTransaction()
       p.send(MessagingSinks.WireRecord("t", "k", "v".getBytes(UTF_8), Map.empty))
       p.abortTransaction()
-      assert(stub.log.isEmpty && stub.requests.get() == 0) // abort = zero wire traffic
+      assert(stub.visible.isEmpty && stub.produceRequests.get() == 0) // abort = zero wire traffic
 
       p.beginTransaction()
       p.send(MessagingSinks.WireRecord("t", "k", "v".getBytes(UTF_8), Map.empty))
       p.commitTransaction()
-      assert(stub.log.size() == 1)
+      assert(stub.visible.size == 1)
     } finally stub.stop()
 
-    val failing = new BrokerStub(failFirst = true)
+    val failing = new KafkaBrokerStub(failFirstProduce = true)
     try {
       val p2 = new SocketProducer("127.0.0.1", failing.port, "c2")
       p2.beginTransaction()
       p2.send(MessagingSinks.WireRecord("t", "k", "v".getBytes(UTF_8), Map.empty))
       intercept[RuntimeException] { p2.commitTransaction() } // error code 7 surfaces
-      assert(failing.log.isEmpty) // nothing appended by the failed request
+      assert(failing.visible.isEmpty) // nothing appended by the failed request
     } finally failing.stop()
+  }
+
+  test("coordinator codecs: Metadata, InitProducerId, AddPartitionsToTxn, EndTxn round-trip") {
+    val md = encodeMetadataResponse(MetadataResponse(7,
+      Seq(BrokerNode(0, "127.0.0.1", 9092)), 0,
+      Seq(TopicMeta(0, "t1", Seq(PartitionMeta(0, 0, 0))))))
+    val mdR = readMetadataResponse(new DataInputStream(new java.io.ByteArrayInputStream(md)))
+    assert(mdR.correlationId == 7 && mdR.brokers.head.port == 9092 &&
+      mdR.topics.head.name == "t1" && mdR.topics.head.partitions.head.leaderId == 0)
+
+    val (h1, d1) = readRequest(new DataInputStream(new java.io.ByteArrayInputStream(
+      encodeInitProducerIdRequest(8, "cli", "txn-1"))))
+    assert(h1.apiKey == 22 && h1.clientId == "cli" &&
+      readInitProducerIdRequestBody(d1)._1 == "txn-1")
+    val ip = readInitProducerIdResponse(new DataInputStream(new java.io.ByteArrayInputStream(
+      encodeInitProducerIdResponse(InitProducerIdResponse(8, 0, 1234L, 3)))))
+    assert(ip.producerId == 1234L && ip.producerEpoch == 3)
+
+    val (h2, d2) = readRequest(new DataInputStream(new java.io.ByteArrayInputStream(
+      encodeAddPartitionsToTxnRequest(9, "cli",
+        AddPartitionsToTxnRequest("txn-1", 1234L, 3, Seq("t1" -> Seq(0, 1)))))))
+    assert(h2.apiKey == 24)
+    val ap = readAddPartitionsToTxnRequestBody(d2)
+    assert(ap.producerId == 1234L && ap.topics == Seq("t1" -> Seq(0, 1)))
+
+    val (h3, d3) = readRequest(new DataInputStream(new java.io.ByteArrayInputStream(
+      encodeEndTxnRequest(10, "cli", EndTxnRequest("txn-1", 1234L, 3, committed = true)))))
+    assert(h3.apiKey == 26)
+    val et = readEndTxnRequestBody(d3)
+    assert(et.committed && et.producerEpoch == 3)
+    assert(readEndTxnResponse(new DataInputStream(new java.io.ByteArrayInputStream(
+      encodeEndTxnResponse(10, 0)))) == (10, 0.toShort))
+  }
+
+  test("wire fencing: epoch bump fences the old producer; its txn is never visible") {
+    // A commits but the EndTxn marker is lost (error 7): produce landed
+    // UNCOMMITTED. A newer incarnation B InitProducerIds the same
+    // transactional.id — the epoch bump aborts A's open txn and every later
+    // RPC from A is rejected with PRODUCER_FENCED (kafka.rs fence handling).
+    val stub = new KafkaBrokerStub(failFirstEndTxn = true)
+    try {
+      val a = new SocketProducer("127.0.0.1", stub.port, "a", "txn-f")
+      a.beginTransaction()
+      a.send(MessagingSinks.WireRecord("t", "ka", "va".getBytes(UTF_8), Map.empty))
+      intercept[RuntimeException] { a.commitTransaction() } // EndTxn lost
+      assert(stub.visible.isEmpty && stub.uncommittedCount == 1) // in doubt, invisible
+      assert(!a.isFenced) // transient failure, not a fence
+
+      val b = new SocketProducer("127.0.0.1", stub.port, "b", "txn-f")
+      b.beginTransaction() // InitProducerId bumps epoch 0 -> 1, aborts A's txn
+      assert(stub.currentEpoch("txn-f").contains(1.toShort))
+      assert(stub.uncommittedCount == 0) // A's uncommitted data discarded
+      b.send(MessagingSinks.WireRecord("t", "kb", "vb".getBytes(UTF_8), Map.empty))
+      b.commitTransaction()
+
+      // A is still inside its failed transaction (pending intact for replay);
+      // its retry now hits the bumped epoch
+      a.send(MessagingSinks.WireRecord("t", "ka2", "va2".getBytes(UTF_8), Map.empty))
+      intercept[IllegalStateException] { a.commitTransaction() } // fenced at AddPartitionsToTxn
+      assert(a.isFenced)
+
+      val visible = stub.visible
+      assert(visible.map(_.key) == Seq("kb")) // only B's txn ever became visible
+      assert(visible.forall(_.epoch == 1))
+    } finally stub.stop()
+  }
+
+  test("two micro-batches: fresh incarnations get bumped epochs — no triple reuse") {
+    // ADVICE finding: a fresh producer per micro-batch partition restarting
+    // at baseSequence 0 under the SAME (pid, epoch) would be deduped by an
+    // idempotent broker as a retry of batch 1. InitProducerId's epoch bump
+    // makes (pid, epoch, seq) unique per incarnation — the stub ENFORCES
+    // dedup, so a reused triple would lose records here.
+    val stub = new KafkaBrokerStub()
+    try {
+      val port = stub.port
+      val sink = new MessagingSinks.KafkaLikeSink("kw2",
+        () => new SocketProducer("127.0.0.1", port, "graft-kw2",
+          s"graft-pipe-kw2-${org.apache.spark.TaskContext.getPartitionId()}"),
+        topicTemplate = Some("cdc.${source.table}"))
+      sink.write(events(40), 0L)
+      sink.write(events(40), 1L) // same records again — a second micro-batch
+      val appended = stub.visible
+      assert(appended.length == 80, s"dedup ate a batch: ${appended.length}") // nothing lost
+      // same pid per partition slot across batches, epoch bumped
+      val byPid = appended.groupBy(_.pid)
+      assert(byPid.values.forall(as => as.map(_.epoch).distinct.sorted == Seq(0.toShort, 1.toShort)))
+    } finally stub.stop()
   }
 }
