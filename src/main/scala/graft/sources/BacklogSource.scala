@@ -76,15 +76,41 @@ object BacklogSource {
   case class BacklogOffset(segment: Int, line: Long, name: String = "") extends Offset {
     override def json(): String =
       if (name.isEmpty) s"""{"segment":$segment,"line":$line}"""
-      else s"""{"segment":$segment,"line":$line,"name":"$name"}"""
+      else s"""{"segment":$segment,"line":$line,"name":"${BacklogSource.escapeJson(name)}"}"""
+  }
+
+  /** Minimal JSON string escape — a segment name containing a quote or
+   * backslash must not produce an unreadable checkpoint offset. */
+  private[sources] def escapeJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private[sources] def unescapeJson(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString()
   }
 
   def parseOffset(json: String): BacklogOffset = {
     val bare = """\{"segment":(\d+),"line":(\d+)\}""".r
-    val named = """\{"segment":(\d+),"line":(\d+),"name":"([^"]*)"\}""".r
+    val named = """\{"segment":(\d+),"line":(\d+),"name":"((?:[^"\\]|\\.)*)"\}""".r
     json match {
       case bare(s, l) => BacklogOffset(s.toInt, l.toLong)
-      case named(s, l, n) => BacklogOffset(s.toInt, l.toLong, n)
+      case named(s, l, n) => BacklogOffset(s.toInt, l.toLong, unescapeJson(n))
       case _ => throw new IllegalArgumentException(s"bad backlog offset: $json")
     }
   }

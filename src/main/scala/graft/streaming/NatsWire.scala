@@ -35,18 +35,34 @@ object NatsWire {
     s != null && s.nonEmpty && !s.exists(c => c == ' ' || c == '*' || c == '>' ||
       c == '\r' || c == '\n') && !s.startsWith(".") && !s.endsWith(".") && !s.contains("..")
 
+  /** Strip header-line control bytes (CR/LF) from a header value or id. */
+  private def sanitizeValue(v: String): String =
+    if (v == null || !v.exists(c => c == '\r' || c == '\n')) v
+    else v.filterNot(c => c == '\r' || c == '\n')
+
+  /** Header keys may not contain CR/LF or ':' (they'd forge header lines). */
+  def validHeaderKey(k: String): Boolean =
+    k != null && k.nonEmpty && !k.exists(c => c == '\r' || c == '\n' || c == ':')
+
   /**
    * HPUB frame bytes: `NATS/1.0\r\n` header block (Nats-Msg-Id first, then
    * df-key and forwarded routing headers), blank line, payload.
+   *
+   * Injection guard (mirrors [[validSubject]]): msgId, dfKey and header
+   * values are user/routing-derived — embedded CR/LF would let one event
+   * forge arbitrary header lines (e.g. a spoofed Nats-Msg-Id). Values are
+   * stripped of CR/LF; header keys with CR/LF/':' are rejected outright.
    */
   def hpubFrame(subject: String, msgId: String, dfKey: String,
                 headers: Map[String, String], payload: Array[Byte]): Array[Byte] = {
     require(validSubject(subject), s"invalid NATS subject: '$subject'")
     val hdr = new StringBuilder("NATS/1.0\r\n")
-    hdr.append("Nats-Msg-Id: ").append(msgId).append("\r\n")
-    if (dfKey != null && dfKey.nonEmpty) hdr.append("df-key: ").append(dfKey).append("\r\n")
+    hdr.append("Nats-Msg-Id: ").append(sanitizeValue(msgId)).append("\r\n")
+    if (dfKey != null && dfKey.nonEmpty)
+      hdr.append("df-key: ").append(sanitizeValue(dfKey)).append("\r\n")
     headers.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      hdr.append(k).append(": ").append(v).append("\r\n")
+      require(validHeaderKey(k), s"invalid NATS header key: '$k'")
+      hdr.append(k).append(": ").append(sanitizeValue(v)).append("\r\n")
     }
     hdr.append("\r\n")
     val hdrBytes = hdr.toString.getBytes(UTF_8)

@@ -18,6 +18,16 @@ class BacklogSourceSpec extends SparkSpec {
   private def eventJson(id: Int, op: String = "c"): String =
     s"""{"op":"$op","after":"{\\"id\\":$id}","ts_ms":$id,"event_id":"e$id"}"""
 
+  test("offset json survives segment names with quotes and backslashes") {
+    import BacklogSource.{BacklogOffset, parseOffset}
+    for (name <- Seq("plain.segb64", """we"ird\name.jsonl""", "tab\there", "")) {
+      val off = BacklogOffset(3, 42L, name)
+      assert(parseOffset(off.json()) == off, s"round-trip failed for '$name'")
+    }
+    // pre-upgrade bare offsets still parse
+    assert(parseOffset("""{"segment":1,"line":2}""") == BacklogOffset(1, 2L))
+  }
+
   test("reads segments in order with (segment, pos) offsets") {
     val dir = Files.createTempDirectory("backlog").toString
     writeSegment(dir, "seg-000.jsonl", (1 to 5).map(eventJson(_)))

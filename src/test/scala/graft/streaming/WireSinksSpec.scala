@@ -210,6 +210,19 @@ class WireSinksSpec extends SparkSpec {
     assert(!NatsWire.validSubject("a..b") && !NatsWire.validSubject(".a"))
   }
 
+  test("hpub frame: CR/LF injection via msgId/dfKey/header values is neutralized") {
+    // a routing key carrying \r\n must not forge header lines (e.g. spoof a
+    // second Nats-Msg-Id); values are stripped, bad header KEYS rejected
+    val f = new String(NatsWire.hpubFrame("a.b", "id\r\nNats-Msg-Id: forged",
+      "k\r\n1", Map("x" -> "y\r\nz: w"), "p".getBytes(UTF_8)), UTF_8)
+    val expectHdr = "NATS/1.0\r\nNats-Msg-Id: idNats-Msg-Id: forged\r\ndf-key: k1\r\nx: yz: w\r\n\r\n"
+    assert(f == s"HPUB a.b ${expectHdr.length} ${expectHdr.length + 1}\r\n${expectHdr}p\r\n")
+    intercept[IllegalArgumentException](
+      NatsWire.hpubFrame("a.b", "i", "", Map("bad\r\nkey" -> "v"), Array.empty))
+    intercept[IllegalArgumentException](
+      NatsWire.hpubFrame("a.b", "i", "", Map("bad:key" -> "v"), Array.empty))
+  }
+
   test("nats sink e2e: handshake, templated subject, Msg-Id dedup key, payload intact") {
     val stub = new NatsStub()
     try {
