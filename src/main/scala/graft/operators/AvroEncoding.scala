@@ -115,6 +115,96 @@ object AvroEncoding {
   private def nullable(s: Schema): Schema =
     Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
 
+  // ———————————— MySQL source-type policies (avro_types.rs:22-220) ————————————
+
+  /**
+   * The reference's configurable "unsafe" type policies
+   * (avro_types.rs:22-66): how to map MySQL BIGINT UNSIGNED (string is the
+   * safe default — long overflows ≥ 2^63), ENUM (string default — the enum
+   * form breaks schema compatibility when symbols change), and naive
+   * timezone-unaware DATETIME (string ISO-8601 default — timestamp-millis
+   * is semantically misleading without a zone).
+   */
+  case class TypePolicies(
+      unsignedBigintMode: String = "string", // "string" | "long"
+      enumMode: String = "string", // "string" | "enum"
+      naiveTimestampMode: String = "string") // "string" | "timestamp"
+
+  /** A MySQL information_schema column description (avro_types.rs:70-95). */
+  case class MysqlColumn(name: String, dataType: String, columnType: String = "",
+                         nullableCol: Boolean = true, precision: Option[Int] = None,
+                         unsigned: Boolean = false)
+
+  /** Parse `enum('a','b','c')` symbol lists (avro_types.rs parse_mysql_enum_values). */
+  def parseMysqlEnumValues(columnType: String): Seq[String] = {
+    val lower = columnType.toLowerCase
+    val start = lower.indexOf("enum(")
+    if (start < 0) return Nil
+    val end = lower.indexOf(')', start + 5)
+    if (end < 0) return Nil
+    columnType.substring(start + 5, end).split(',').toSeq
+      .map(_.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty)
+  }
+
+  /** MySQL column type → Avro schema, policy-driven (avro_types.rs:100-220). */
+  def mysqlAvroType(col: MysqlColumn, p: TypePolicies = TypePolicies()): Schema =
+    col.dataType.toLowerCase match {
+      case "tinyint" | "smallint" | "mediumint" => Schema.create(Schema.Type.INT)
+      case "int" | "integer" =>
+        if (col.unsigned) Schema.create(Schema.Type.LONG) // INT UNSIGNED fits in long
+        else Schema.create(Schema.Type.INT)
+      case "bigint" =>
+        if (!col.unsigned) Schema.create(Schema.Type.LONG)
+        else if (p.unsignedBigintMode == "long") Schema.create(Schema.Type.LONG) // ≥2^63 fails encoding
+        else Schema.create(Schema.Type.STRING) // safe default
+      case "float" => Schema.create(Schema.Type.FLOAT)
+      case "double" | "real" => Schema.create(Schema.Type.DOUBLE)
+      // decimal stays a string through the JSON intermediary (the payload
+      // carries "1234.56", not a two's-complement BigInt)
+      case "decimal" | "numeric" => Schema.create(Schema.Type.STRING)
+      case "varchar" | "char" | "text" | "tinytext" | "mediumtext" | "longtext" =>
+        Schema.create(Schema.Type.STRING)
+      case "binary" | "varbinary" | "blob" | "tinyblob" | "mediumblob" | "longblob" =>
+        Schema.create(Schema.Type.BYTES)
+      case "date" =>
+        val s = Schema.create(Schema.Type.INT); LogicalTypes.date().addToSchema(s)
+      case "datetime" => // naive (no zone): policy
+        if (p.naiveTimestampMode == "timestamp") {
+          val s = Schema.create(Schema.Type.LONG); LogicalTypes.timestampMillis().addToSchema(s)
+        } else Schema.create(Schema.Type.STRING) // ISO-8601
+      case "timestamp" => // UTC-anchored
+        val s = Schema.create(Schema.Type.LONG); LogicalTypes.timestampMillis().addToSchema(s)
+      case "time" =>
+        val s = Schema.create(Schema.Type.LONG); LogicalTypes.timeMillis().addToSchema(s)
+      case "year" => Schema.create(Schema.Type.INT)
+      case "boolean" | "bool" => Schema.create(Schema.Type.BOOLEAN)
+      case "bit" if col.precision.contains(1) => Schema.create(Schema.Type.BOOLEAN)
+      case "bit" => Schema.create(Schema.Type.BYTES)
+      case "json" => Schema.create(Schema.Type.STRING)
+      case "enum" =>
+        val symbols = parseMysqlEnumValues(col.columnType)
+        if (p.enumMode == "enum" && symbols.nonEmpty)
+          Schema.createEnum(s"${col.name}_enum".replaceAll("[^A-Za-z0-9_]", "_"),
+            null, "graft.cdc", symbols.asJava)
+        else Schema.create(Schema.Type.STRING)
+      case "set" => Schema.create(Schema.Type.STRING)
+      case _ => Schema.create(Schema.Type.STRING) // lossy catch-all
+    }
+
+  /** MySQL table DDL → Avro record (nullable unions per column). */
+  def mysqlRecord(name: String, cols: Seq[MysqlColumn],
+                  p: TypePolicies = TypePolicies()): Schema = {
+    val fields = cols.map { c =>
+      val t = mysqlAvroType(c, p)
+      val fieldSchema = if (c.nullableCol) nullable(t) else t
+      if (c.nullableCol)
+        new Schema.Field(c.name, fieldSchema, null, Schema.Field.NULL_DEFAULT_VALUE)
+      else new Schema.Field(c.name, fieldSchema, null)
+    }
+    Schema.createRecord(name.replaceAll("[^A-Za-z0-9_]", "_"), null, "graft.cdc", false,
+      fields.toList.asJava)
+  }
+
   /** StructType → Avro record, ns `graft.cdc.<name>`, all fields nullable. */
   def record(name: String, st: StructType): Schema = {
     val fields = st.fields.map { f =>

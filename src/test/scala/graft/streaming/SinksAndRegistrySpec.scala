@@ -43,6 +43,64 @@ class SinksAndRegistrySpec extends SparkSpec {
     assert(new java.math.BigInteger(amountBytes.array()).intValue() == 1234) // unscaled 12.34
   }
 
+  test("avro mysql type policies: unsigned-bigint, enum, naive-timestamp (avro_types.rs:22-220)") {
+    import graft.operators.AvroEncoding._
+    import org.apache.avro.Schema
+
+    // BIGINT UNSIGNED: string by default (≥2^63 safe), long when opted in;
+    // signed bigint and INT UNSIGNED are unaffected by the policy
+    val ubig = MysqlColumn("n", "bigint", "bigint(20) unsigned", unsigned = true)
+    assert(mysqlAvroType(ubig).getType == Schema.Type.STRING)
+    assert(mysqlAvroType(ubig, TypePolicies(unsignedBigintMode = "long")).getType == Schema.Type.LONG)
+    assert(mysqlAvroType(MysqlColumn("n", "bigint")).getType == Schema.Type.LONG)
+    assert(mysqlAvroType(MysqlColumn("n", "int", unsigned = true)).getType == Schema.Type.LONG)
+    assert(mysqlAvroType(MysqlColumn("n", "int")).getType == Schema.Type.INT)
+
+    // ENUM: string by default; enum mode parses symbols from column_type and
+    // falls back to string when they can't be parsed
+    val en = MysqlColumn("status", "enum", "enum('new','paid','shipped')")
+    assert(mysqlAvroType(en).getType == Schema.Type.STRING)
+    val enumSchema = mysqlAvroType(en, TypePolicies(enumMode = "enum"))
+    assert(enumSchema.getType == Schema.Type.ENUM)
+    assert(enumSchema.getEnumSymbols.toArray.toSeq == Seq("new", "paid", "shipped"))
+    assert(enumSchema.getName == "status_enum")
+    assert(mysqlAvroType(MysqlColumn("s", "enum", "garbage"),
+      TypePolicies(enumMode = "enum")).getType == Schema.Type.STRING)
+    assert(parseMysqlEnumValues("ENUM('a', 'b' ,'c')") == Seq("a", "b", "c"))
+
+    // naive DATETIME: ISO-8601 string by default; timestamp-millis opt-in.
+    // Zone-anchored TIMESTAMP is always timestamp-millis, policy-independent.
+    val dt = MysqlColumn("created", "datetime")
+    assert(mysqlAvroType(dt).getType == Schema.Type.STRING)
+    val dtTs = mysqlAvroType(dt, TypePolicies(naiveTimestampMode = "timestamp"))
+    assert(dtTs.getType == Schema.Type.LONG &&
+      dtTs.getLogicalType.getName == "timestamp-millis")
+    val ts = mysqlAvroType(MysqlColumn("t", "timestamp"))
+    assert(ts.getLogicalType.getName == "timestamp-millis")
+    assert(mysqlAvroType(MysqlColumn("t", "timestamp"),
+      TypePolicies(naiveTimestampMode = "timestamp")).getLogicalType.getName == "timestamp-millis")
+
+    // the rest of the map: bit(1) → boolean, bit(n) → bytes, decimal → string,
+    // json/set → string, blobs → bytes, date → logical date, year → int
+    assert(mysqlAvroType(MysqlColumn("b", "bit", precision = Some(1))).getType == Schema.Type.BOOLEAN)
+    assert(mysqlAvroType(MysqlColumn("b", "bit", precision = Some(8))).getType == Schema.Type.BYTES)
+    assert(mysqlAvroType(MysqlColumn("d", "decimal", precision = Some(18))).getType == Schema.Type.STRING)
+    assert(mysqlAvroType(MysqlColumn("j", "json")).getType == Schema.Type.STRING)
+    assert(mysqlAvroType(MysqlColumn("s", "set", "set('a','b')")).getType == Schema.Type.STRING)
+    assert(mysqlAvroType(MysqlColumn("b", "longblob")).getType == Schema.Type.BYTES)
+    assert(mysqlAvroType(MysqlColumn("d", "date")).getLogicalType.getName == "date")
+    assert(mysqlAvroType(MysqlColumn("y", "year")).getType == Schema.Type.INT)
+
+    // record derivation: nullable columns become [null, T] unions with null default
+    val rec = mysqlRecord("orders", Seq(
+      MysqlColumn("id", "bigint", nullableCol = false),
+      MysqlColumn("status", "enum", "enum('a','b')")))
+    assert(rec.getNamespace == "graft.cdc")
+    assert(rec.getField("id").schema().getType == Schema.Type.LONG)
+    assert(rec.getField("status").schema().getType == Schema.Type.UNION)
+    assert(rec.getField("status").schema().getTypes.get(0).getType == Schema.Type.NULL)
+  }
+
   test("kafka-like sink: exactly-once txn commit, per-key ordering preserved") {
     import MessagingSinks._
     val q = SinksAndRegistrySpec.buffer
