@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Interpreter-level semantics for the built-in JavaScript engine. */
+class MiniJsSpec extends AnyFunSuite {
+  import MiniJs._
+
+  private def run(src: String): V = {
+    val e = new Engine()
+    e.eval(src)
+    e.call("main", Nil)
+  }
+  private def runS(src: String): String = toStr(run(src))
+  private def runN(src: String): Double = toNum(run(src))
+
+  test("literals, arithmetic, precedence, string concat") {
+    assert(runN("function main() { return 2 + 3 * 4; }") == 14)
+    assert(runN("function main() { return (2 + 3) * 4; }") == 20)
+    assert(runS("function main() { return 'a' + 1 + true; }") == "a1true")
+    assert(runN("function main() { return 7 % 3; }") == 1)
+    assert(runN("function main() { return -2 + +'3'; }") == 1)
+  }
+
+  test("var/let/const, if/else, while, for, for-of, break/continue") {
+    assert(runN(
+      """function main() {
+        |  let sum = 0;
+        |  for (let i = 0; i < 10; i++) {
+        |    if (i % 2 === 0) continue;
+        |    if (i > 7) break;
+        |    sum += i;
+        |  }
+        |  const arr = [10, 20, 30];
+        |  for (const x of arr) sum += x;
+        |  var j = 0;
+        |  while (j < 3) { sum = sum + 1; j++; }
+        |  return sum;
+        |}""".stripMargin) == 1 + 3 + 5 + 7 + 60 + 3)
+  }
+
+  test("objects: literals, member/index access and assignment, delete, in, keys") {
+    assert(runS(
+      """function main() {
+        |  const o = { a: 1, "b c": 2, nested: { x: "y" } };
+        |  o.d = o.a + o["b c"];
+        |  o.nested.x = o.nested.x + "!";
+        |  delete o.a;
+        |  const has = "a" in o ? "yes" : "no";
+        |  return Object.keys(o).join(",") + "|" + o.d + "|" + o.nested.x + "|" + has;
+        |}""".stripMargin) == "b c,nested,d|3|y!|no")
+  }
+
+  test("arrays: push/filter/map/slice/indexOf/includes/sort/reduce") {
+    assert(runS(
+      """function main() {
+        |  const a = [3, 1, 2];
+        |  a.push(4);
+        |  const even = a.filter(x => x % 2 === 0).map(x => x * 10);
+        |  const sorted = [3,1,2].sort((x, y) => x - y).join("");
+        |  const total = a.reduce((acc, x) => acc + x, 0);
+        |  return even.join(",") + "|" + sorted + "|" + total + "|" +
+        |    a.indexOf(2) + "|" + a.includes(9) + "|" + a.slice(1, 3).join("");
+        |}""".stripMargin) == "20,40|123|10|2|false|12")
+  }
+
+  test("functions: closures, arrow lexical this, method this-binding, recursion") {
+    assert(runN(
+      """function counter() {
+        |  let n = 0;
+        |  return function() { n += 1; return n; };
+        |}
+        |function fib(n) { return n < 2 ? n : fib(n - 1) + fib(n - 2); }
+        |function main() {
+        |  const c = counter();
+        |  c(); c();
+        |  const obj = { v: 40, get: function() { return this.v; } };
+        |  const arrowHost = {
+        |    v: 100,
+        |    mk: function() { return () => this.v; }
+        |  };
+        |  return c() + obj.get() + arrowHost.mk()() + fib(10);
+        |}""".stripMargin) == 3 + 40 + 100 + 55)
+  }
+
+  test("JSON: parse + stringify round-trip, integral numbers stay integral") {
+    assert(runS(
+      """function main() {
+        |  const o = JSON.parse('{"id": 1700000000000, "f": 1.5, "s": "x\\ny", "n": null, "arr": [1, 2]}');
+        |  o.added = true;
+        |  return JSON.stringify(o);
+        |}""".stripMargin) ==
+      """{"id":1700000000000,"f":1.5,"s":"x\ny","n":null,"arr":[1,2],"added":true}""")
+  }
+
+  test("equality: strict vs loose, typeof, truthiness") {
+    assert(runS(
+      """function main() {
+        |  return [1 === 1, "1" === 1, "1" == 1, null == undefined, null === undefined,
+        |    typeof "x", typeof 1, typeof undefined, typeof {}, typeof main,
+        |    !!"", !!"a", !!0, !!{}].join(",");
+        |}""".stripMargin) ==
+      "true,false,true,true,false,string,number,undefined,object,function,false,true,false,true")
+  }
+
+  test("string methods") {
+    assert(runS(
+      """function main() {
+        |  const s = "Hello World";
+        |  return [s.toUpperCase(), s.includes("World"), s.split(" ").length,
+        |    s.substring(0, 5), s.indexOf("World"), "  x ".trim(),
+        |    s.startsWith("He"), s.slice(-5)].join("|");
+        |}""".stripMargin) == "HELLO WORLD|true|2|Hello|6|x|true|World")
+  }
+
+  test("syntax errors and undefined references raise JsError") {
+    intercept[JsError](new Engine().eval("function broken( { return 1; }"))
+    intercept[JsError](run("function main() { return nope.x; }"))
+    intercept[JsError](run("function main() { notAFunction(); }"))
+  }
+
+  test("step budget halts runaway loops deterministically") {
+    val e = new Engine(maxSteps = 100000)
+    e.eval("function main() { while (true) {} }")
+    val ex = intercept[JsError](e.call("main", Nil))
+    assert(ex.getMessage.contains("step budget"))
+  }
+
+  test("recursion cap") {
+    val ex = intercept[JsError](run("function main() { return main(); }"))
+    assert(ex.getMessage.contains("recursion"))
+  }
+}

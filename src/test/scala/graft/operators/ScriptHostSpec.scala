@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
 
 /**
  * Script-engine UDF host: the reference's JS-processor slot
- * (crates/processors/src/js.rs) driven through a REAL JSR-223 engine.
- *
- * No JavaScript engine exists in this build environment (the GraalVM js
- * jars are not bundled), so these tests run the identical host path —
- * bootstrap-once, JSON wire in/out, mutate/drop/fan-out semantics,
- * routing extraction, chunked timeout — through the JVM's Scala script
- * engine. With graal.js on the classpath the [[ScriptHost.javascript]]
- * language runs reference-contract `processBatch` scripts unchanged.
+ * (crates/processors/src/js.rs) with scripts written in ACTUAL JAVASCRIPT,
+ * executed by the built-in [[MiniJs]] interpreter (graal.js when a cluster
+ * provides it — the same preamble runs on both). The JS scripts below
+ * mirror the reference's own test corpus (js_processor_tests.rs): mutate
+ * in place + return null, filter with arrow functions, fan out clones via
+ * JSON round-trip, single-object returns, ev.route() routing extraction.
+ * The JSR-223 path (scala engine) stays covered as the pluggable-language
+ * proof.
  */
 class ScriptHostSpec extends SparkSpec {
 
@@ -104,13 +104,120 @@ class ScriptHostSpec extends SparkSpec {
     assert(messages(ex).exists(m => m != null && m.contains("exceeded 1500ms")))
   }
 
-  test("javascript engine absent here: fail fast with the classpath hint") {
-    assume(!ScriptHost.isAvailable("graal.js")) // would pass through on a cluster with graal
-    val ex = intercept[IllegalArgumentException] {
-      ScriptHost.transform("function processBatch(events) { return events; }")
+  test("JS: mutate in place + return null = use mutated input (js.rs:84-88)") {
+    val js =
+      """function processBatch(events) {
+        |  for (const ev of events) {
+        |    if (ev.after) {
+        |      ev.after.note = "mutated";
+        |      ev.after.processed = true;
+        |      ev.after.src = ev.source.db + "." + ev.source.table + ":" + ev.op;
+        |    }
+        |  }
+        |  return null;
+        |}""".stripMargin
+    val out = ScriptHost.processor("jsm", js)(events()).orderBy("ts_ms").collect()
+    assert(out.length == 3) // nothing dropped
+    val c = out(0)
+    assert(c.getAs[String]("after").contains("\"note\":\"mutated\""))
+    assert(c.getAs[String]("after").contains("\"processed\":true"))
+    assert(c.getAs[String]("after").contains("\"src\":\"shop.orders:c\""))
+    assert(out(2).getAs[String]("after") == null) // delete's null image survives
+  }
+
+  test("JS: filter with arrow function; empty-return drops all (js_processor_tests)") {
+    val filt = ScriptHost.processor("jsf",
+      """function processBatch(events) {
+        |  return events.filter(ev => ev.op === "c");
+        |}""".stripMargin)(events()).collect()
+    assert(filt.length == 1 && filt.head.getAs[String]("op") == "c")
+
+    val none = ScriptHost.processor("jsd",
+      "function processBatch(events) { return []; }")(events()).collect()
+    assert(none.isEmpty)
+  }
+
+  test("JS: fan-out via JSON clone; single-object return wrapped; ev.route routing") {
+    val js =
+      """function processBatch(events) {
+        |  const out = [];
+        |  for (const ev of events) {
+        |    if (ev.op === "d") continue;
+        |    ev.route({ topic: "cdc." + ev.op, key: ev.event_id });
+        |    out.push(ev);
+        |    if (ev.op === "c") {
+        |      const audit = JSON.parse(JSON.stringify(ev));
+        |      audit.after = audit.after || {};
+        |      audit.after.is_audit = true;
+        |      audit.event_id = null;
+        |      route(audit, { topic: "audit" });
+        |      out.push(audit);
+        |    }
+        |  }
+        |  return out.length === 1 ? out[0] : out;
+        |}""".stripMargin
+    val out = ScriptHost.processor("js1", js)(events())
+      .orderBy("ts_ms", "synthetic").collect()
+    assert(out.length == 3) // c + audit clone + u; d dropped
+    val Array(c, cSynth, u) = out.sortBy(r => (r.getAs[Long]("ts_ms"), r.getAs[String]("event_id") == null))
+    assert(c.getAs[org.apache.spark.sql.Row]("routing").getAs[String]("topic") == "cdc.c")
+    assert(c.getAs[org.apache.spark.sql.Row]("routing").getAs[String]("key") == "e100")
+    assert(u.getAs[org.apache.spark.sql.Row]("routing").getAs[String]("topic") == "cdc.u")
+    assert(c.getAs[org.apache.spark.sql.Row]("source").getAs[String]("table") == "orders")
+    assert(cSynth.getAs[String]("event_id") == null)
+    assert(cSynth.getAs[String]("synthetic") == "js1") // fabricated ⇒ marked
+    assert(cSynth.getAs[String]("after").contains("\"is_audit\":true"))
+    assert(cSynth.getAs[org.apache.spark.sql.Row]("routing").getAs[String]("topic") == "audit")
+  }
+
+  test("JS: routing-table lookup by op (js_routes_by_op_type)") {
+    val js =
+      """function processBatch(events) {
+        |  for (const ev of events) {
+        |    const routing = { "c": "inserts", "u": "updates", "d": "deletes", "r": "snapshots" };
+        |    if (ev.after) ev.after.routed_to = routing[ev.op] || "unknown";
+        |    else if (ev.before) ev.before.routed_to = routing[ev.op] || "unknown";
+        |  }
+        |  return null;
+        |}""".stripMargin
+    val out = ScriptHost.processor("jsr", js)(events()).orderBy("ts_ms").collect()
+    assert(out(0).getAs[String]("after").contains("\"routed_to\":\"inserts\""))
+    assert(out(1).getAs[String]("after").contains("\"routed_to\":\"updates\""))
+    assert(out(2).getAs[String]("before").contains("\"routed_to\":\"deletes\""))
+  }
+
+  test("JS: i64 envelope fields re-normalize through f64 (js.rs:205-213)") {
+    // 1700000000000 > 2^32 but < 2^53: survives the double round-trip and
+    // must come back as a LONG in ts_ms, not 1.7e12
+    val js =
+      """function processBatch(events) {
+        |  for (const ev of events) { ev.after.seen_ts = ev.ts_ms; }
+        |  return events;
+        |}""".stripMargin
+    val t = ScriptHost.transform(js)
+    val out = t(Iterator(UdfHost.UserEvent(before = null, after = "{}",
+      op = "c", tsMs = 1700000000123L, eventId = "e1", table = "t", db = "d"))).toSeq
+    assert(out.head.tsMs == 1700000000123L)
+    assert(out.head.after.contains("\"seen_ts\":1700000000123")) // no exponent/decimal
+  }
+
+  test("JS: syntax error and missing processBatch fail at construction (js.rs errors)") {
+    intercept[MiniJs.JsError] {
+      ScriptHost.transform("function processBatch(events { return events; }") // missing )
     }
-    assert(ex.getMessage.contains("graal.js"))
-    assert(ex.getMessage.contains("org.graalvm.js"))
+    intercept[IllegalArgumentException] {
+      ScriptHost.transform("function wrongName(events) { return events; }")
+    }
+  }
+
+  test("JS: runaway script halts on the step budget, not a pinned thread") {
+    val t = ScriptHost.transform(
+      "function processBatch(events) { while (true) {} }")
+    val ex = intercept[MiniJs.JsError] {
+      t(Iterator(UdfHost.UserEvent(before = null, after = "{}",
+        op = "c", tsMs = 1L, eventId = "e", table = "t", db = "d"))).toSeq
+    }
+    assert(ex.getMessage.contains("step budget"))
   }
 
   test("json wire: ts_ms normalized back to i64, null images survive") {
