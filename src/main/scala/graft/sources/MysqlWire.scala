@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+/**
+ * MySQL client/server wire protocol — the live-socket transport in front of
+ * [[MysqlBinlog.decodeSegment]]: packet framing, the HandshakeV10 →
+ * HandshakeResponse41 exchange with `mysql_native_password` scrambling, and
+ * `COM_BINLOG_DUMP_GTID`, after which the server streams binlog events that
+ * feed the existing decoder unchanged.
+ *
+ * Reference: crates/sources/src/mysql/mod.rs:63-114 drives the same
+ * sequence through mysql_async's BinlogStream; the protocol itself is the
+ * public MySQL client/server protocol (packet framing, handshake, and the
+ * binlog dump command family).
+ *
+ * Both sides of each exchange are implemented (encode AND decode) so the
+ * spec can run a live TCP stub server that authenticates, parses the dump
+ * request, and streams fixture events — proving connect → auth → dump →
+ * decode → reconnect-resume end to end on real sockets.
+ */
+object MysqlWire {
+
+  // —————————————————— packet framing: [len:3 LE][seq:1][payload] ——————————————————
+
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    out.write(payload.length & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    out.write((payload.length >> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(payload)
+    out.flush()
+  }
+
+  /** (sequence, payload). */
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    def b(): Int = {
+      val v = in.read()
+      if (v < 0) throw new EOFException("mysql: connection closed")
+      v
+    }
+    val len = b() | (b() << 8) | (b() << 16)
+    val seq = b()
+    val payload = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(payload, off, len - off)
+      if (n < 0) throw new EOFException("mysql: connection closed mid-packet")
+      off += n
+    }
+    (seq, payload)
+  }
+
+  // —————————————————— little-endian scratch writers/readers ——————————————————
+
+  class W {
+    val buf = new ByteArrayOutputStream()
+    def u1(v: Int): W = { buf.write(v & 0xff); this }
+    def u2(v: Int): W = { u1(v); u1(v >> 8) }
+    def u4(v: Long): W = { u2(v.toInt); u2((v >> 16).toInt) }
+    def u8(v: Long): W = { u4(v); u4(v >>> 32) }
+    def raw(b: Array[Byte]): W = { buf.write(b, 0, b.length); this }
+    def str0(s: String): W = { raw(s.getBytes(UTF_8)); u1(0) }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  class R(val b: Array[Byte], var off: Int) {
+    def u1(): Int = { val v = b(off) & 0xff; off += 1; v }
+    def u2(): Int = u1() | (u1() << 8)
+    def u4(): Long = (u2().toLong & 0xffff) | ((u2().toLong & 0xffff) << 16)
+    def u8(): Long = u4() | (u4() << 32)
+    def strN(n: Int): String = { val s = new String(b, off, n, UTF_8); off += n; s }
+    def str0(): String = {
+      val start = off
+      while (b(off) != 0) off += 1
+      val s = new String(b, start, off - start, UTF_8)
+      off += 1
+      s
+    }
+    def rawN(n: Int): Array[Byte] = { val a = java.util.Arrays.copyOfRange(b, off, off + n); off += n; a }
+    def remaining: Int = b.length - off
+  }
+
+  // —————————————————— auth: mysql_native_password ——————————————————
+
+  /** SHA1(pass) XOR SHA1(nonce ++ SHA1(SHA1(pass))) — the 20-byte scramble. */
+  def nativePasswordScramble(password: String, nonce: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val sha1 = MessageDigest.getInstance("SHA-1")
+    val p1 = sha1.digest(password.getBytes(UTF_8))
+    sha1.reset()
+    val p2 = sha1.digest(p1)
+    sha1.reset()
+    sha1.update(nonce, 0, 20)
+    sha1.update(p2)
+    val mix = sha1.digest()
+    p1.indices.toArray.map(i => (p1(i) ^ mix(i)).toByte)
+  }
+
+  // capabilities the client advertises
+  val CapLongPassword = 0x1L
+  val CapProtocol41 = 0x200L
+  val CapSecureConnection = 0x8000L
+  val CapPluginAuth = 0x80000L
+
+  case class Greeting(serverVersion: String, connectionId: Long, nonce: Array[Byte],
+                      capabilities: Long, authPlugin: String)
+
+  /** Server side: HandshakeV10 bytes. */
+  def encodeGreeting(serverVersion: String, connectionId: Long, nonce20: Array[Byte]): Array[Byte] = {
+    require(nonce20.length == 20, "nonce must be 20 bytes")
+    val caps = CapLongPassword | CapProtocol41 | CapSecureConnection | CapPluginAuth
+    new W()
+      .u1(10) // protocol version
+      .str0(serverVersion)
+      .u4(connectionId)
+      .raw(nonce20.take(8)).u1(0) // auth-plugin-data part 1 + filler
+      .u2(caps.toInt) // capability flags lower
+      .u1(33) // charset utf8_general_ci
+      .u2(2) // status: autocommit
+      .u2((caps >> 16).toInt) // capability flags upper
+      .u1(21) // auth plugin data total length (20 + NUL)
+      .raw(new Array[Byte](10)) // reserved
+      .raw(nonce20.drop(8)).u1(0) // part 2 + NUL
+      .str0("mysql_native_password")
+      .bytes
+  }
+
+  def decodeGreeting(payload: Array[Byte]): Greeting = {
+    val r = new R(payload, 0)
+    val proto = r.u1()
+    require(proto == 10, s"mysql: unsupported protocol version $proto")
+    val version = r.str0()
+    val connId = r.u4()
+    val auth1 = r.rawN(8)
+    r.u1() // filler
+    val capLow = r.u2().toLong
+    r.u1() // charset
+    r.u2() // status
+    val capHigh = r.u2().toLong
+    val authLen = r.u1()
+    r.rawN(10) // reserved
+    val caps = capLow | (capHigh << 16)
+    val auth2 = r.rawN(math.max(13, authLen - 8)).takeWhile(_ != 0) // 12 bytes + NUL
+    val plugin = if ((caps & CapPluginAuth) != 0 && r.remaining > 0) r.str0() else "mysql_native_password"
+    Greeting(version, connId, auth1 ++ auth2, caps, plugin)
+  }
+
+  /** Client side: HandshakeResponse41. */
+  def encodeHandshakeResponse(user: String, password: String, nonce: Array[Byte]): Array[Byte] = {
+    val caps = CapLongPassword | CapProtocol41 | CapSecureConnection | CapPluginAuth
+    val scramble = nativePasswordScramble(password, nonce)
+    new W()
+      .u4(caps)
+      .u4(1 << 24) // max packet size
+      .u1(33) // charset
+      .raw(new Array[Byte](23))
+      .str0(user)
+      .u1(scramble.length).raw(scramble)
+      .str0("mysql_native_password")
+      .bytes
+  }
+
+  case class HandshakeResponse(user: String, scramble: Array[Byte])
+
+  def decodeHandshakeResponse(payload: Array[Byte]): HandshakeResponse = {
+    val r = new R(payload, 0)
+    r.u4(); r.u4(); r.u1(); r.rawN(23)
+    val user = r.str0()
+    val n = r.u1()
+    HandshakeResponse(user, r.rawN(n))
+  }
+
+  def okPacket(): Array[Byte] = new W().u1(0).u1(0).u1(0).u2(2).u2(0).bytes
+  def errPacket(code: Int, msg: String): Array[Byte] =
+    new W().u1(0xff).u2(code).raw("#HY000".getBytes(UTF_8)).raw(msg.getBytes(UTF_8)).bytes
+
+  def requireOk(payload: Array[Byte], what: String): Unit =
+    if ((payload(0) & 0xff) == 0xff) {
+      val r = new R(payload, 1)
+      val code = r.u2()
+      throw new java.io.IOException(s"mysql: $what failed (error $code): " +
+        new String(payload, r.off, payload.length - r.off, UTF_8))
+    }
+
+  // —————————————————— COM_BINLOG_DUMP_GTID (0x1e) ——————————————————
+
+  case class DumpRequest(serverId: Long, file: String, pos: Long,
+                         gtids: Seq[(java.util.UUID, Long, Long)]) // (sid, startGno, endGnoExcl)
+
+  def encodeBinlogDumpGtid(req: DumpRequest): Array[Byte] = {
+    val gtidData = {
+      // SID block: u8 n_sids, then per sid: 16 UUID bytes (big-endian),
+      // u8 n_intervals, and (start, end-exclusive) u8 pairs
+      val w = new W().u8(req.gtids.length.toLong)
+      req.gtids.foreach { case (sid, start, end) =>
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(sid.getMostSignificantBits); bb.putLong(sid.getLeastSignificantBits)
+        w.raw(bb.array()).u8(1L).u8(start).u8(end)
+      }
+      w.bytes
+    }
+    new W()
+      .u1(0x1e)
+      .u2(0) // flags
+      .u4(req.serverId)
+      .u4(req.file.length.toLong)
+      .raw(req.file.getBytes(UTF_8))
+      .u8(req.pos)
+      .u4(gtidData.length.toLong)
+      .raw(gtidData)
+      .bytes
+  }
+
+  def decodeBinlogDumpGtid(payload: Array[Byte]): DumpRequest = {
+    val r = new R(payload, 0)
+    require(r.u1() == 0x1e, "not COM_BINLOG_DUMP_GTID")
+    r.u2() // flags
+    val serverId = r.u4()
+    val nameLen = r.u4().toInt
+    val file = r.strN(nameLen)
+    val pos = r.u8()
+    r.u4() // gtid data size
+    val nSids = r.u8()
+    val gtids = (0L until nSids).map { _ =>
+      val sidBytes = r.rawN(16)
+      val bb = java.nio.ByteBuffer.wrap(sidBytes)
+      val sid = new java.util.UUID(bb.getLong, bb.getLong)
+      val nIntervals = r.u8()
+      var start = 0L; var end = 0L
+      (0L until nIntervals).foreach { i =>
+        val s = r.u8(); val e = r.u8()
+        if (i == 0) { start = s; end = e } else end = e
+      }
+      (sid, start, end)
+    }
+    DumpRequest(serverId, file, pos, gtids)
+  }
+
+  // —————————————————— the binlog client ——————————————————
+
+  /**
+   * Connect → authenticate → COM_BINLOG_DUMP_GTID → stream events into
+   * `onEvent(rawEventBytes, endPos)`; return normally when the server
+   * finishes (EOF packet) and propagate IOException on a dropped
+   * connection so the caller can reconnect from its checkpoint.
+   * `onEvent` returning false stops the tail (clean client stop).
+   */
+  class BinlogClient(host: String, port: Int, user: String, password: String,
+                     serverId: Long = 101L, connectTimeoutMs: Int = 5000,
+                     readTimeoutMs: Int = 30000) {
+
+    def tail(file: String, pos: Long)(onEvent: (Array[Byte], Long) => Boolean): Unit = {
+      val socket = new Socket()
+      try {
+        socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+        socket.setSoTimeout(readTimeoutMs)
+        val in = new BufferedInputStream(socket.getInputStream, 1 << 16)
+        val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+
+        // handshake
+        val (_, greetingBytes) = readPacket(in)
+        requireOk(greetingBytes, "greeting") // server may greet with ERR
+        val greeting = decodeGreeting(greetingBytes)
+        writePacket(out, 1, encodeHandshakeResponse(user, password, greeting.nonce))
+        val (_, authAck) = readPacket(in)
+        requireOk(authAck, "authentication")
+
+        // dump request (new command resets sequence)
+        writePacket(out, 0, encodeBinlogDumpGtid(DumpRequest(serverId, file, pos, Nil)))
+
+        // event stream: each packet = [0x00][binlog event]; 0xfe short packet = EOF
+        var going = true
+        while (going) {
+          val (_, p) = readPacket(in)
+          (p(0) & 0xff) match {
+            case 0x00 =>
+              val event = java.util.Arrays.copyOfRange(p, 1, p.length)
+              // header: ts u4, type u1, server u4, len u4, logPos u4 @ offset 13
+              val endPos = new R(event, 13).u4()
+              going = onEvent(event, endPos)
+            case 0xfe if p.length < 9 => going = false // EOF
+            case 0xff => requireOk(p, "binlog stream")
+            case other => throw new java.io.IOException(s"mysql: unexpected packet marker $other")
+          }
+        }
+      } finally socket.close()
+    }
+  }
+}
