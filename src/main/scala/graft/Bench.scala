@@ -136,6 +136,57 @@ object Bench {
       }
     }
 
+    // Scale probe for the dedup family — the "sf1" datapoint. No sf1
+    // testdata exists, so scale the sf0.1 corpus 10× with TOKEN-SALTED
+    // replicas: replica r suffixes every token with _r, so each replica
+    // shard reproduces the original corpus's internal near-dup structure
+    // while sharing zero shingles across shards — the realistic "bigger
+    // corpus" model (10 independent shards), not a 10-clique of dups per
+    // document. (Word ROTATION fails here: rotations share nearly all
+    // cyclic n-grams, making every replica a near-dup of its siblings and
+    // exploding the pair graph quadratically — measured 37× CPU.)
+    // Near-linear CPU growth (≲12× for 10× data) proves the df-capped
+    // posting join + checkpointed CC hold at the next scale step.
+    // SPARK_GRAFT_SCALE_PROBE=0 skips (local iteration aid).
+    val scaleProbe: String =
+      if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) "null"
+      else {
+        import org.apache.spark.sql.functions._
+        import graft.llm.Dedup
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        def scaled(mult: Int) =
+          if (mult == 1) docs
+          else docs
+            .withColumn("_rep", explode(array((0 until mult).map(lit): _*)))
+            .withColumn("doc_id", col("doc_id") * mult + col("_rep"))
+            .withColumn("text", when(col("_rep") === 0, col("text")).otherwise(
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit("_"), col("_rep"))), " ")))
+            .drop("_rep")
+        def probe(mult: Int): (Double, Double, Double, Double) = {
+          spark.catalog.clearCache(); System.gc()
+          val d = scaled(mult)
+          val (jw, jc) = timed(
+            Dedup.jaccardPairs(d, 0.5, maxDf = Some(1000L))
+              .write.mode("overwrite").format("noop").save())
+          spark.catalog.clearCache(); System.gc()
+          val (cw, cc) = timed(
+            Dedup.clusters(d, Dedup.jaccardPairs(d, 0.5, maxDf = Some(1000L)))
+              .write.mode("overwrite").format("noop").save())
+          (jw, jc, cw, cc)
+        }
+        try {
+          val (j1w, j1c, c1w, c1c) = probe(1)
+          val (j10w, j10c, c10w, c10c) = probe(10)
+          f"""{"mult":10,"dedup_jaccard":{"x1_wall":$j1w%.2f,"x1_cpu":$j1c%.2f,"x10_wall":$j10w%.2f,"x10_cpu":$j10c%.2f,"cpu_growth":${j10c / math.max(j1c, 0.01)}%.2f},"dedup_clusters":{"x1_wall":$c1w%.2f,"x1_cpu":$c1c%.2f,"x10_wall":$c10w%.2f,"x10_cpu":$c10c%.2f,"cpu_growth":${c10c / math.max(c1c, 0.01)}%.2f}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
+            "null"
+        }
+      }
+
     // failed queries are excluded from the total and listed separately —
     // a -1 sentinel summed into "value" silently deflates the total
     val ok = results.collect { case (k, Some((w, c))) => (k, w, c) }
@@ -145,7 +196,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"scale_probe_x10":$scaleProbe}"""
     val pw = new java.io.PrintWriter(outPath)
     try { pw.println(json) } finally { pw.close() }
     println(json)
