@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * Live tail → backlog bridge: drives [[MysqlWire.BinlogClient]] and spools
+ * received binlog events into [[BacklogSource]] segment files (`.segb64`),
+ * so the DSv2 streaming source — offsets, admission control, checkpoint
+ * resume, the purge guard — tails a LIVE SOCKET. This is the reference's
+ * source loop (crates/sources/src/mysql/mod.rs:63-114: connect, stream,
+ * checkpoint, reconnect with backoff) composed with the existing
+ * file-offset machinery instead of re-implementing it: the spool is the
+ * durable replay buffer (the role Kafka plays in a Debezium deployment).
+ *
+ * Transaction-safe segmentation: events buffer until an XID (commit)
+ * event closes a transaction AND the segment budget is reached — a
+ * segment never splits a transaction or separates a TABLE_MAP from its
+ * ROWS events. Every segment is prefixed with the last-seen
+ * FORMAT_DESCRIPTION event so each decodes self-contained. On a dropped
+ * connection the uncommitted tail buffer is DISCARDED, not spooled — the
+ * reconnect re-fetches it from the checkpointed position, so spooled
+ * segments contain every transaction exactly once, whole.
+ */
+class BinlogSpooler(
+    host: String, port: Int, user: String, password: String,
+    dir: String, binlogFile: String, startPos: Long = 4L,
+    maxEventsPerSegment: Int = 1000,
+    serverId: Long = 101L) {
+
+  private val XID_EVENT = 16
+  private val statePath = Paths.get(dir, "_spool_checkpoint")
+  Files.createDirectories(Paths.get(dir))
+
+  /** Spooled-through position: resume point for reconnects. */
+  def checkpoint(): Long =
+    if (Files.exists(statePath)) new String(Files.readAllBytes(statePath), UTF_8).trim.toLong
+    else startPos
+
+  private def commitCheckpoint(pos: Long): Unit = {
+    val tmp = Paths.get(dir, "_spool_checkpoint.tmp")
+    Files.write(tmp, pos.toString.getBytes(UTF_8))
+    Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private var fde: Array[Byte] = Array.emptyByteArray
+  private val buffer = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var bufferedEvents = 0
+  private var safePos = -1L // end position of the last committed tx in buffer
+
+  private def flushSegment(): Unit = if (buffer.nonEmpty && safePos > 0) {
+    val body = new java.io.ByteArrayOutputStream()
+    if (fde.nonEmpty) body.write(fde)
+    buffer.foreach(body.write)
+    val name = f"seg-$safePos%012d.segb64"
+    val tmp = Paths.get(dir, s"$name.tmp")
+    Files.write(tmp, java.util.Base64.getEncoder.encodeToString(body.toByteArray).getBytes(UTF_8))
+    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+    buffer.clear()
+    bufferedEvents = 0
+    commitCheckpoint(safePos)
+    safePos = -1L
+  }
+
+  /**
+   * One connection attempt: tail from the checkpoint, spool tx-whole
+   * segments, flush the closed tail on clean EOF. IOException (dropped
+   * connection) propagates after discarding the uncommitted tail.
+   */
+  def runOnce(): Unit = {
+    val client = new MysqlWire.BinlogClient(host, port, user, password, serverId)
+    try {
+      client.tail(binlogFile, checkpoint()) { (e, endPos) =>
+        val typ = e(4) & 0xff
+        if (typ == MysqlBinlog.FORMAT_DESCRIPTION_EVENT) fde = e
+        else {
+          buffer += e
+          bufferedEvents += 1
+          if (typ == XID_EVENT) {
+            safePos = endPos // tx closed — segment may cut here
+            if (bufferedEvents >= maxEventsPerSegment) flushSegment()
+          }
+        }
+        true
+      }
+      flushSegment() // clean EOF: spool the closed tail
+    } catch {
+      case e: java.io.IOException =>
+        // drop mid-tx: spool nothing past the last commit; the reconnect
+        // re-fetches the discarded tail from the checkpoint
+        flushSegment()
+        buffer.clear(); bufferedEvents = 0
+        throw e
+    }
+  }
+
+  /**
+   * Pump with reconnect-backoff until a clean end of stream (the stub's
+   * EOF; a real server stream is endless — run on a maintenance thread).
+   * Returns the number of connection attempts.
+   */
+  def pump(maxAttempts: Int = 5, backoffMs: Long = 50L): Int = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try { runOnce(); done = true }
+      catch {
+        case e: java.io.IOException =>
+          if (attempts >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempts)
+      }
+    }
+    attempts
+  }
+}

@@ -26,92 +26,8 @@ class LiveWireSpec extends SparkSpec {
 
   // ———————————————————————— MySQL side ————————————————————————
 
-  private val Uuid = java.util.UUID.fromString("3e11fa47-71ca-11e1-9e33-c80aa9429562")
-
-  private def patchLogPos(e: Array[Byte], pos: Long): Array[Byte] = {
-    val p = e.clone()
-    p(13) = (pos & 0xff).toByte; p(14) = ((pos >> 8) & 0xff).toByte
-    p(15) = ((pos >> 16) & 0xff).toByte; p(16) = ((pos >> 24) & 0xff).toByte
-    p
-  }
-  private def logPos(e: Array[Byte]): Long =
-    (e(13) & 0xffL) | ((e(14) & 0xffL) << 8) | ((e(15) & 0xffL) << 16) | ((e(16) & 0xffL) << 24)
-  private def eventType(e: Array[Byte]): Int = e(4) & 0xff
-
-  /** A realistic binlog event stream: FDE, then per row GTID + TABLE_MAP +
-   * WRITE_ROWS (table map before every rows event, like real binlogs, so a
-   * resume mid-stream always has its map), closed by XID; log_pos patched
-   * to true byte offsets in the virtual file. */
-  private def binlogFile(pks: Seq[Long]): IndexedSeq[Array[Byte]] = {
-    val ts = 1700000000L
-    val raw = IndexedSeq.newBuilder[Array[Byte]]
-    raw += Fx.formatDescription(ts, 0)
-    pks.foreach { pk =>
-      raw += Fx.gtid(Uuid, pk + 1, ts, 0)
-      raw += Fx.tableMap(Fx.OrdersTableId, Fx.OrdersDb, Fx.OrdersTable, Fx.ordersCols, ts, 0)
-      raw += Fx.rowsEvent(B.WRITE_ROWS_V2, Fx.OrdersTableId, Fx.ordersCols,
-        Seq(Seq(Fx.orderValues(pk, pk + 100, "O", 10.50 + pk, 812332800000L, "2-HIGH"))), ts, 0)
-    }
-    raw += Fx.xid(7L, ts, 0)
-    var off = 4L // binlog files start with the 4-byte magic
-    raw.result().map { e => off += e.length; patchLogPos(e, off) }
-  }
-
-  /** Minimal MySQL server: greeting → scramble check → dump request parse →
-   * event stream (optionally dropping the connection mid-stream on the
-   * first connection). */
-  private class MysqlStub(password: String, events: IndexedSeq[Array[Byte]],
-                          dropAfterOnFirst: Int = Int.MaxValue) {
-    import MysqlWire._
-    val nonce: Array[Byte] = (1 to 20).map(_.toByte).toArray
-    val dumps = new ConcurrentLinkedQueue[DumpRequest]()
-    private val conns = new AtomicInteger(0)
-    private val server = new ServerSocket(0)
-    val port: Int = server.getLocalPort
-    @volatile private var running = true
-    private val acceptor = new Thread(() => {
-      while (running) {
-        try {
-          val sock = server.accept()
-          new Thread(() => {
-            try {
-              val n = conns.incrementAndGet()
-              val in = new BufferedInputStream(sock.getInputStream)
-              val out = new BufferedOutputStream(sock.getOutputStream)
-              writePacket(out, 0, encodeGreeting("8.0.36-graft", 1L, nonce))
-              val (_, respRaw) = readPacket(in)
-              val resp = decodeHandshakeResponse(respRaw)
-              val expected = nativePasswordScramble(password, nonce)
-              if (!java.util.Arrays.equals(resp.scramble, expected)) {
-                writePacket(out, 2, errPacket(1045, s"Access denied for user '${resp.user}'"))
-              } else {
-                writePacket(out, 2, okPacket())
-                val (_, cmd) = readPacket(in)
-                val req = decodeBinlogDumpGtid(cmd)
-                dumps.add(req)
-                var seq = 1
-                var sent = 0
-                val serve = events.filter(e =>
-                  eventType(e) == B.FORMAT_DESCRIPTION_EVENT || logPos(e) > req.pos)
-                serve.foreach { e =>
-                  if (n == 1 && sent >= dropAfterOnFirst) throw new java.io.IOException("injected drop")
-                  writePacket(out, seq, 0x00.toByte +: e)
-                  seq += 1
-                  if (eventType(e) != B.FORMAT_DESCRIPTION_EVENT) sent += 1
-                }
-                // EOF packet: 0xfe with short payload
-                writePacket(out, seq, Array(0xfe.toByte, 0, 0, 0, 0))
-              }
-            } catch { case _: java.io.IOException => () }
-            finally sock.close()
-          }).start()
-        } catch { case _: java.io.IOException => () }
-      }
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
-    def stop(): Unit = { running = false; server.close() }
-  }
+  import MysqlTestStub.{Uuid, binlogFile, eventType, logPos}
+  private type MysqlStub = MysqlTestStub.Stub
 
   private val names = Fx.ordersCols.map(_.name).toIndexedSeq
 
