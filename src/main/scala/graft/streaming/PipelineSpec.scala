@@ -43,6 +43,9 @@ object PipelineSpec {
                        existsFields: Seq[String]) extends ProcessorCfg
   case class RouteCfg(topicTemplate: Option[String], staticTopic: String) extends ProcessorCfg
   case class FlattenCfg(separator: String, maxDepth: Int) extends ProcessorCfg
+  /** User-supplied JavaScript processor (reference processors/src/js.rs —
+   * the YAML `inline:` script; executes via ScriptHost/MiniJs). */
+  case class JsCfg(id: String, inline: String, timeoutMs: Long) extends ProcessorCfg
   case class OutboxCfg(topicTemplate: Option[String], defaultTopic: String,
                        strict: Boolean) extends ProcessorCfg
 
@@ -111,6 +114,9 @@ object PipelineSpec {
           case "outbox" => OutboxCfg(Option(p.get("topic_template")).map(_.asText),
             str(p, "default_topic", "outbox"),
             Option(p.get("strict")).exists(_.asBoolean))
+          case "js" => JsCfg(str(p, "id", "js"),
+            { val s = str(p, "inline"); require(s != null, "js processor needs 'inline'"); s },
+            Option(p.get("timeout_ms")).map(_.asLong).getOrElse(5000L))
           case other => throw new IllegalArgumentException(s"unknown processor kind '$other'")
         }
       }
@@ -155,6 +161,9 @@ object PipelineSpec {
       (df: DataFrame) => graft.operators.OutboxProcessor(
         graft.operators.OutboxProcessor.Config(
           topicTemplate = tpl, defaultTopic = default, strict = strict))(df)
+    case JsCfg(id, inline, timeoutMs) =>
+      // validates the script driver-side (syntax + processBatch presence)
+      graft.operators.ScriptHost.processor(id, inline, timeoutMs = timeoutMs)
   }
 
   def buildSinks(spec: Spec): Seq[EventSink] = spec.sinks.map { s =>

@@ -148,6 +148,48 @@ class PipelineCrudSpec extends SparkSpec {
     assert(out.select("after").as[String].head() == """{"a__b":1}""")
   }
 
+  test("spec loader: a YAML js processor executes user JavaScript in the chain") {
+    val p = PipelineSpec.load(
+      """metadata: {name: pjs, tenant: t}
+        |spec:
+        |  source: {kind: backlog, path: /tmp/x}
+        |  processors:
+        |    - kind: js
+        |      id: enrich
+        |      inline: |
+        |        function processBatch(events) {
+        |          for (const ev of events) {
+        |            if (ev.after) { ev.after.via = "js"; ev.route({ topic: "t." + ev.op }); }
+        |          }
+        |          return events.filter(ev => ev.op !== "d");
+        |        }
+        |  sinks: [{kind: memory, id: m}]
+        |""".stripMargin)
+    assert(p.spec.processors.exists {
+      case PipelineSpec.JsCfg("enrich", inline, 5000L) => inline.contains("processBatch")
+      case _ => false
+    })
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.core.ChangeEvent.conform(
+      Seq(("c", """{"a":1}"""), ("d", null)).toDF("op", "after")
+        .withColumn("event_id", concat(lit("e"), col("op"))))
+    val out = PipelineSpec.buildProcessors(p.spec).foldLeft(df)((d, f) => f(d)).collect()
+    assert(out.length == 1) // delete dropped by the script
+    assert(out.head.getAs[String]("after").contains("\"via\":\"js\""))
+    assert(out.head.getAs[org.apache.spark.sql.Row]("routing").getAs[String]("topic") == "t.c")
+
+    // a broken script fails at build time, driver-side (js.rs construction errors)
+    val bad = PipelineSpec.load(
+      """metadata: {name: pbad, tenant: t}
+        |spec:
+        |  source: {kind: backlog, path: /tmp/x}
+        |  processors: [{kind: js, inline: "function nope() {}"}]
+        |  sinks: [{kind: memory, id: m}]
+        |""".stripMargin)
+    intercept[IllegalArgumentException](PipelineSpec.buildProcessors(bad.spec))
+  }
+
   test("spec loader: env expansion, commit policies, merge semantics") {
     val node = PipelineSpec.parseYaml(
       """metadata: {name: p1, tenant: t}
