@@ -67,10 +67,15 @@ object Multimodal {
    *  - WAV (RIFF/PCM 16-bit): `fmt ` chunk (channels, sample rate, bits),
    *    `data` chunk of little-endian int16 samples.
    *
-   * Features: images → mean luminance ((r+g+b)/3 averaged over pixels),
-   * n_frames = 1; audio → RMS amplitude normalized to [0,1],
-   * n_frames = samples per channel. Compressed formats (JPEG/MP3/H.264)
-   * still need the environment-bound native libs — those bytes fall back to
+   * Compressed IMAGE formats (JPEG / PNG / GIF) decode through
+   * `javax.imageio` — JDK standard library, headless, no external
+   * dependency (the JDK ships pure-Java plugins for all three), with GIF
+   * frame counts read as n_frames (the frame-sample stage's input).
+   *
+   * Features: images → mean luminance ((r+g+b)/3 averaged over pixels,
+   * 0..255); audio → RMS amplitude normalized to [0,1], n_frames = samples
+   * per channel. Only compressed AUDIO/VIDEO (MP3/H.264) still need the
+   * environment-bound native codecs — those bytes fall back to
    * [[FakeDecoder]]'s byte statistics, keeping the batch contract total.
    */
   object RealDecoder extends MediaDecoder {
@@ -87,6 +92,7 @@ object Multimodal {
           else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
           else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
             new String(b, 8, 4, "US-ASCII") == "WAVE") decodeWav(b)
+          else if (isJpeg(b) || isPng(b) || isGif(b)) decodeImageIo(b)
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
       decoded match {
@@ -96,6 +102,48 @@ object Multimodal {
         case None => // compressed/unknown → deterministic byte-stat fallback
           FakeDecoder.decodeBatch(Iterator(r)).next()
       }
+    }
+
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+    /** JPEG/PNG/GIF via the JDK's ImageIO (headless, no external libs):
+     * mean (r+g+b)/3 luminance over the first frame; n_frames = animation
+     * frame count (GIF) else 1. */
+    private[llm] def decodeImageIo(b: Array[Byte]): Option[(Double, Int)] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(in, false, true)
+          val frames = try math.max(1, reader.getNumImages(true)) catch {
+            case scala.util.control.NonFatal(_) => 1
+          }
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w <= 0 || h <= 0) return None
+          var sum = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val px = row(x)
+              sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((sum.toDouble / (w.toLong * h * 3), frames))
+        } finally reader.dispose()
+      } finally in.close()
     }
 
     private def u16le(b: Array[Byte], i: Int): Int =

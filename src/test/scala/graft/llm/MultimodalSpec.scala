@@ -90,6 +90,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg/png/gif decode through the JDK's ImageIO — real pixels, real frames") {
+    import java.awt.image.BufferedImage
+    // a flat gray 16x8 image: mean luminance known exactly
+    val img = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, 0x646464))) // 100,100,100
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = feats("image", encode("png"))
+    assert(png.mean_value == 100.0 && png.n_frames == 1) // lossless: exact
+    val gif = feats("image", encode("gif"))
+    assert(gif.mean_value == 100.0 && gif.n_frames == 1)
+    val jpg = feats("image", encode("jpeg"))
+    assert(math.abs(jpg.mean_value - 100.0) < 3.0, s"jpeg mean ${jpg.mean_value}") // lossy: close
+    assert(jpg.n_frames == 1)
+    // truncated JPEG degrades to the byte-stat fallback, never crashes
+    val broken = encode("jpeg").take(20)
+    val fake = FakeDecoder.decodeBatch(Iterator(
+      MediaRow(1L, "image", broken, 2, 2, 16000))).next()
+    assert(feats("image", broken) == fake)
+  }
+
   test("compressed/unknown bytes fall back to the deterministic byte-stat stub") {
     val junk = Array[Byte](0x1f, 0x2e, 0x3d, 0x4c)
     val real = feats("image", junk)
