@@ -200,6 +200,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // the parse-once hot-path machinery itself, oracle-pinned: one fused
+    // JsonPathsGenerate pass extracts scalars (exact literals), a nested
+    // path, a whole sub-object, and a missing path — vs DuckDB json_extract
+    "cdc_json_extract" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val payload = to_json(struct(
+        col("o_orderkey").as("id"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("order"),
+        col("o_orderpriority").as("prio")))
+      val paths = Seq("id", "order.status", "order.price", "order", "missing")
+      val names = Seq("id", "status", "price", "order_obj", "missing_f")
+      o.select(col("o_orderkey"), payload.as("j"))
+        .select(col("o_orderkey"),
+          graft.functions.JsonPathOps.jsonPathsTuple(col("j"), paths).as(names))
+        .orderBy("o_orderkey")
+    }),
+
     "cdc_envelope" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val op = CdcSynth.opFor(col("o_orderkey"))
@@ -661,6 +678,20 @@ object SparkEntry {
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 7 = 0 THEN 'priority.events' ELSE 'cdc.inventory.orders' END AS topic
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_json_extract" ->
+      """SELECT o_orderkey,
+        | json_extract_string(j, '$.id') AS id,
+        | json_extract_string(j, '$.order.status') AS status,
+        | json_extract_string(j, '$.order.price') AS price,
+        | CAST(json_extract(j, '$.order') AS VARCHAR) AS order_obj,
+        | json_extract_string(j, '$.missing') AS missing_f
+        |FROM (SELECT o_orderkey, to_json(struct_pack(
+        |        id := o_orderkey,
+        |        "order" := struct_pack(status := o_orderstatus, price := o_totalprice),
+        |        prio := o_orderpriority)) AS j
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "cdc_envelope" ->
       """SELECT o_orderkey, concat(

@@ -46,19 +46,23 @@ class BinlogSpooler(
 
   private var fde: Array[Byte] = Array.emptyByteArray
   private val buffer = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var committedLen = 0 // buffer prefix closed by an XID — only this flushes
   private var bufferedEvents = 0
   private var safePos = -1L // end position of the last committed tx in buffer
 
-  private def flushSegment(): Unit = if (buffer.nonEmpty && safePos > 0) {
+  private def flushSegment(): Unit = if (committedLen > 0 && safePos > 0) {
     val body = new java.io.ByteArrayOutputStream()
     if (fde.nonEmpty) body.write(fde)
-    buffer.foreach(body.write)
+    // ONLY the committed prefix — events of an open transaction past the
+    // last XID must never spool (they re-arrive whole after the reconnect)
+    buffer.take(committedLen).foreach(body.write)
     val name = f"seg-$safePos%012d.segb64"
     val tmp = Paths.get(dir, s"$name.tmp")
     Files.write(tmp, java.util.Base64.getEncoder.encodeToString(body.toByteArray).getBytes(UTF_8))
     Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
-    buffer.clear()
-    bufferedEvents = 0
+    buffer.remove(0, committedLen)
+    committedLen = 0
+    bufferedEvents = buffer.length
     commitCheckpoint(safePos)
     safePos = -1L
   }
@@ -79,6 +83,7 @@ class BinlogSpooler(
           bufferedEvents += 1
           if (typ == XID_EVENT) {
             safePos = endPos // tx closed — segment may cut here
+            committedLen = buffer.length
             if (bufferedEvents >= maxEventsPerSegment) flushSegment()
           }
         }
@@ -90,7 +95,7 @@ class BinlogSpooler(
         // drop mid-tx: spool nothing past the last commit; the reconnect
         // re-fetches the discarded tail from the checkpoint
         flushSegment()
-        buffer.clear(); bufferedEvents = 0
+        buffer.clear(); committedLen = 0; bufferedEvents = 0
         throw e
     }
   }

@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * PG counterpart of [[BinlogSpooler]]: drives [[PgWire.ReplicationClient]]
+ * and spools received pgoutput messages into [[BacklogSource]] segment
+ * files as `[lsn:8 BE][len:4 BE][msg]` frames — the exact input of
+ * [[PgOutput.decodeSegment]] — so the DSv2 source tails a logical
+ * replication socket (reference postgres/mod.rs:74-87's stream loop).
+ *
+ * Transaction-safe segmentation: messages buffer until a Commit ('C')
+ * closes the transaction AND the segment budget is met. Relation ('R')
+ * messages are tracked per relation id and re-emitted at the head of
+ * EVERY segment (pgoutput re-sends them per stream for the same reason),
+ * so each segment decodes self-contained. On a dropped connection the
+ * uncommitted tail is discarded; the reconnect resumes from the
+ * checkpointed commit LSN.
+ */
+class PgSpooler(
+    host: String, port: Int, user: String, database: String,
+    slot: String, publication: String,
+    dir: String, startLsn: Long = 0L,
+    maxTxPerSegment: Int = 100) {
+
+  private val statePath = Paths.get(dir, "_spool_checkpoint")
+  Files.createDirectories(Paths.get(dir))
+
+  def checkpoint(): Long =
+    if (Files.exists(statePath)) new String(Files.readAllBytes(statePath), UTF_8).trim.toLong
+    else startLsn
+
+  private def commitCheckpoint(lsn: Long): Unit = {
+    val tmp = Paths.get(dir, "_spool_checkpoint.tmp")
+    Files.write(tmp, lsn.toString.getBytes(UTF_8))
+    Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** `[lsn:8 BE][len:4 BE][msg]` — PgOutput.decodeSegment's frame layout. */
+  private def frame(lsn: Long, msg: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + msg.length)
+    out.putLong(lsn).putInt(msg.length).put(msg)
+    out.array()
+  }
+
+  // latest Relation frame per relation id (BE i4 at msg offset 1)
+  private val relations = scala.collection.mutable.LinkedHashMap[Long, Array[Byte]]()
+  private val buffer = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var committedLen = 0 // buffer prefix closed by a Commit — only this flushes
+  private var closedTxs = 0
+  private var safeLsn = -1L
+
+  private def flushSegment(): Unit = if (committedLen > 0 && safeLsn > 0) {
+    val body = new java.io.ByteArrayOutputStream()
+    relations.values.foreach(body.write)
+    // ONLY the committed prefix — an uncommitted tail past the last Commit
+    // must never spool (it re-arrives whole after the reconnect)
+    buffer.take(committedLen).foreach(body.write)
+    val name = f"seg-$safeLsn%012d.segb64"
+    val tmp = Paths.get(dir, s"$name.tmp")
+    Files.write(tmp, java.util.Base64.getEncoder.encodeToString(body.toByteArray).getBytes(UTF_8))
+    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+    buffer.remove(0, committedLen)
+    committedLen = 0
+    closedTxs = 0
+    commitCheckpoint(safeLsn)
+    safeLsn = -1L
+  }
+
+  def runOnce(): Unit = {
+    val client = new PgWire.ReplicationClient(host, port, user, database, slot, publication)
+    try {
+      client.tail(checkpoint()) { (lsn, msg) =>
+        msg(0).toChar match {
+          case 'R' =>
+            val relId = ((msg(1) & 0xffL) << 24) | ((msg(2) & 0xffL) << 16) |
+              ((msg(3) & 0xffL) << 8) | (msg(4) & 0xffL)
+            relations(relId) = frame(lsn, msg)
+          case t =>
+            buffer += frame(lsn, msg)
+            if (t == 'C') {
+              safeLsn = lsn
+              committedLen = buffer.length
+              closedTxs += 1
+              if (closedTxs >= maxTxPerSegment) flushSegment()
+            }
+        }
+        true
+      }
+      flushSegment() // clean end of stream
+    } catch {
+      case e: java.io.IOException =>
+        flushSegment() // spool the closed txs (committed prefix only)
+        buffer.clear(); committedLen = 0; closedTxs = 0
+        throw e
+    }
+  }
+
+  /** Pump with reconnect-backoff until a clean end of stream. */
+  def pump(maxAttempts: Int = 5, backoffMs: Long = 50L): Int = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try { runOnce(); done = true }
+      catch {
+        case e: java.io.IOException =>
+          if (attempts >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempts)
+      }
+    }
+    attempts
+  }
+}

@@ -75,6 +75,27 @@ class BinlogSpoolerSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("drop with a large segment budget: only the committed prefix spools") {
+    // budget larger than the stream: nothing flushes until the drop, so the
+    // flush-on-drop must truncate to the last XID — spooling the open tail
+    // would duplicate it after the resume
+    val pks = Seq(1L, 2L, 3L)
+    val stub = new Stub("secret", binlogFile(pks, xidPerRow = true), dropAfterOnFirst = 6)
+    val dir = Files.createTempDirectory("spool-budget").toString
+    try {
+      val spooler = new BinlogSpooler("127.0.0.1", stub.port, "repl", "secret",
+        dir, "binlog.000001", maxEventsPerSegment = 100)
+      spooler.pump()
+      val names = Fx.ordersCols.map(_.name).toIndexedSeq
+      val all = BacklogSource.segments(dir).flatMap { p =>
+        val seg = java.util.Base64.getDecoder.decode(Files.readAllLines(p).get(0))
+        MysqlBinlog.decodeSegment(seg, (_, _) => names)
+      }.filter(_.op != null)
+      assert(all.map(r =>
+        """"o_orderkey":(\d+)""".r.findFirstMatchIn(r.after).get.group(1).toLong) == pks)
+    } finally stub.stop()
+  }
+
   test("restart: a new spooler picks up from the persisted checkpoint") {
     val pks = Seq(1L, 2L, 3L)
     val events = binlogFile(pks, xidPerRow = true)

@@ -279,4 +279,41 @@ class LiveWireSpec extends SparkSpec {
       assert(sink.totalRows == pks.length)
     } finally stub.stop()
   }
+
+  test("pg spooler: tx-whole relation-replayed segments; BacklogSource streams the socket") {
+    val pks = Seq(1L, 2L, 3L, 4L)
+    // connection #1 dies after 5 stream messages = mid tx2 (B,I,C per tx)
+    val stub = new PgStub(pgStream(pks), dropAfterOnFirst = 5)
+    val dir = Files.createTempDirectory("pg-spool").toString
+    try {
+      val spooler = new PgSpooler("127.0.0.1", stub.port, "repl", "shop",
+        "graft_slot", "graft_pub", dir, maxTxPerSegment = 2)
+      assert(spooler.pump() == 2) // one drop, one clean resume
+      assert(spooler.checkpoint() > 0L)
+
+      // every segment decodes SELF-CONTAINED (relation replayed at its head)
+      val perSegment = BacklogSource.segments(dir).map { p =>
+        val seg = java.util.Base64.getDecoder.decode(Files.readAllLines(p).get(0))
+        PgOutput.decodeSegment(seg).filter(_.op != null)
+      }
+      assert(perSegment.nonEmpty && perSegment.forall(_.nonEmpty))
+      assert(perSegment.flatten.map(r =>
+        """"o_orderkey":(\d+)""".r.findFirstMatchIn(r.after).get.group(1).toLong) == pks)
+
+      // and the DSv2 source streams the spool end to end
+      import spark.implicits._
+      val lines = spark.readStream.format(classOf[BacklogSource].getName)
+        .option("path", dir).load()
+      val decoded = lines.select(unbase64(col("value")).as("seg"))
+        .as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+        .flatMap(PgOutput.decodeSegment(_)).toDF()
+      val out = Files.createTempDirectory("pg-spool-out").toString
+      val q = decoded.filter(col("op").isNotNull)
+        .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/chk")
+        .format("parquet").option("path", s"$out/data").start()
+      q.awaitTermination(60000)
+      assert(spark.read.parquet(s"$out/data").count() == pks.length)
+    } finally stub.stop()
+  }
 }
