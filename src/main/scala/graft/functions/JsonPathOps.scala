@@ -110,6 +110,22 @@ object JsonPathOps {
           }
 
           def capture(idx: Int, vTok: JsonToken): Unit = {
+            captureValue(idx, vTok)
+            // duplicate REQUESTED paths (callers usually dedupe, but the
+            // scanner must not depend on it): propagate to every twin
+            var j = 0
+            while (j < paths.length) {
+              if (j != idx && !found(j) && paths(j).length == paths(idx).length &&
+                  segEq(paths(j), paths(idx), paths(idx).length)) {
+                out(j) = out(idx)
+                found(j) = true
+                remaining -= 1
+              }
+              j += 1
+            }
+          }
+
+          def captureValue(idx: Int, vTok: JsonToken): Unit = {
             vTok match {
               case JsonToken.VALUE_STRING | JsonToken.VALUE_NUMBER_INT |
                   JsonToken.VALUE_NUMBER_FLOAT => out(idx) = p.getText
