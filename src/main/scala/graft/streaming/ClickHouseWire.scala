@@ -341,14 +341,18 @@ object ClickHouseWire {
    */
   def projectEvents(batch: DataFrame, userSchema: StructType, versionSource: VersionSource): DataFrame = {
     val image = when(col("op") === ChangeEvent.Op.Delete, col("before")).otherwise(col("after"))
-    val parsed = from_json(image, userSchema)
+    // parse ONCE in a staging projection — per-field from_json(...).getField
+    // gets schema-pruned into one parse per column by OptimizeCsvJsonExprs
+    // (same finding as LakeProjection.apply)
+    val staged = batch.select(col("*"), from_json(image, userSchema).as("__ch_parsed"))
+    val parsed = col("__ch_parsed")
     val userCols = userSchema.fieldNames.map(f => parsed.getField(f).as(f))
     val metaCols = Seq(
       coalesce(col("op"), lit("")).as("_op"),
       versionColumn(versionSource).as("_version"),
       (col("op") === ChangeEvent.Op.Delete).as("_deleted"),
       coalesce(col("ts_ms"), lit(0L)).as("_source_ts"))
-    batch.select((userCols.toSeq ++ metaCols): _*)
+    staged.select((userCols.toSeq ++ metaCols): _*)
   }
 
   /** The full wire schema: user columns + meta. */
