@@ -144,7 +144,11 @@ object MysqlWire {
     val authLen = r.u1()
     r.rawN(10) // reserved
     val caps = capLow | (capHigh << 16)
-    val auth2 = r.rawN(math.max(13, authLen - 8)).takeWhile(_ != 0) // 12 bytes + NUL
+    // part 2 field is max(13, authLen-8) bytes, NUL-terminated: take the
+    // DECLARED length (authLen-8-1), not takeWhile(!=0) — a zero byte
+    // inside the nonce must not truncate it
+    val part2Field = r.rawN(math.max(13, authLen - 8))
+    val auth2 = part2Field.take(math.max(0, authLen - 8 - 1))
     val plugin = if ((caps & CapPluginAuth) != 0 && r.remaining > 0) r.str0() else "mysql_native_password"
     Greeting(version, connId, auth1 ++ auth2, caps, plugin)
   }
