@@ -84,8 +84,11 @@ object Dedup {
     val posts = docs.repartition(par)
       .select(col(idCol).as("id"), feat.as("feats"))
       .repartition(par, col("id")) // materialization barrier
-      .select(col("id"), explode(col("feats")).as("f"))
-      .select(col("id"), xxhash64(col("f")).as("h"))
+      // hash INSIDE the fused array expression before exploding: the
+      // Generate emits primitive longs instead of shingle strings (smaller
+      // generator rows, no per-posting hash call); bit-equal to
+      // xxhash64(f) per row — same seed-42 xxh64
+      .select(col("id"), explode(TextHashOps.xxhash64Array(col("feats"))).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
     def sz(side: String, as: String) =
