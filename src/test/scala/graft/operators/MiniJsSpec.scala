@@ -113,6 +113,45 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == "HELLO WORLD|true|2|Hello|6|x|true|World")
   }
 
+  test("template literals: interpolation, nesting, escapes, coercion") {
+    assert(runS(
+      """function main() {
+        |  const name = "world"; const n = 2;
+        |  const inner = `n=${n}`;
+        |  return `hi ${name}! ${n + 1} ${`<${inner}>`} \n${n === 2 ? "y" : "n"}`;
+        |}""".stripMargin) == "hi world! 3 <n=2> \ny")
+    assert(runS("function main() { return `${1}${2}${3}`; }") == "123")
+    assert(runS("function main() { return `no interp`; }") == "no interp")
+  }
+
+  test("try/catch/finally: thrown values bind, engine errors become Error objects") {
+    assert(runS(
+      """function main() {
+        |  let log = [];
+        |  try { throw { code: 42, why: "bad" }; }
+        |  catch (e) { log.push("caught:" + e.code); }
+        |  finally { log.push("fin"); }
+        |  try { JSON.parse("{nope"); } catch (e) { log.push("json:" + (e.message !== undefined)); }
+        |  try { log.push("ok"); } finally { log.push("fin2"); }
+        |  return log.join(",");
+        |}""".stripMargin) == "caught:42,fin,json:true,ok,fin2")
+    // return/break pass THROUGH finally; uncaught throw surfaces to the host
+    assert(runN(
+      """function f() { try { return 7; } finally { sideEffect(); } }
+        |let n = 0;
+        |function sideEffect() { n = n + 1; }
+        |function main() { return f() + n; }""".stripMargin) == 8)
+    val ex = intercept[JsError](run("""function main() { throw "boom"; }"""))
+    assert(ex.getMessage.contains("uncaught") && ex.getMessage.contains("boom"))
+  }
+
+  test("step budget is not catchable by script try/catch") {
+    val e = new Engine(maxSteps = 50000)
+    e.eval("function main() { while (true) { try { let x = 1; } catch (err) {} } }")
+    val ex = intercept[JsError](e.call("main", Nil))
+    assert(ex.getMessage.contains("step budget"))
+  }
+
   test("syntax errors and undefined references raise JsError") {
     intercept[JsError](new Engine().eval("function broken( { return 1; }"))
     intercept[JsError](run("function main() { return nope.x; }"))

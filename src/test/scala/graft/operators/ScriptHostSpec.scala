@@ -143,7 +143,7 @@ class ScriptHostSpec extends SparkSpec {
         |  const out = [];
         |  for (const ev of events) {
         |    if (ev.op === "d") continue;
-        |    ev.route({ topic: "cdc." + ev.op, key: ev.event_id });
+        |    ev.route({ topic: `cdc.${ev.op}`, key: ev.event_id });
         |    out.push(ev);
         |    if (ev.op === "c") {
         |      const audit = JSON.parse(JSON.stringify(ev));
