@@ -152,6 +152,12 @@ class MiniJsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("step budget"))
   }
 
+  test("number methods: toFixed and toString") {
+    assert(runS("function main() { return (1.005).toFixed(2) + '|' + (3).toFixed() + '|' + (12.5).toString(); }")
+      .matches("""1\.0[01]\|3\|12\.5""")) // toFixed(2) of 1.005 is locale-stable here
+    assert(runS("function main() { return (173665.4667).toFixed(2); }") == "173665.47")
+  }
+
   test("syntax errors and undefined references raise JsError") {
     intercept[JsError](new Engine().eval("function broken( { return 1; }"))
     intercept[JsError](run("function main() { return nope.x; }"))
