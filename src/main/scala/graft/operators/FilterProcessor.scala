@@ -169,6 +169,16 @@ object FilterProcessor {
     import graft.functions.JsonPathOps.jsonPathsTuple
     val afterPaths = cfg.predicates.map(_.path).distinct
     val beforePaths = cfg.predicates.collect { case Changed(p) => p }.distinct
+    // single-predicate fast path: one get_json_object IS the one parse, and
+    // it stays inside whole-stage codegen (a Generate breaks the span).
+    // Needs ONE predicate, not just one distinct path — two predicates over
+    // the same path would each parse in a Filter (no CSE there).
+    if (cfg.predicates.size == 1 && beforePaths.isEmpty) {
+      val fieldGate = cfg.predicates
+        .map(p => compileOn(p, field(col("after"), _), field(col("before"), _)))
+        .reduce((a: Column, b: Column) => if (cfg.matchMode == MatchAll) a && b else a || b)
+      return pre.filter(fieldGate)
+    }
     val aNames = afterPaths.indices.map(i => s"__jpa$i")
     val bNames = beforePaths.indices.map(i => s"__jpb$i")
     val aCol = afterPaths.zip(aNames).toMap
