@@ -72,11 +72,20 @@ object Multimodal {
    * dependency (the JDK ships pure-Java plugins for all three), with GIF
    * frame counts read as n_frames (the frame-sample stage's input).
    *
-   * Features: images → mean luminance ((r+g+b)/3 averaged over pixels,
-   * 0..255); audio → RMS amplitude normalized to [0,1], n_frames = samples
-   * per channel. Only compressed AUDIO/VIDEO (MP3/H.264) still need the
-   * environment-bound native codecs — those bytes fall back to
+   * Compressed AUDIO/VIDEO decode their METADATA layers byte-level — the
+   * part a frame-sample / duration / shard-planning stage actually needs:
+   *  - MP3: ID3v2 skip, MPEG frame-header walk (version/layer/bitrate/
+   *    samplerate tables, padding), n_frames = frame count and
+   *    mean_value = duration in seconds;
+   *  - H.264 Annex B: start-code NAL walk, n_frames = VCL NALs
+   *    (types 1-5), mean_value = keyframe (IDR) fraction.
+   * Only the SAMPLE decode itself (what needs libmpg123/ffmpeg-class
+   * codecs) stays environment-bound; undecodable bytes fall back to
    * [[FakeDecoder]]'s byte statistics, keeping the batch contract total.
+   *
+   * Features: images → mean luminance ((r+g+b)/3 averaged over pixels,
+   * 0..255); PCM audio → RMS amplitude normalized to [0,1], n_frames =
+   * samples per channel.
    */
   object RealDecoder extends MediaDecoder {
     def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = rows.map { r =>
@@ -93,6 +102,8 @@ object Multimodal {
           else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
             new String(b, 8, 4, "US-ASCII") == "WAVE") decodeWav(b)
           else if (isJpeg(b) || isPng(b) || isGif(b)) decodeImageIo(b)
+          else if (isMp3(b)) decodeMp3Meta(b)
+          else if (isAnnexB(b)) decodeH264Meta(b)
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
       decoded match {
@@ -102,6 +113,93 @@ object Multimodal {
         case None => // compressed/unknown → deterministic byte-stat fallback
           FakeDecoder.decodeBatch(Iterator(r)).next()
       }
+    }
+
+    private def isMp3(b: Array[Byte]): Boolean =
+      (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+    private def isAnnexB(b: Array[Byte]): Boolean =
+      (b.length >= 4 && b(0) == 0 && b(1) == 0 &&
+        (b(2) == 1 || (b(2) == 0 && b(3) == 1)))
+
+    // MPEG audio frame-header tables (public layout). Indexed by the
+    // 4-bit bitrate field and 2-bit samplerate field.
+    private val mp3BitrateV1L3 = // MPEG-1 Layer III, kbps (0 = free, 15 = bad)
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    private val mp3BitrateV2L3 = // MPEG-2/2.5 Layer III
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    private val mp3SampleRateV1 = Array(44100, 48000, 32000, -1)
+
+    /**
+     * MP3 metadata walk: skip ID3v2 (syncsafe size), then step frame to
+     * frame via the header length formula. Returns
+     * (duration seconds, frame count) — no sample decode.
+     */
+    private[llm] def decodeMp3Meta(b: Array[Byte]): Option[(Double, Int)] = {
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f) // syncsafe int
+        i = 10 + size
+      }
+      var frames = 0
+      var seconds = 0.0
+      while (i + 4 <= b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0) {
+          val versionBits = (b(i + 1) >> 3) & 3 // 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5
+          val layerBits = (b(i + 1) >> 1) & 3 // 1 = Layer III
+          val bitrateIdx = (b(i + 2) >> 4) & 0xf
+          val srIdx = (b(i + 2) >> 2) & 3
+          val padding = (b(i + 2) >> 1) & 1
+          if (layerBits != 1 || srIdx == 3 || bitrateIdx == 0 || bitrateIdx == 15 ||
+            versionBits == 1) return if (frames > 0) Some((rnd(seconds), frames)) else None
+          val mpeg1 = versionBits == 3
+          val bitrate = (if (mpeg1) mp3BitrateV1L3 else mp3BitrateV2L3)(bitrateIdx) * 1000
+          val sampleRate = mp3SampleRateV1(srIdx) / (versionBits match {
+            case 3 => 1
+            case 2 => 2
+            case _ => 4 // MPEG-2.5
+          })
+          val samplesPerFrame = if (mpeg1) 1152 else 576
+          val frameLen = samplesPerFrame / 8 * bitrate / sampleRate + padding
+          if (frameLen <= 4) return if (frames > 0) Some((rnd(seconds), frames)) else None
+          frames += 1
+          seconds += samplesPerFrame.toDouble / sampleRate
+          i += frameLen
+        } else if (frames == 0) i += 1 // resync before the first frame only
+        else return Some((rnd(seconds), frames)) // trailing junk (e.g. ID3v1)
+      }
+      if (frames > 0) Some((rnd(seconds), frames)) else None
+    }
+    private def rnd(d: Double): Double = math.rint(d * 100) / 100
+
+    /**
+     * H.264 Annex B metadata walk: NAL units split on 3/4-byte start
+     * codes; n_frames = VCL NALs (nal_unit_type 1..5), mean = IDR
+     * (keyframe, type 5) fraction of VCL NALs — no slice decode.
+     */
+    private[llm] def decodeH264Meta(b: Array[Byte]): Option[(Double, Int)] = {
+      var vcl = 0
+      var idr = 0
+      var i = 0
+      var sawNal = false
+      while (i + 3 < b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 &&
+          (b(i + 2) == 1 || (b(i + 2) == 0 && i + 4 < b.length && b(i + 3) == 1))) {
+          val hdr = i + (if (b(i + 2) == 1) 3 else 4)
+          if (hdr < b.length) {
+            sawNal = true
+            val nalType = b(hdr) & 0x1f
+            if (nalType >= 1 && nalType <= 5) {
+              vcl += 1
+              if (nalType == 5) idr += 1
+            }
+          }
+          i = hdr + 1
+        } else i += 1
+      }
+      if (!sawNal || vcl == 0) None
+      else Some((rnd(idr.toDouble / vcl), vcl))
     }
 
     private def isJpeg(b: Array[Byte]): Boolean =

@@ -114,6 +114,53 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("image", broken) == fake)
   }
 
+  test("mp3: ID3v2 skip + frame-header walk yields duration and frame count") {
+    // MPEG-1 Layer III, 128 kbps, 44100 Hz, no padding:
+    // frameLen = 1152/8 * 128000 / 44100 = 417 bytes; header FF FB 90 00
+    def mp3(frames: Int, id3: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (id3) {
+        out.write("ID3".getBytes(US_ASCII))
+        out.write(Array[Byte](4, 0, 0)) // version + flags
+        out.write(Array[Byte](0, 0, 0, 100)) // syncsafe size = 100
+        out.write(new Array[Byte](100))
+      }
+      (1 to frames).foreach { _ =>
+        val frame = new Array[Byte](417)
+        frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte // MPEG1 L3, no CRC
+        frame(2) = 0x90.toByte // bitrate idx 9 (128k), sr idx 0 (44100)
+        out.write(frame)
+      }
+      out.toByteArray
+    }
+    val f = feats("audio", mp3(38, id3 = true)) // ≈ 38*1152/44100 = 0.99 s
+    assert(f.n_frames == 38)
+    assert(f.mean_value == 0.99)
+    val bare = feats("audio", mp3(5, id3 = false))
+    assert(bare.n_frames == 5)
+    // truncated garbage after valid frames: counted frames survive
+    val trailing = mp3(3, id3 = false) ++ Array[Byte](0x12, 0x34)
+    assert(feats("audio", trailing).n_frames == 3)
+  }
+
+  test("h264: annex-b NAL walk counts VCL frames and keyframe fraction") {
+    def nal(nalType: Int, long: Boolean = false): Array[Byte] = {
+      val start = if (long) Array[Byte](0, 0, 0, 1) else Array[Byte](0, 0, 1)
+      start ++ Array[Byte]((0x60 | nalType).toByte, 0x11, 0x22)
+    }
+    // SPS(7) PPS(8) IDR(5) P(1) P(1) P(1) IDR(5) P(1) → 6 VCL, 2 IDR
+    val stream = nal(7, long = true) ++ nal(8) ++ nal(5) ++ nal(1) ++
+      nal(1, long = true) ++ nal(1) ++ nal(5) ++ nal(1)
+    val f = feats("video", stream)
+    assert(f.n_frames == 6)
+    assert(f.mean_value == 0.33) // 2/6 keyframes, rounded 2dp
+    // SPS/PPS only (no VCL) falls back
+    val noVcl = nal(7) ++ nal(8)
+    val fake = FakeDecoder.decodeBatch(Iterator(
+      MediaRow(1L, "video", noVcl, 2, 2, 16000))).next()
+    assert(feats("video", noVcl) == fake)
+  }
+
   test("compressed/unknown bytes fall back to the deterministic byte-stat stub") {
     val junk = Array[Byte](0x1f, 0x2e, 0x3d, 0x4c)
     val real = feats("image", junk)
