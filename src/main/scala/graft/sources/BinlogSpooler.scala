@@ -59,7 +59,11 @@ class BinlogSpooler(
     val name = f"seg-$safePos%012d.segb64"
     val tmp = Paths.get(dir, s"$name.tmp")
     Files.write(tmp, java.util.Base64.getEncoder.encodeToString(body.toByteArray).getBytes(UTF_8))
-    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE: a crash between segment write and checkpoint commit makes
+    // the restart re-spool the same tx range under the same name — the
+    // content is byte-identical, so overwrite instead of failing
+    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     buffer.remove(0, committedLen)
     committedLen = 0
     bufferedEvents = buffer.length
