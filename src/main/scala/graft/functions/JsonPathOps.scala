@@ -215,6 +215,52 @@ object JsonPathOps {
       copy(child = newChildren.head)
   }
 
+  /**
+   * JSON-array membership with the reference filter's `json_eq` semantics
+   * (crates/processors/src/filter.rs:185-198, :292-300): a string element
+   * matches by string equality; a numeric element matches a numeric-looking
+   * needle by numeric equality (42 == 42.0); number-vs-string NEVER matches
+   * (no coercion). Non-array / malformed input → false.
+   */
+  case class JsonArrayContains(child: Expression, needle: String, numericNeedle: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String = "json_array_contains"
+    @transient private lazy val needleNum: Double =
+      if (numericNeedle) needle.toDouble else Double.NaN
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return false
+      try {
+        val p = factory.createParser(v.toString)
+        try {
+          if (p.nextToken() != JsonToken.START_ARRAY) return false
+          var tok = p.nextToken()
+          while (tok != JsonToken.END_ARRAY && tok != null) {
+            tok match {
+              case JsonToken.VALUE_STRING if !numericNeedle =>
+                if (p.getText == needle) return true
+              case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT if numericNeedle =>
+                if (p.getDoubleValue == needleNum) return true
+              case JsonToken.START_OBJECT | JsonToken.START_ARRAY => p.skipChildren()
+              case _ => ()
+            }
+            tok = p.nextToken()
+          }
+          false
+        } finally p.close()
+      } catch { case _: Exception => false }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def jsonArrayContains(json: Column, needle: String, numericNeedle: Boolean): Column =
+    GraftBridge.column(JsonArrayContains(GraftBridge.expression(json), needle, numericNeedle))
+
   /** Column API: scalar array of extracted paths (use `.getItem(i)`). */
   def jsonPaths(json: Column, paths: Seq[String]): Column =
     GraftBridge.column(JsonPathsExtract(GraftBridge.expression(json), paths))

@@ -35,7 +35,7 @@ object FilterProcessor {
   case class Lte(path: String, value: Any) extends FieldPredicate
   case class In(path: String, values: Seq[Any]) extends FieldPredicate
   case class NotIn(path: String, values: Seq[Any]) extends FieldPredicate
-  case class Contains(path: String, value: String) extends FieldPredicate
+  case class Contains(path: String, value: Any) extends FieldPredicate
   case class Regex(path: String, pattern: String) extends FieldPredicate
   case class Exists(path: String) extends FieldPredicate
   case class NotExists(path: String) extends FieldPredicate
@@ -106,7 +106,25 @@ object FilterProcessor {
           if (vs.forall(_.isInstanceOf[String])) raw.isin(vs: _*)
           else raw.cast(DoubleType).isin(vs.map(v => v.toString.toDouble): _*)
         raw.isNull || !inC
-      case Contains(path, v) => afterF(path).contains(v)
+      case Contains(path, v) =>
+        // reference semantics (filter.rs:185-198 + json_eq :292-300):
+        // STRING field + string needle → substring; ARRAY field → element
+        // membership where the NEEDLE'S TYPE matters (a string needle never
+        // matches a numeric element and vice versa; 42 == 42.0 numerically);
+        // a numeric needle on a string field is false (needle.as_str fails)
+        val raw = afterF(path)
+        v match {
+          case n @ (_: Int | _: Long | _: Double | _: BigDecimal) =>
+            when(raw.startsWith("["),
+              graft.functions.JsonPathOps.jsonArrayContains(
+                raw, n.toString, numericNeedle = true))
+              .otherwise(lit(false))
+          case s =>
+            when(raw.startsWith("["),
+              graft.functions.JsonPathOps.jsonArrayContains(
+                raw, s.toString, numericNeedle = false))
+              .otherwise(raw.contains(s.toString))
+        }
       case Regex(path, pat) => afterF(path).rlike(pat)
       case Exists(path) => afterF(path).isNotNull
       case NotExists(path) => afterF(path).isNull

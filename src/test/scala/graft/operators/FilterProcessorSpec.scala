@@ -65,6 +65,24 @@ class FilterProcessorSpec extends SparkSpec {
     assert(!passes(Config(predicates = Seq(Regex("email", "^x"))), ev()))
   }
 
+  test("contains on ARRAY fields is membership with json_eq, not substring (filter.rs:185-198)") {
+    val arr = """{"tags": ["gold", "eu-west", 42], "name": "xabx"}"""
+    // string element: exact membership — substring of an element must NOT match
+    assert(passes(Config(predicates = Seq(Contains("tags", "gold"))), ev(after = arr)))
+    assert(!passes(Config(predicates = Seq(Contains("tags", "gol"))), ev(after = arr)))
+    // numeric NEEDLE matches numeric elements via f64 (json_eq 42 == 42.0)…
+    assert(passes(Config(predicates = Seq(Contains("tags", 42))), ev(after = arr)))
+    assert(passes(Config(predicates = Seq(Contains("tags", 42.0))), ev(after = arr)))
+    assert(!passes(Config(predicates = Seq(Contains("tags", 43))), ev(after = arr)))
+    // …but the needle's TYPE matters: "42" (string) never matches Number(42)
+    assert(!passes(Config(predicates = Seq(Contains("tags", "42"))), ev(after = arr)))
+    // plain STRING fields keep substring semantics; numeric needle there = false
+    assert(passes(Config(predicates = Seq(Contains("name", "ab"))), ev(after = arr)))
+    assert(!passes(Config(predicates = Seq(Contains("name", 42))), ev(after = arr)))
+    // missing field → false
+    assert(!passes(Config(predicates = Seq(Contains("nope", "x"))), ev(after = arr)))
+  }
+
   test("exists / not_exists; JSON null means not-exists (filter.rs:265-271)") {
     assert(passes(Config(predicates = Seq(Exists("id"))), ev()))
     assert(passes(Config(predicates = Seq(NotExists("missing"))), ev()))
