@@ -25,6 +25,13 @@ object FilterProcessor {
    * Field predicate ops over dot-paths into `after`
    * (reference filter.rs:132-210). Path resolution: `a.b.c` → `$.a.b.c`;
    * JSON null ⇒ "not exists" (filter.rs:265-271).
+   *
+   * Known divergence (documented): ordering predicates with a STRING
+   * needle compare the extracted text lexicographically; the reference's
+   * cmp_values returns None (false) when the field is a number and the
+   * needle a string. JSON-path extraction erases the number-vs-string
+   * distinction ("42" and 42 both extract as `42`), so that case cannot
+   * be told apart here — use numeric needles for numeric fields.
    */
   sealed trait FieldPredicate { def path: String }
   case class Eq(path: String, value: Any) extends FieldPredicate
