@@ -71,7 +71,9 @@ object OutboxProcessor {
 
   def key(cfg: Config): Column = keyOn(cfg, f)
 
-  /** df-* headers + extras (reference outbox.rs:165-210). */
+  /** df-* headers + extras (reference outbox.rs:165-210). A header is only
+   * inserted when its value is present — the reference's `if let Some(v)`
+   * guard; a missing outbox column must not emit a null-valued header. */
   private def headersOn(cfg: Config, field: String => Column): Column = {
     val base: Seq[Column] = Seq(
       lit("df-event-id"), coalesce(field("id"), col("event_id")),
@@ -82,7 +84,7 @@ object OutboxProcessor {
     val extras = cfg.extraHeaderCols.toSeq.sortBy(_._1).flatMap { case (h, c) =>
       Seq(lit(h), field(c))
     }
-    map(base ++ extras: _*)
+    map_filter(map(base ++ extras: _*), (_, v) => v.isNotNull)
   }
 
   def headers(cfg: Config): Column = headersOn(cfg, f)

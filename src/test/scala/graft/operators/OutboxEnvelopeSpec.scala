@@ -33,6 +33,17 @@ class OutboxEnvelopeSpec extends SparkSpec {
     assert(headers("df-source-kind") == "mysql")
   }
 
+  test("outbox: absent fields emit NO header, not a null-valued one (outbox.rs if-let)") {
+    // no "id" field and no event_type → df-event-id falls back to event_id,
+    // df-event-type must be ABSENT from the map entirely
+    val out = OutboxProcessor(OutboxProcessor.Config())(outboxEvent(after =
+      """{"aggregate_type": "Order", "aggregate_id": "42", "payload": {"x": 1}}"""))
+    val headers = out.select(col("routing.headers")).head().getMap[String, String](0)
+    assert(headers("df-event-id") == "e-1") // envelope fallback
+    assert(!headers.contains("df-event-type"))
+    assert(headers.contains("df-aggregate-type"))
+  }
+
   test("outbox: non-insert dropped; non-outbox passthrough") {
     val upd = OutboxProcessor(OutboxProcessor.Config())(outboxEvent(op = "u"))
     assert(upd.count() == 0)
