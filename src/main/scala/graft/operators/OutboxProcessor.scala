@@ -57,17 +57,26 @@ object OutboxProcessor {
     if (cols.isEmpty) lit("") else concat(cols: _*)
   }
 
-  /** Topic cascade (reference outbox.rs:267-290): template → topic column → default. */
+  /** Topic cascade (reference outbox.rs:267-290): template → topic column →
+   * default — falling THROUGH when a stage resolves to the empty string
+   * (a template of pure missing refs must not yield an empty topic). */
   private def topicOn(cfg: Config, field: String => Column): Column = {
-    val fromTemplate = cfg.topicTemplate.map(rowTemplate(_, field))
+    val fromTemplate = cfg.topicTemplate.map { t =>
+      val c = rowTemplate(t, field)
+      when(length(c) > 0, c)
+    }
     val fromColumn = when(length(field(cfg.topicCol)) > 0, field(cfg.topicCol))
     coalesce(Seq(fromTemplate, Some(fromColumn), Some(lit(cfg.defaultTopic))).flatten: _*)
   }
 
   def topic(cfg: Config): Column = topicOn(cfg, f)
 
+  /** Key: template (non-empty) → aggregate_id (outbox.rs:240-259). */
   private def keyOn(cfg: Config, field: String => Column): Column =
-    cfg.keyTemplate.map(rowTemplate(_, field)).getOrElse(field(cfg.aggregateIdCol))
+    cfg.keyTemplate.map { t =>
+      val c = rowTemplate(t, field)
+      coalesce(when(length(c) > 0, c), field(cfg.aggregateIdCol))
+    }.getOrElse(field(cfg.aggregateIdCol))
 
   def key(cfg: Config): Column = keyOn(cfg, f)
 

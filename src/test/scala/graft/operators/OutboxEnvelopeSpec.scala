@@ -44,6 +44,31 @@ class OutboxEnvelopeSpec extends SparkSpec {
     assert(headers.contains("df-aggregate-type"))
   }
 
+  test("outbox: empty-resolving templates fall THROUGH the cascade (outbox.rs:267-290)") {
+    // topic template of pure missing refs resolves "" → topic column → default;
+    // key template likewise falls back to aggregate_id
+    val withTopicCol = outboxEvent(after =
+      """{"aggregate_type": "Order", "aggregate_id": "42", "event_type": "E",
+        | "payload": {}, "topic": "col-topic"}""".stripMargin)
+    val r1 = OutboxProcessor(OutboxProcessor.Config(
+      topicTemplate = Some("${missing_field}"),
+      keyTemplate = Some("${also_missing}")))(withTopicCol)
+      .select(col("routing.topic"), col("routing.key")).head()
+    assert(r1.getString(0) == "col-topic")
+    assert(r1.getString(1) == "42") // key fell back to aggregate_id
+    val noTopic = outboxEvent(after =
+      """{"aggregate_type": "Order", "aggregate_id": "42", "event_type": "E", "payload": {}}""")
+    val r2 = OutboxProcessor(OutboxProcessor.Config(
+      topicTemplate = Some("${missing_field}"), defaultTopic = "fallback"))(noTopic)
+      .select(col("routing.topic")).head()
+    assert(r2.getString(0) == "fallback")
+    // a PARTIALLY-resolving template is non-empty and wins (lenient "")
+    val r3 = OutboxProcessor(OutboxProcessor.Config(
+      topicTemplate = Some("${aggregate_type}.${missing}")))(noTopic)
+      .select(col("routing.topic")).head()
+    assert(r3.getString(0) == "Order.")
+  }
+
   test("outbox: non-insert dropped; non-outbox passthrough") {
     val upd = OutboxProcessor(OutboxProcessor.Config())(outboxEvent(op = "u"))
     assert(upd.count() == 0)
