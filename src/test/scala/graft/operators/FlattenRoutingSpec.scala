@@ -85,6 +85,30 @@ class FlattenRoutingSpec extends SparkSpec {
     assert(run("static-topic") == "static-topic")
   }
 
+  test("strict template: unresolvable events route to the DLQ, resolvable deliver (routing.rs strict)") {
+    import spark.implicits._
+    import graft.streaming.Dlq
+    val events = ChangeEvent.conform(
+      Seq(("c", """{"kind": "order", "id": 1}""", "e-ok"),
+        ("c", """{"id": 2}""", "e-bad")) // no `kind` → strict template → NULL
+        .toDF("op", "after", "event_id")
+        .withColumn("source", struct(lit("db1").as("db"), lit("t").as("table"))))
+    val routed = events.withColumn("topic",
+      Routing.template("cdc.${after.kind}", strict = true))
+    val dir = java.nio.file.Files.createTempDirectory("strict-dlq").toString
+    val cfg = Dlq.Config("pipe", "sink", s"$dir/dlq")
+    val good = Dlq.splitAndJournal(cfg, routed, col("topic").isNotNull,
+      "routing", lit("strict template unresolvable"))
+    assert(good.select("event_id").as[String].collect().toSeq == Seq("e-ok"))
+    assert(good.head().getAs[String]("topic") == "cdc.order")
+    val journal = spark.read.parquet(s"$dir/dlq")
+    assert(journal.count() == 1)
+    assert(journal.head().getAs[String]("event_id") == "e-bad")
+    // lenient mode keeps both, substituting ""
+    assert(events.withColumn("t", Routing.template("cdc.${after.kind}"))
+      .filter(col("t") === "cdc.").count() == 1)
+  }
+
   test("template parse errors: unclosed, empty, >3 segments") {
     intercept[IllegalArgumentException](Routing.template("x${source.table"))
     intercept[IllegalArgumentException](Routing.template("x${}"))
