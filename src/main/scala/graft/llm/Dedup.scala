@@ -100,21 +100,36 @@ object Dedup {
         .groupBy("id_a", "id_b").agg(count(lit(1)).as(cnt))
     val jac = col("nc").cast("double") /
       (col("sa") + col("sb") - col("nc")).cast("double")
-    var dfCache: Option[DataFrame] = None
+    var hotCache: Option[DataFrame] = None
+    var survCache: Option[DataFrame] = None
     val scored = maxDf match {
       case None =>
         pairCounts(posts, "nc").join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
       case Some(cap) =>
-        val dfTab = posts.groupBy("h").agg(count(lit(1)).as("df"))
+        // The stop-feature ("hot", df > cap) set is SMALL by construction:
+        // |hot| ≤ total_postings / cap (each hot feature owns > cap posting
+        // rows), and in text corpora it's vocabulary-bounded boilerplate.
+        // So materialize ONLY the hot keys and broadcast them: `capped`
+        // becomes a narrow anti-join over the cached postings instead of a
+        // full posting-table shuffle against the df table — which mattered
+        // doubly because the self-join below evaluates `capped` twice.
+        // (If cap is ever set so low that hot outgrows the broadcast limit,
+        // raise cap proportionally with corpus size — the guard's purpose
+        // is stop-features, and df>cap rows per feature keep |hot| ≤ P/cap.)
+        val hotFeats = posts.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("h")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        dfCache = Some(dfTab)
-        val capped = posts.join(dfTab.filter(col("df") <= cap).select("h"), "h")
-        val hot = posts.join(dfTab.filter(col("df") > cap).select("h"), "h")
+        hotCache = Some(hotFeats)
+        val capped = posts.join(broadcast(hotFeats), Seq("h"), "left_anti")
+        val hot = posts.join(broadcast(hotFeats), Seq("h"), "left_semi")
           .groupBy("id").agg(count(lit(1)).as("hot"))
         def hc(side: String, as: String) =
           hot.select(col("id").as(side), col("hot").as(as))
         // exact-safe prune: J ≥ t ⟺ nc·(1+t) ≥ t·(|A|+|B|), and
         // true_nc ≤ ncc + min(hot_a, hot_b); small epsilon guards fp rounding
+        // persisted: survivors are read three times below (survIds, the
+        // trueNc probe join, and the final score join) — without the cache
+        // each consumer re-runs the whole pairCounts self-join pipeline
         val surv = pairCounts(capped, "ncc")
           .join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
           .join(hc("id_a", "hot_a"), Seq("id_a"), "left")
@@ -123,11 +138,19 @@ object Dedup {
           .filter((col("ncc") + least(col("hot_a"), col("hot_b"))).cast("double") * (1.0 + t)
             >= lit(t) * (col("sa") + col("sb")) - 1e-9)
           .select("id_a", "id_b", "sa", "sb")
-        // true common counts for survivors only (|surv| × |feats_a| bounded)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // true common counts for survivors only (|surv| × |feats_a| bounded);
+        // restrict the posting table to survivor ids FIRST (broadcast
+        // semi-join — survivor count is pair-bounded) so the (id_b, h)
+        // equi-join shuffles only survivor postings, not the whole corpus
+        val survIds = surv.select(col("id_a").as("id"))
+          .union(surv.select(col("id_b").as("id"))).distinct()
+        val survPosts = posts.join(broadcast(survIds), Seq("id"), "left_semi")
         val trueNc = surv.select("id_a", "id_b")
-          .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
-          .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .join(survPosts.select(col("id").as("id_a"), col("h")), "id_a")
+          .join(survPosts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
+        survCache = Some(surv)
         surv.join(trueNc, Seq("id_a", "id_b"))
     }
     // Materialize the (small) result with a hard lineage cut, then release
@@ -139,7 +162,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .localCheckpoint(true)
     posts.unpersist(false)
-    dfCache.foreach(_.unpersist(false))
+    hotCache.foreach(_.unpersist(false))
+    survCache.foreach(_.unpersist(false))
     result
   }
 
