@@ -25,33 +25,63 @@ import java.security.MessageDigest
 object MysqlWire {
 
   // —————————————————— packet framing: [len:3 LE][seq:1][payload] ——————————————————
+  // Payloads ≥ 16MB-1 follow MySQL's splitting rule: a packet whose length
+  // is exactly 0xffffff is continued by the next packet (possibly an empty
+  // one, so a payload of exactly k·0xffffff bytes still terminates).
+
+  private val MaxChunk = 0xffffff
 
   def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    out.write(payload.length & 0xff)
-    out.write((payload.length >> 8) & 0xff)
-    out.write((payload.length >> 16) & 0xff)
-    out.write(seq & 0xff)
-    out.write(payload)
+    var off = 0
+    var s = seq
+    var continue = true
+    while (continue) {
+      val len = math.min(MaxChunk, payload.length - off)
+      out.write(len & 0xff)
+      out.write((len >> 8) & 0xff)
+      out.write((len >> 16) & 0xff)
+      out.write(s & 0xff)
+      out.write(payload, off, len)
+      off += len
+      s += 1
+      // a full 0xffffff chunk REQUIRES a follow-up (empty if nothing remains)
+      continue = len == MaxChunk
+    }
     out.flush()
   }
 
-  /** (sequence, payload). */
+  /** (sequence-of-first-packet, payload) — rejoins 0xffffff continuations. */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
     def b(): Int = {
       val v = in.read()
       if (v < 0) throw new EOFException("mysql: connection closed")
       v
     }
-    val len = b() | (b() << 8) | (b() << 16)
-    val seq = b()
-    val payload = new Array[Byte](len)
-    var off = 0
-    while (off < len) {
-      val n = in.read(payload, off, len - off)
-      if (n < 0) throw new EOFException("mysql: connection closed mid-packet")
-      off += n
+    def one(): (Int, Int, Array[Byte]) = {
+      val len = b() | (b() << 8) | (b() << 16)
+      val seq = b()
+      val payload = new Array[Byte](len)
+      var off = 0
+      while (off < len) {
+        val n = in.read(payload, off, len - off)
+        if (n < 0) throw new EOFException("mysql: connection closed mid-packet")
+        off += n
+      }
+      (len, seq, payload)
     }
-    (seq, payload)
+    val (len0, seq0, first) = one()
+    if (len0 < MaxChunk) (seq0, first)
+    else {
+      val joined = new ByteArrayOutputStream()
+      joined.write(first)
+      var more = true
+      while (more) {
+        val (len, _, part) = one()
+        joined.write(part)
+        more = len == MaxChunk
+      }
+      (seq0, joined.toByteArray)
+    }
   }
 
   // —————————————————— little-endian scratch writers/readers ——————————————————

@@ -38,6 +38,13 @@ class PgSpooler(
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def be8(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
   /** `[lsn:8 BE][len:4 BE][msg]` — PgOutput.decodeSegment's frame layout. */
   private def frame(lsn: Long, msg: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(12 + msg.length)
@@ -85,7 +92,13 @@ class PgSpooler(
           case t =>
             buffer += frame(lsn, msg)
             if (t == 'C') {
-              safeLsn = lsn
+              // checkpoint the commit's END LSN from the pgoutput Commit
+              // body ('C'[flags:1][commit:8][end:8][ts:8]) — resuming
+              // START_REPLICATION from the commit frame's walStart would
+              // redeliver the just-committed transaction on a real server
+              // (convention: confirm the commit's end LSN, as the
+              // reference's flushed-LSN acks do)
+              safeLsn = be8(msg, 10)
               committedLen = buffer.length
               closedTxs += 1
               if (closedTxs >= maxTxPerSegment) flushSegment()

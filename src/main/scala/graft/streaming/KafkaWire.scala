@@ -533,6 +533,15 @@ object KafkaWire {
     private var initialized = false
     private var fenced = false
     private var txnOnWire = false // uncommitted produce reached the broker
+    // Commit-retry bookkeeping: a retried commit must NOT re-produce under
+    // advanced sequences (the broker would accept the replay as new rows).
+    // `txBaseSeq` pins each topic's base sequence for the LIFE of the open
+    // transaction, so any re-produce replays the exact same (pid, epoch,
+    // seq) triple and the broker's idempotent dedup collapses it;
+    // `producedInTx` records that the produce phase fully acked, so a
+    // commit retry after an EndTxn-only failure re-issues just EndTxn.
+    private val txBaseSeq = new java.util.HashMap[String, Integer]()
+    private var producedInTx = false
     // produce goes to the partition leader Metadata reports (single-broker
     // stubs report themselves; a real cluster may redirect)
     private var leaderHost: String = host
@@ -582,11 +591,19 @@ object KafkaWire {
     override def beginTransaction(): Unit = {
       require(!inTx, "already in a transaction")
       if (transactional && !initialized) withConn(host, port)(initTransactions)
+      txBaseSeq.clear(); producedInTx = false
       inTx = true
     }
 
     override def send(rec: MessagingSinks.WireRecord): Unit =
-      if (inTx) pending += rec else flush(Seq(rec))
+      if (inTx) {
+        // once the produce phase of this transaction has acked, a commit
+        // retry re-issues ONLY EndTxn — a record added now would silently
+        // miss the transaction, so reject it loudly
+        require(!producedInTx,
+          "cannot add records after the transaction's produce phase completed; retry the commit or abort")
+        pending += rec
+      } else flush(Seq(rec))
 
     override def abortTransaction(): Unit = {
       // nothing hit the wire before commit → local clear; if a failed commit
@@ -596,6 +613,7 @@ object KafkaWire {
         try withConn(leaderHost, leaderPort)(endTxn(_, _, committed = false))
         catch { case _: Exception => () } // abort is best-effort; txn times out server-side
       txnOnWire = false
+      txBaseSeq.clear(); producedInTx = false
       pending.clear(); inTx = false
     }
 
@@ -606,24 +624,34 @@ object KafkaWire {
         if (transactional) commitWithCoordinator()
         else flush(pending.toSeq)
       }
+      txBaseSeq.clear(); producedInTx = false
       pending.clear(); inTx = false; txnOnWire = false
     }
 
-    /** AddPartitionsToTxn → Produce(transactional) → EndTxn(commit). */
+    /**
+     * AddPartitionsToTxn → Produce(transactional) → EndTxn(commit). On a
+     * retried commit: if the produce phase already fully acked (EndTxn-only
+     * failure), skip straight to EndTxn — re-producing would duplicate; if
+     * produce failed partway, the re-produce replays under the pinned
+     * per-transaction base sequences (same triple → broker dedup).
+     */
     private def commitWithCoordinator(): Unit =
       withConn(leaderHost, leaderPort) { (out, in) =>
-        val topics = pending.map(_.topic).distinct.sorted.toSeq
-        val apCorr = corr.incrementAndGet()
-        out.write(encodeAddPartitionsToTxnRequest(apCorr, clientId,
-          AddPartitionsToTxnRequest(transactionalId, pid, epoch, topics.map(_ -> Seq(0)))))
-        out.flush()
-        val ap = readAddPartitionsToTxnResponse(in)
-        require(ap.correlationId == apCorr, "add_partitions correlation mismatch")
-        ap.results.flatMap(_._2).find(_._2 != Errors.None).foreach { case (_, code) =>
-          if (Errors.isFence(code)) fence(code, "AddPartitionsToTxn")
-          throw new RuntimeException(s"AddPartitionsToTxn failed: error $code")
+        if (!producedInTx) {
+          val topics = pending.map(_.topic).distinct.sorted.toSeq
+          val apCorr = corr.incrementAndGet()
+          out.write(encodeAddPartitionsToTxnRequest(apCorr, clientId,
+            AddPartitionsToTxnRequest(transactionalId, pid, epoch, topics.map(_ -> Seq(0)))))
+          out.flush()
+          val ap = readAddPartitionsToTxnResponse(in)
+          require(ap.correlationId == apCorr, "add_partitions correlation mismatch")
+          ap.results.flatMap(_._2).find(_._2 != Errors.None).foreach { case (_, code) =>
+            if (Errors.isFence(code)) fence(code, "AddPartitionsToTxn")
+            throw new RuntimeException(s"AddPartitionsToTxn failed: error $code")
+          }
+          produce(out, in, pending.toSeq)
+          producedInTx = true
         }
-        produce(out, in, pending.toSeq)
         endTxn(out, in, committed = true)
       }
 
@@ -644,7 +672,14 @@ object KafkaWire {
     private def produce(out: BufferedOutputStream, in: DataInputStream,
                         recs: Seq[MessagingSinks.WireRecord]): Unit = {
       recs.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (topic, rs) =>
-        val baseSeq: Int = Option(seqByTopic.get(topic)).fold(0)(_.intValue())
+        // inside a transaction the base sequence is pinned at first use so
+        // a commit retry replays the same triple instead of advancing past
+        // an already-acked topic (partial-produce retry = duplicates)
+        val baseSeq: Int =
+          if (transactional && inTx)
+            txBaseSeq.computeIfAbsent(topic,
+              t => Option(seqByTopic.get(t)).fold(0)(_.intValue())).intValue()
+          else Option(seqByTopic.get(topic)).fold(0)(_.intValue())
         val batch = encodeBatch(
           rs.map(r => Record(
             if (r.key == null) null else r.key.getBytes(UTF_8), r.value,

@@ -289,7 +289,10 @@ class LiveWireSpec extends SparkSpec {
       val spooler = new PgSpooler("127.0.0.1", stub.port, "repl", "shop",
         "graft_slot", "graft_pub", dir, maxTxPerSegment = 2)
       assert(spooler.pump() == 2) // one drop, one clean resume
-      assert(spooler.checkpoint() > 0L)
+      // checkpoint = the LAST commit's END LSN from the Commit body (lsn+3
+      // in pgStream), not the commit frame's walStart — resuming from
+      // walStart would redeliver the just-committed tx on a real server
+      assert(spooler.checkpoint() == 1000L + 10L * (pks.length - 1) + 3L)
 
       // every segment decodes SELF-CONTAINED (relation replayed at its head)
       val perSegment = BacklogSource.segments(dir).map { p =>

@@ -27,6 +27,22 @@ object WireCodecProps extends Properties("graft.wirecodecs") {
       s == seq && java.util.Arrays.equals(p, payload)
     }
 
+  property("mysql packet framing splits ≥16MB payloads and rejoins them") =
+    Prop.forAll(Gen.oneOf(0xffffff - 1, 0xffffff, 0xffffff + 1,
+      0xffffff + 12345, 2 * 0xffffff)) { n =>
+      val payload = new Array[Byte](n)
+      var i = 0
+      while (i < n) { payload(i) = (i * 31 + 7).toByte; i += 1 }
+      val out = new ByteArrayOutputStream()
+      writePacket(out, 3, payload)
+      val framed = out.toByteArray
+      val (s, p) = readPacket(new ByteArrayInputStream(framed))
+      // every full 0xffffff chunk demands a continuation (possibly empty),
+      // so the stream holds floor(n/0xffffff)+1 packets of 4-byte headers
+      s == 3 && java.util.Arrays.equals(p, payload) &&
+        framed.length == n + 4 * (n / 0xffffff + 1)
+    }
+
   property("mysql greeting: nonce and plugin survive encode∘decode") =
     Prop.forAll(nameGen, Gen.choose(1L, Int.MaxValue.toLong),
       Gen.listOfN(20, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) {

@@ -193,15 +193,41 @@ class KafkaWireSpec extends SparkSpec {
       b.send(MessagingSinks.WireRecord("t", "kb", "vb".getBytes(UTF_8), Map.empty))
       b.commitTransaction()
 
-      // A is still inside its failed transaction (pending intact for replay);
-      // its retry now hits the bumped epoch
-      a.send(MessagingSinks.WireRecord("t", "ka2", "va2".getBytes(UTF_8), Map.empty))
-      intercept[IllegalStateException] { a.commitTransaction() } // fenced at AddPartitionsToTxn
+      // A is still inside its failed transaction (pending intact, produce
+      // phase acked — new sends are rejected); its commit retry re-issues
+      // only EndTxn, which now hits the bumped epoch
+      intercept[IllegalArgumentException] {
+        a.send(MessagingSinks.WireRecord("t", "ka2", "va2".getBytes(UTF_8), Map.empty))
+      }
+      intercept[IllegalStateException] { a.commitTransaction() } // fenced at EndTxn
       assert(a.isFenced)
 
       val visible = stub.visible
       assert(visible.map(_.key) == Seq("kb")) // only B's txn ever became visible
       assert(visible.forall(_.epoch == 1))
+    } finally stub.stop()
+  }
+
+  test("EndTxn-only failure: commit retry re-issues just EndTxn — no re-produce, no duplicates") {
+    // ADVICE finding: seqByTopic advances when Produce acks; a commit retry
+    // that re-ran AddPartitionsToTxn + Produce would re-send the same
+    // records under ADVANCED sequences and the broker would accept them as
+    // new — the recommitted transaction would contain duplicates.
+    val stub = new KafkaBrokerStub(failFirstEndTxn = true)
+    try {
+      val p = new SocketProducer("127.0.0.1", stub.port, "c-retry", "txn-r")
+      p.beginTransaction()
+      p.send(MessagingSinks.WireRecord("t", "k1", "v1".getBytes(UTF_8), Map.empty))
+      p.send(MessagingSinks.WireRecord("t", "k2", "v2".getBytes(UTF_8), Map.empty))
+      intercept[RuntimeException] { p.commitTransaction() } // EndTxn lost
+      assert(stub.visible.isEmpty && stub.uncommittedCount == 2)
+      val producesBefore = stub.produceRequests.get()
+
+      p.commitTransaction() // retry: EndTxn only
+      assert(stub.produceRequests.get() == producesBefore) // nothing re-produced
+      assert(stub.endTxnRequests.get() == 2)
+      assert(stub.visible.map(_.key) == Seq("k1", "k2")) // exactly once
+      assert(stub.visible.forall(_.baseSeq == 0))
     } finally stub.stop()
   }
 
