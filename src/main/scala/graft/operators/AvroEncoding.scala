@@ -205,6 +205,122 @@ object AvroEncoding {
       fields.toList.asJava)
   }
 
+  // ———————————— Postgres source-type policies (avro_types.rs:250-430) ————————————
+
+  /**
+   * A PostgreSQL information_schema column description
+   * (avro_types.rs ColumnDesc, PG branch): `dataType` is the raw
+   * `data_type`/`udt_name` string (normalized here), arrays carry their
+   * element type separately (`information_schema` reports `ARRAY`).
+   */
+  case class PgColumn(name: String, dataType: String, nullableCol: Boolean = true,
+                      precision: Option[Int] = None, scale: Option[Int] = None,
+                      isArray: Boolean = false, elementType: Option[String] = None)
+
+  /**
+   * Normalize PostgreSQL type names to canonical short forms
+   * (avro_types.rs normalize_pg_type): strip length/precision suffixes,
+   * collapse the SQL-standard verbose spellings.
+   */
+  def normalizePgType(dataType: String): String = {
+    val lower = dataType.toLowerCase.trim
+    if (lower.startsWith("character varying")) "varchar"
+    else if (lower.startsWith("character(") || lower == "character") "char"
+    else if (lower.startsWith("numeric(")) "numeric"
+    else if (lower.startsWith("decimal(")) "decimal"
+    else if (lower.startsWith("timestamp with time zone") ||
+      lower.startsWith("timestamptz")) "timestamptz"
+    else if (lower.startsWith("timestamp")) {
+      if (lower.contains("with time zone")) "timestamptz" else "timestamp"
+    }
+    else if (lower.startsWith("time with time zone")) "timetz"
+    else if (lower.startsWith("time")) {
+      // careful: "timetz" itself must survive; only expand the verbose forms
+      if (lower == "timetz") "timetz"
+      else if (lower.contains("with time zone")) "timetz"
+      else if (lower.startsWith("time(") || lower == "time" ||
+        lower.startsWith("time without time zone")) "time"
+      else lower.indexOf('(') match {
+        case -1 => lower
+        case i => lower.substring(0, i).trim
+      }
+    }
+    else if (lower.startsWith("double precision")) "double precision"
+    else lower.indexOf('(') match {
+      case -1 => lower
+      case i => lower.substring(0, i).trim
+    }
+  }
+
+  /**
+   * PostgreSQL scalar type → Avro schema, policy-driven
+   * (avro_types.rs:267-365 postgres_scalar_to_avro). Notable vs MySQL:
+   * PG timestamps use MICROS logical types; `timestamptz` is always
+   * timestamp-micros (zone-anchored) while naive `timestamp` follows the
+   * naive-timestamp policy; `timetz` stays a string (time-micros would
+   * drop the offset); numeric/decimal stays a string through the JSON
+   * intermediary (the reference's TD-003); `hstore` is a string map.
+   */
+  def pgAvroType(col: PgColumn, p: TypePolicies = TypePolicies()): Schema = {
+    if (col.isArray)
+      return Schema.createArray(pgAvroType(
+        PgColumn(col.name, col.elementType.getOrElse("text"),
+          precision = col.precision, scale = col.scale), p))
+    normalizePgType(col.dataType) match {
+      case "smallint" | "int2" | "smallserial" => Schema.create(Schema.Type.INT)
+      case "integer" | "int" | "int4" | "serial" => Schema.create(Schema.Type.INT)
+      case "bigint" | "int8" | "bigserial" => Schema.create(Schema.Type.LONG)
+      case "real" | "float4" => Schema.create(Schema.Type.FLOAT)
+      case "double precision" | "float8" => Schema.create(Schema.Type.DOUBLE)
+      case "numeric" | "decimal" => Schema.create(Schema.Type.STRING)
+      case "boolean" | "bool" => Schema.create(Schema.Type.BOOLEAN)
+      case "text" | "varchar" | "char" | "name" | "citext" | "bpchar" =>
+        Schema.create(Schema.Type.STRING)
+      case "bytea" => Schema.create(Schema.Type.BYTES)
+      case "date" =>
+        val s = Schema.create(Schema.Type.INT); LogicalTypes.date().addToSchema(s)
+      case "timestamp" => // naive (no zone): policy, like MySQL DATETIME
+        if (p.naiveTimestampMode == "timestamp") {
+          val s = Schema.create(Schema.Type.LONG)
+          LogicalTypes.timestampMicros().addToSchema(s)
+        } else Schema.create(Schema.Type.STRING)
+      case "timestamptz" =>
+        val s = Schema.create(Schema.Type.LONG)
+        LogicalTypes.timestampMicros().addToSchema(s)
+      case "time" =>
+        val s = Schema.create(Schema.Type.LONG)
+        LogicalTypes.timeMicros().addToSchema(s)
+      case "timetz" => Schema.create(Schema.Type.STRING) // offset would be lost
+      case "interval" => Schema.create(Schema.Type.STRING)
+      case "uuid" =>
+        val s = Schema.create(Schema.Type.STRING)
+        LogicalTypes.uuid().addToSchema(s)
+      case "json" | "jsonb" => Schema.create(Schema.Type.STRING)
+      case "inet" | "cidr" | "macaddr" | "macaddr8" => Schema.create(Schema.Type.STRING)
+      case "point" | "line" | "lseg" | "box" | "path" | "polygon" | "circle" =>
+        Schema.create(Schema.Type.STRING)
+      case "hstore" => Schema.createMap(Schema.create(Schema.Type.STRING))
+      case "int4range" | "int8range" | "numrange" | "tsrange" | "tstzrange" |
+           "daterange" => Schema.create(Schema.Type.STRING)
+      case "money" | "xml" => Schema.create(Schema.Type.STRING)
+      case _ => Schema.create(Schema.Type.STRING) // lossy catch-all
+    }
+  }
+
+  /** PG table description → Avro record (nullable unions per column). */
+  def pgRecord(name: String, cols: Seq[PgColumn],
+               p: TypePolicies = TypePolicies()): Schema = {
+    val fields = cols.map { c =>
+      val t = pgAvroType(c, p)
+      val fieldSchema = if (c.nullableCol) nullable(t) else t
+      if (c.nullableCol)
+        new Schema.Field(c.name, fieldSchema, null, Schema.Field.NULL_DEFAULT_VALUE)
+      else new Schema.Field(c.name, fieldSchema, null)
+    }
+    Schema.createRecord(name.replaceAll("[^A-Za-z0-9_]", "_"), null, "graft.cdc", false,
+      fields.toList.asJava)
+  }
+
   /** StructType → Avro record, ns `graft.cdc.<name>`, all fields nullable. */
   def record(name: String, st: StructType): Schema = {
     val fields = st.fields.map { f =>

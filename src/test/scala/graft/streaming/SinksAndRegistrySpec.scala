@@ -101,6 +101,114 @@ class SinksAndRegistrySpec extends SparkSpec {
     assert(rec.getField("status").schema().getTypes.get(0).getType == Schema.Type.NULL)
   }
 
+  test("avro pg type policies: the full scalar table (avro_types.rs:250-430)") {
+    import graft.operators.AvroEncoding._
+    import org.apache.avro.Schema
+
+    // normalization (normalize_pg_type): verbose SQL spellings collapse,
+    // precision/length suffixes strip
+    assert(normalizePgType("character varying(255)") == "varchar")
+    assert(normalizePgType("CHARACTER(10)") == "char")
+    assert(normalizePgType("numeric(12,4)") == "numeric")
+    assert(normalizePgType("decimal(8,2)") == "decimal")
+    assert(normalizePgType("timestamp with time zone") == "timestamptz")
+    assert(normalizePgType("timestamp without time zone") == "timestamp")
+    assert(normalizePgType("timestamp(3)") == "timestamp")
+    assert(normalizePgType("time with time zone") == "timetz")
+    assert(normalizePgType("time without time zone") == "time")
+    assert(normalizePgType("time(6)") == "time")
+    assert(normalizePgType("timetz") == "timetz")
+    assert(normalizePgType("double precision") == "double precision")
+    assert(normalizePgType("varchar(64)") == "varchar")
+
+    // integers (pg_int_types)
+    assert(pgAvroType(PgColumn("a", "smallint")).getType == Schema.Type.INT)
+    assert(pgAvroType(PgColumn("a", "int2")).getType == Schema.Type.INT)
+    assert(pgAvroType(PgColumn("a", "integer")).getType == Schema.Type.INT)
+    assert(pgAvroType(PgColumn("a", "int4")).getType == Schema.Type.INT)
+    assert(pgAvroType(PgColumn("a", "serial")).getType == Schema.Type.INT)
+    assert(pgAvroType(PgColumn("a", "bigint")).getType == Schema.Type.LONG)
+    assert(pgAvroType(PgColumn("a", "int8")).getType == Schema.Type.LONG)
+    assert(pgAvroType(PgColumn("a", "bigserial")).getType == Schema.Type.LONG)
+
+    // floats
+    assert(pgAvroType(PgColumn("f", "real")).getType == Schema.Type.FLOAT)
+    assert(pgAvroType(PgColumn("f", "float4")).getType == Schema.Type.FLOAT)
+    assert(pgAvroType(PgColumn("f", "double precision")).getType == Schema.Type.DOUBLE)
+    assert(pgAvroType(PgColumn("f", "float8")).getType == Schema.Type.DOUBLE)
+
+    // numeric/decimal → string with AND without precision (TD-003 parity)
+    assert(pgAvroType(PgColumn("n", "numeric", precision = Some(12), scale = Some(4)))
+      .getType == Schema.Type.STRING)
+    assert(pgAvroType(PgColumn("n", "numeric")).getType == Schema.Type.STRING)
+    assert(pgAvroType(PgColumn("n", "numeric(12,4)")).getType == Schema.Type.STRING)
+
+    // strings / binary / boolean
+    Seq("text", "varchar", "character varying(255)", "char", "character(10)",
+      "name", "citext").foreach { t =>
+      assert(pgAvroType(PgColumn("s", t)).getType == Schema.Type.STRING, t)
+    }
+    assert(pgAvroType(PgColumn("b", "bytea")).getType == Schema.Type.BYTES)
+    assert(pgAvroType(PgColumn("b", "boolean")).getType == Schema.Type.BOOLEAN)
+    assert(pgAvroType(PgColumn("b", "bool")).getType == Schema.Type.BOOLEAN)
+
+    // date/time: PG uses MICROS logical types; naive timestamp follows the
+    // policy (string default), timestamptz is ALWAYS timestamp-micros,
+    // timetz stays a string so the offset survives
+    assert(pgAvroType(PgColumn("d", "date")).getLogicalType.getName == "date")
+    assert(pgAvroType(PgColumn("t", "timestamp")).getType == Schema.Type.STRING)
+    assert(pgAvroType(PgColumn("t", "timestamp without time zone")).getType == Schema.Type.STRING)
+    val naiveTs = pgAvroType(PgColumn("t", "timestamp"),
+      TypePolicies(naiveTimestampMode = "timestamp"))
+    assert(naiveTs.getType == Schema.Type.LONG &&
+      naiveTs.getLogicalType.getName == "timestamp-micros")
+    val tstz = pgAvroType(PgColumn("t", "timestamptz"))
+    assert(tstz.getLogicalType.getName == "timestamp-micros")
+    assert(pgAvroType(PgColumn("t", "timestamp with time zone"))
+      .getLogicalType.getName == "timestamp-micros")
+    assert(pgAvroType(PgColumn("t", "time")).getLogicalType.getName == "time-micros")
+    assert(pgAvroType(PgColumn("t", "timetz")).getType == Schema.Type.STRING)
+    assert(pgAvroType(PgColumn("t", "time with time zone")).getType == Schema.Type.STRING)
+    assert(pgAvroType(PgColumn("t", "interval")).getType == Schema.Type.STRING)
+
+    // uuid / json / network / geometric / hstore / ranges / money / xml
+    val uuid = pgAvroType(PgColumn("id", "uuid"))
+    assert(uuid.getType == Schema.Type.STRING && uuid.getLogicalType.getName == "uuid")
+    assert(pgAvroType(PgColumn("j", "json")).getType == Schema.Type.STRING)
+    assert(pgAvroType(PgColumn("j", "jsonb")).getType == Schema.Type.STRING)
+    Seq("inet", "cidr", "macaddr", "macaddr8", "point", "polygon", "circle",
+      "int4range", "tstzrange", "daterange", "money", "xml").foreach { t =>
+      assert(pgAvroType(PgColumn("x", t)).getType == Schema.Type.STRING, t)
+    }
+    val hstore = pgAvroType(PgColumn("m", "hstore"))
+    assert(hstore.getType == Schema.Type.MAP &&
+      hstore.getValueType.getType == Schema.Type.STRING)
+
+    // unknown type → lossy string catch-all
+    assert(pgAvroType(PgColumn("x", "some_custom_domain")).getType == Schema.Type.STRING)
+
+    // arrays: element type mapped through the scalar table (pg_array)
+    val arr = pgAvroType(PgColumn("tags", "ARRAY", isArray = true,
+      elementType = Some("integer")))
+    assert(arr.getType == Schema.Type.ARRAY &&
+      arr.getElementType.getType == Schema.Type.INT)
+    val defaulted = pgAvroType(PgColumn("tags", "ARRAY", isArray = true))
+    assert(defaulted.getElementType.getType == Schema.Type.STRING) // text default
+
+    // record derivation: nullable → [null, T] union with null default
+    val rec = pgRecord("public_orders", Seq(
+      PgColumn("id", "bigint", nullableCol = false),
+      PgColumn("tags", "ARRAY", isArray = true, elementType = Some("text")),
+      PgColumn("data", "jsonb")))
+    assert(rec.getNamespace == "graft.cdc")
+    assert(rec.getField("id").schema().getType == Schema.Type.LONG)
+    val tags = rec.getField("tags").schema()
+    assert(tags.getType == Schema.Type.UNION &&
+      tags.getTypes.get(0).getType == Schema.Type.NULL &&
+      tags.getTypes.get(1).getType == Schema.Type.ARRAY)
+    assert(rec.getField("data").schema().getTypes.get(1).getType == Schema.Type.STRING)
+  }
+
   test("kafka-like sink: exactly-once txn commit, per-key ordering preserved") {
     import MessagingSinks._
     val q = SinksAndRegistrySpec.buffer
