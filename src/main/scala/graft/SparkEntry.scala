@@ -554,6 +554,41 @@ object SparkEntry {
             cols.map(c => s"'$c', n, n - nn_$c").mkString(", ") +
             ") as (column_name, n_rows, n_nulls)"))
         .orderBy("column_name")
+    }),
+
+    "drift_types" -> ((s, dir) => {
+      // ALL six reference drift kinds (drift_detector.rs DriftType) from
+      // one payload built to drift deterministically: event_type strings
+      // into a declared int column (type_mismatch), double values into a
+      // declared bigint (type_mismatch) with a [0,100] range
+      // (value_out_of_range), props objects into a varchar
+      // (type_mismatch), a ctx JSON column whose key-set varies by event
+      // type (json_structure_change), a non-nullable column absent on
+      // user_id%7==0 rows (unexpected_null), an undeclared key on signup
+      // events (undeclared_column), and a declared-but-never-present
+      // column (missing_column).
+      import graft.streaming.SchemaSensing.{driftTyped, DeclaredColumn}
+      val ev = events(s, dir)
+      val ctx = when(col("event_type") === "error", lit("{\"code\":1,\"msg\":\"e\"}"))
+        .when(col("event_type") === "purchase", lit("{\"amount\":2}"))
+        .otherwise(lit("{\"k\":1}"))
+      val payload = concat(
+        lit("{\"event_type\":\""), col("event_type"), lit("\""),
+        lit(",\"value\":"), col("value").cast(StringType),
+        lit(",\"props\":"), col("props"),
+        lit(",\"ctx\":"), ctx,
+        when(col("user_id") % 7 =!= 0,
+          concat(lit(",\"maybe\":"), col("user_id").cast(StringType))).otherwise(lit("")),
+        when(col("event_type") === "signup", lit(",\"extra\":1")).otherwise(lit("")),
+        lit("}"))
+      driftTyped(ev, payload, Seq(
+        DeclaredColumn("event_type", "int"),
+        DeclaredColumn("value", "bigint", minValue = Some(0.0), maxValue = Some(100.0)),
+        DeclaredColumn("props", "varchar"),
+        DeclaredColumn("ctx", "json"),
+        DeclaredColumn("maybe", "bigint", nullable = false),
+        DeclaredColumn("ghost", "varchar")))
+        .orderBy("column_name", "kind")
     })
   )
 
@@ -1025,6 +1060,26 @@ object SparkEntry {
       """SELECT 'event_type' AS column_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(event_type) AS n_nulls FROM events
         |UNION ALL SELECT 'props', COUNT(*), COUNT(*) - COUNT(props) FROM events
         |UNION ALL SELECT 'value', COUNT(*), COUNT(*) - COUNT(value) FROM events
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // Recomputes every drift row from the typed columns directly: the
+    // payload is constructed so each drift kind's trigger condition is a
+    // plain SQL predicate. ctx has exactly 3 structures (error/purchase/
+    // other key-sets), derived with a COUNT(DISTINCT CASE ...).
+    "drift_types" ->
+      """WITH r AS (
+        |  SELECT 'ctx' AS column_name, 'json_structure_change' AS kind,
+        |         'stable structure' AS expected, 'n_structures' AS observed,
+        |         CAST(COUNT(DISTINCT CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 ELSE 3 END) AS BIGINT) AS n
+        |  FROM events
+        |  UNION ALL SELECT 'event_type','type_mismatch','int','string', COUNT(*) FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL SELECT 'extra','undeclared_column','(not declared)','present', COUNT(*) FROM events WHERE event_type = 'signup'
+        |  UNION ALL SELECT 'ghost','missing_column','declared','never present', COUNT(*) FROM events
+        |  UNION ALL SELECT 'maybe','unexpected_null','NOT NULL','NULL', COUNT(*) FROM events WHERE user_id % 7 = 0
+        |  UNION ALL SELECT 'props','type_mismatch','varchar','object_or_array', COUNT(*) FROM events WHERE props IS NOT NULL
+        |  UNION ALL SELECT 'value','type_mismatch','bigint','float', COUNT(*) FROM events WHERE value IS NOT NULL
+        |  UNION ALL SELECT 'value','value_out_of_range','[0.0,100.0]','out_of_range', COUNT(*) FROM events WHERE value < 0 OR value > 100
+        |)
+        |SELECT column_name, kind, expected, observed, n FROM r ORDER BY column_name, kind""".stripMargin
   )
 }

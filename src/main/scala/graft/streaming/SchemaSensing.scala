@@ -141,10 +141,148 @@ object SchemaSensing {
   }
 
   /**
-   * Drift detection: observed batch stats vs a declared schema ledger.
-   * Emits `unexpected_null | undeclared_column | missing_column` rows
-   * (reference drift_detector.rs kinds; type checks happen at the typed
-   * projection boundary where casts fail → DLQ).
+   * A declared column for drift checking (reference drift_detector.rs
+   * ColumnSchemaInfo): SQL type string, nullability, optional numeric
+   * range for `value_out_of_range`.
+   */
+  case class DeclaredColumn(name: String, sqlType: String, nullable: Boolean = true,
+                            minValue: Option[Double] = None, maxValue: Option[Double] = None) {
+    def isJsonLike: Boolean = {
+      val t = sqlType.toLowerCase
+      t == "json" || t == "jsonb"
+    }
+  }
+
+  /**
+   * Observed JSON category vs declared SQL type — the reference's
+   * check_type_mismatch decision table (drift_detector.rs:346-412):
+   * booleans only fit bool/tinyint/bit; integers fit int OR float
+   * families; floats never fit integer columns; strings only clash with
+   * strictly-numeric columns (everything else string-serializes);
+   * objects/arrays only fit JSON-like columns. Returns the observed
+   * category when it mismatches, null when compatible (null/missing are
+   * nullability's business, not type's).
+   */
+  def typeMismatchKind(observed: Column, sqlType: String): Column = {
+    val t = sqlType.toLowerCase
+    val boolOk = Set("bool", "boolean", "tinyint", "bit")(t)
+    val expectsInt = Set("int", "integer", "bigint", "smallint", "tinyint",
+      "mediumint", "serial", "bigserial")(t)
+    val expectsFloat = Set("float", "double", "real", "decimal", "numeric")(t)
+    val strictlyNumeric = Set("int", "integer", "bigint", "float", "double")(t)
+    val jsonLike = t == "json" || t == "jsonb"
+    val no = lit(null).cast("string")
+    when(observed === "bool", if (boolOk) no else lit("bool"))
+      .when(observed === "int", if (expectsInt || expectsFloat) no else lit("int"))
+      .when(observed === "float", if (expectsInt) lit("float") else no)
+      .when(observed === "string", if (strictlyNumeric) lit("string") else no)
+      .when(observed === "object_or_array", if (jsonLike) no else lit("object_or_array"))
+      .otherwise(no)
+  }
+
+  /**
+   * Full drift detection over a JSON payload batch — ALL six reference
+   * kinds (drift_detector.rs DriftType) as one DataFrame of
+   * `(column_name, kind, expected, observed, n)`:
+   *
+   *  - `type_mismatch`      per-value check_type_mismatch categories
+   *  - `value_out_of_range` declared numeric [min,max] violated
+   *  - `unexpected_null`    non-nullable column null/absent
+   *  - `json_structure_change` a JSON-like column's key-set structure
+   *                         is not unique across the batch (n = count of
+   *                         distinct structures)
+   *  - `undeclared_column`  payload key not in the declared schema
+   *  - `missing_column`     declared column absent from every row
+   *
+   * Scale shape: each row emits a bounded array of per-declared-column
+   * entries (one Generate, no per-column scans); everything aggregates in
+   * ONE `groupBy` over (field, kind, expected, observed) with a distinct
+   * structure count, plus one explode of payload keys for undeclared
+   * columns. No driver-side state; all sketch-free exact counts.
+   */
+  def driftTyped(batch: DataFrame, payload: Column,
+                 declared: Seq[DeclaredColumn]): DataFrame = {
+    val noS = lit(null).cast("string")
+    def entry(name: String, kind: Column, expected: Column, observed: Column,
+              structure: Column) =
+      struct(lit(name).as("field"), kind.as("kind"), expected.as("expected"),
+        observed.as("observed"), structure.as("structure"))
+
+    val entries = declared.flatMap { c =>
+      val obs = observedType(payload, c.name)
+      val mismatch = typeMismatchKind(obs, c.sqlType)
+      val typeE = entry(c.name,
+        when(mismatch.isNotNull, lit("type_mismatch")).otherwise(noS),
+        lit(c.sqlType), mismatch, noS)
+      val nullE =
+        if (c.nullable) Nil
+        else Seq(entry(c.name,
+          when(obs.isin("null", "missing"), lit("unexpected_null")).otherwise(noS),
+          lit("NOT NULL"), lit("NULL"), noS))
+      val rangeE =
+        if (c.minValue.isEmpty && c.maxValue.isEmpty) Nil
+        else {
+          val v = get_json_object(payload, s"$$.${c.name}").cast("double")
+          val oor = c.minValue.map(m => v < m).getOrElse(lit(false)) ||
+            c.maxValue.map(m => v > m).getOrElse(lit(false))
+          Seq(entry(c.name,
+            when(v.isNotNull && oor, lit("value_out_of_range")).otherwise(noS),
+            lit(s"[${c.minValue.getOrElse("-inf")},${c.maxValue.getOrElse("inf")}]"),
+            lit("out_of_range"), noS))
+        }
+      val structE =
+        if (!c.isJsonLike) Nil
+        else {
+          val sub = get_json_object(payload, s"$$.${c.name}")
+          Seq(entry(c.name,
+            when(sub.isNotNull && sub.startsWith("{"), lit("_structure")).otherwise(noS),
+            lit("stable structure"), lit("n_structures"),
+            to_json(array_sort(json_object_keys(sub)))))
+        }
+      // presence probe drives missing_column (declared, never seen)
+      val presenceE = entry(c.name, lit("_presence"), lit("declared"),
+        when(obs === "missing", lit("missing")).otherwise(lit("present")), noS)
+      Seq(typeE, presenceE) ++ nullE ++ rangeE ++ structE
+    }
+
+    val exploded = batch.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.field").as("field"), col("e.kind").as("kind"),
+        col("e.expected").as("expected"), col("e.observed").as("observed"),
+        col("e.structure").as("structure"))
+      .filter(col("kind").isNotNull)
+    val agg = exploded
+      .groupBy("field", "kind", "expected", "observed")
+      .agg(count(lit(1)).as("n"), count_distinct(col("structure")).as("ns"))
+
+    val kinds = agg.filter(!col("kind").isin("_structure", "_presence"))
+      .select(col("field").as("column_name"), col("kind"), col("expected"),
+        col("observed"), col("n"))
+    val structureChanged = agg.filter(col("kind") === "_structure" && col("ns") > 1)
+      .select(col("field").as("column_name"),
+        lit("json_structure_change").as("kind"), col("expected"), col("observed"),
+        col("ns").as("n"))
+    val missing = agg.filter(col("kind") === "_presence")
+      .groupBy("field")
+      .agg(sum(when(col("observed") === "present", col("n")).otherwise(0L)).as("np"),
+        sum(when(col("observed") === "missing", col("n")).otherwise(0L)).as("nm"))
+      .filter(col("np") === 0L)
+      .select(col("field").as("column_name"), lit("missing_column").as("kind"),
+        lit("declared").as("expected"), lit("never present").as("observed"),
+        col("nm").as("n"))
+    val undeclared = batch
+      .select(explode(json_object_keys(payload)).as("field"))
+      .filter(!col("field").isin(declared.map(_.name): _*))
+      .groupBy("field").agg(count(lit(1)).as("n"))
+      .select(col("field").as("column_name"), lit("undeclared_column").as("kind"),
+        lit("(not declared)").as("expected"), lit("present").as("observed"), col("n"))
+
+    kinds.unionByName(structureChanged).unionByName(missing).unionByName(undeclared)
+  }
+
+  /**
+   * Presence-only drift (ledger form): observed batch stats vs a declared
+   * schema ledger. Emits `undeclared_column | missing_column` rows; the
+   * per-value kinds live in [[driftTyped]].
    */
   def drift(observed: DataFrame, declared: Map[String, Seq[String]]): DataFrame = {
     val spark = observed.sparkSession

@@ -8,6 +8,68 @@ import java.nio.file.Files
 
 class ScaleToolsSpec extends SparkSpec {
 
+  test("driftTyped emits all six reference drift kinds with exact counts") {
+    import graft.streaming.SchemaSensing.{driftTyped, DeclaredColumn}
+    import spark.implicits._
+    // 10 rows engineered so every kind fires a known number of times:
+    //  - id: ints into a declared varchar-free strictly-numeric? no — id is
+    //    fine (bigint); name: strings into declared int -> type_mismatch x10
+    //  - score: floats into declared int -> type_mismatch x10; range [0,5]
+    //    violated on 3 rows -> value_out_of_range x3
+    //  - meta: json with two distinct key-sets -> json_structure_change n=2
+    //  - req: non-nullable, absent on 4 rows -> unexpected_null x4
+    //  - extra_key: present on 2 rows, undeclared -> undeclared_column x2
+    //  - never: declared, absent everywhere -> missing_column
+    val payloads = (1 to 10).map { i =>
+      val req = if (i <= 4) "" else s""","req":$i"""
+      val extra = if (i <= 2) ""","extra_key":true""" else ""
+      val meta = if (i % 2 == 0) """{"a":1}""" else """{"a":1,"b":2}"""
+      val score = if (i <= 3) i + 10.5 else i / 10.0
+      s"""{"name":"n$i","score":$score,"meta":$meta$req$extra}"""
+    }
+    val batch = payloads.toDF("after")
+    val out = driftTyped(batch, col("after"), Seq(
+      DeclaredColumn("name", "int"),
+      DeclaredColumn("score", "int", minValue = Some(0.0), maxValue = Some(5.0)),
+      DeclaredColumn("meta", "json"),
+      DeclaredColumn("req", "bigint", nullable = false),
+      DeclaredColumn("never", "varchar")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
+    assert(out == Set(
+      ("name", "type_mismatch", 10L),
+      ("score", "type_mismatch", 10L),
+      ("score", "value_out_of_range", 3L),
+      ("meta", "json_structure_change", 2L),
+      ("req", "unexpected_null", 4L),
+      ("extra_key", "undeclared_column", 2L),
+      ("never", "missing_column", 10L)))
+  }
+
+  test("typeMismatchKind follows the reference decision table") {
+    import graft.streaming.SchemaSensing.typeMismatchKind
+    import spark.implicits._
+    val cats = Seq("bool", "int", "float", "string", "object_or_array",
+      "null", "missing").toDF("obs")
+    def kinds(sqlType: String): Seq[String] =
+      cats.select(col("obs"), typeMismatchKind(col("obs"), sqlType).as("k"))
+        .collect().map(r => s"${r.getString(0)}=${Option(r.getString(1)).getOrElse("ok")}")
+        .toSeq
+    // ints fit float columns; floats never fit int columns; strings only
+    // clash with strictly-numeric; objects only fit json; null/missing never
+    assert(kinds("bigint") == Seq("bool=bool", "int=ok", "float=float",
+      "string=string", "object_or_array=object_or_array", "null=ok", "missing=ok"))
+    assert(kinds("double") == Seq("bool=bool", "int=ok", "float=ok",
+      "string=string", "object_or_array=object_or_array", "null=ok", "missing=ok"))
+    assert(kinds("decimal") == Seq("bool=bool", "int=ok", "float=ok",
+      "string=ok", "object_or_array=object_or_array", "null=ok", "missing=ok"))
+    assert(kinds("varchar") == Seq("bool=bool", "int=int", "float=ok",
+      "string=ok", "object_or_array=object_or_array", "null=ok", "missing=ok"))
+    assert(kinds("tinyint") == Seq("bool=ok", "int=ok", "float=float",
+      "string=ok", "object_or_array=object_or_array", "null=ok", "missing=ok"))
+    assert(kinds("jsonb") == Seq("bool=bool", "int=int", "float=ok",
+      "string=ok", "object_or_array=ok", "null=ok", "missing=ok"))
+  }
+
   test("spacesaving: frequent items guaranteed present, counts bounded by err") {
     import spark.implicits._
     // skewed stream: 'hot' 500×, 'warm' 200×, 100 distinct cold items 1× each
