@@ -277,6 +277,7 @@ object KafkaWire {
   /** Kafka error codes used on the fencing path. */
   object Errors {
     val None: Short = 0
+    val NotLeaderForPartition: Short = 6 // stale leader: refresh metadata + retry
     val InvalidProducerEpoch: Short = 47 // stale epoch on Produce
     val ProducerFenced: Short = 90 // stale epoch at the txn coordinator
     def isFence(code: Short): Boolean =
@@ -542,10 +543,13 @@ object KafkaWire {
     // commit retry after an EndTxn-only failure re-issues just EndTxn.
     private val txBaseSeq = new java.util.HashMap[String, Integer]()
     private var producedInTx = false
-    // produce goes to the partition leader Metadata reports (single-broker
-    // stubs report themselves; a real cluster may redirect)
-    private var leaderHost: String = host
-    private var leaderPort: Int = port
+    // Cluster view from Metadata: produce for a topic goes to that
+    // partition's LEADER broker; coordinator RPCs (InitProducerId,
+    // AddPartitionsToTxn, EndTxn) stay on the bootstrap connection. A
+    // NOT_LEADER_FOR_PARTITION ack refreshes the view and re-routes.
+    private var brokers = Map.empty[Int, (String, Int)]
+    private var topicLeader = Map.empty[String, Int]
+    private val maxLeaderRetries = 3
 
     override def isFenced: Boolean = fenced
 
@@ -577,7 +581,7 @@ object KafkaWire {
       out.write(encodeMetadataRequest(mdCorr, clientId, Nil)); out.flush()
       val md = readMetadataResponse(in)
       require(md.correlationId == mdCorr, "metadata correlation mismatch")
-      md.brokers.headOption.foreach { b => leaderHost = b.host; leaderPort = b.port }
+      applyMetadata(md)
       val ipCorr = corr.incrementAndGet()
       out.write(encodeInitProducerIdRequest(ipCorr, clientId, transactionalId)); out.flush()
       val ip = readInitProducerIdResponse(in)
@@ -610,7 +614,7 @@ object KafkaWire {
       // left uncommitted transactional data on the broker, write the abort
       // marker so it can never become visible
       if (transactional && txnOnWire && !fenced)
-        try withConn(leaderHost, leaderPort)(endTxn(_, _, committed = false))
+        try withConn(host, port)(endTxn(_, _, committed = false))
         catch { case _: Exception => () } // abort is best-effort; txn times out server-side
       txnOnWire = false
       txBaseSeq.clear(); producedInTx = false
@@ -635,9 +639,9 @@ object KafkaWire {
      * produce failed partway, the re-produce replays under the pinned
      * per-transaction base sequences (same triple → broker dedup).
      */
-    private def commitWithCoordinator(): Unit =
-      withConn(leaderHost, leaderPort) { (out, in) =>
-        if (!producedInTx) {
+    private def commitWithCoordinator(): Unit = {
+      if (!producedInTx) {
+        withConn(host, port) { (out, in) =>
           val topics = pending.map(_.topic).distinct.sorted.toSeq
           val apCorr = corr.incrementAndGet()
           out.write(encodeAddPartitionsToTxnRequest(apCorr, clientId,
@@ -649,11 +653,12 @@ object KafkaWire {
             if (Errors.isFence(code)) fence(code, "AddPartitionsToTxn")
             throw new RuntimeException(s"AddPartitionsToTxn failed: error $code")
           }
-          produce(out, in, pending.toSeq)
-          producedInTx = true
         }
-        endTxn(out, in, committed = true)
+        produce(pending.toSeq) // routed per partition leader
+        producedInTx = true
       }
+      withConn(host, port)(endTxn(_, _, committed = true))
+    }
 
     private def endTxn(out: BufferedOutputStream, in: DataInputStream, committed: Boolean): Unit = {
       val id = corr.incrementAndGet()
@@ -667,10 +672,40 @@ object KafkaWire {
     }
 
     private def flush(recs: Seq[MessagingSinks.WireRecord]): Unit =
-      withConn(leaderHost, leaderPort)(produce(_, _, recs))
+      produce(recs)
 
-    private def produce(out: BufferedOutputStream, in: DataInputStream,
-                        recs: Seq[MessagingSinks.WireRecord]): Unit = {
+    private def applyMetadata(md: MetadataResponse): Unit = {
+      if (md.brokers.nonEmpty)
+        brokers = md.brokers.map(b => b.nodeId -> (b.host, b.port)).toMap
+      topicLeader = topicLeader ++ md.topics.flatMap(t =>
+        t.partitions.find(_.partition == 0).map(p => t.name -> p.leaderId))
+    }
+
+    /** Fetch metadata for `topics` over the bootstrap connection. */
+    private def refreshMetadata(topics: Seq[String]): Unit =
+      withConn(host, port) { (out, in) =>
+        val mdCorr = corr.incrementAndGet()
+        out.write(encodeMetadataRequest(mdCorr, clientId, topics)); out.flush()
+        val md = readMetadataResponse(in)
+        require(md.correlationId == mdCorr, "metadata correlation mismatch")
+        applyMetadata(md)
+      }
+
+    /** The topic's partition-0 leader (discovering it if unknown). */
+    private def leaderConn(topic: String): (String, Int) = {
+      if (!topicLeader.contains(topic))
+        try refreshMetadata(Seq(topic)) catch { case _: Exception => () }
+      topicLeader.get(topic).flatMap(brokers.get).getOrElse((host, port))
+    }
+
+    /**
+     * Produce each topic's batch to its Metadata-reported leader. A
+     * NOT_LEADER_FOR_PARTITION ack means the leadership moved: refresh the
+     * cluster view and retry against the new leader — with the SAME
+     * (pid, epoch, baseSeq) triple, so a batch the old leader did manage
+     * to persist before stepping down is deduped, never duplicated.
+     */
+    private def produce(recs: Seq[MessagingSinks.WireRecord]): Unit = {
       recs.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (topic, rs) =>
         // inside a transaction the base sequence is pinned at first use so
         // a commit retry replays the same triple instead of advancing past
@@ -686,20 +721,32 @@ object KafkaWire {
             r.headers.toSeq.sortBy(_._1).map { case (k, v) => k -> v.getBytes(UTF_8) })),
           producerId = pid, producerEpoch = epoch,
           baseSequence = baseSeq, transactional = transactional && inTx)
-        val id = corr.incrementAndGet()
-        out.write(encodeProduceRequest(id, clientId, transactionalId,
-          acks = -1, timeoutMs = readTimeoutMs, topic = topic,
-          partitionBatches = Seq(0 -> batch)))
-        out.flush()
-        if (transactional && inTx) txnOnWire = true
-        val resp = readProduceResponse(in)
-        require(resp.correlationId == id, s"correlation mismatch: ${resp.correlationId} vs $id")
-        resp.acks.find(_.errorCode != 0).foreach { a =>
-          if (Errors.isFence(a.errorCode)) fence(a.errorCode, "Produce")
-          throw new RuntimeException(
-            s"produce to $topic[${a.partition}] failed: error ${a.errorCode}")
+        var attempts = 0
+        var acked = false
+        while (!acked) {
+          val (lh, lp) = leaderConn(topic)
+          val code = withConn(lh, lp) { (out, in) =>
+            val id = corr.incrementAndGet()
+            out.write(encodeProduceRequest(id, clientId, transactionalId,
+              acks = -1, timeoutMs = readTimeoutMs, topic = topic,
+              partitionBatches = Seq(0 -> batch)))
+            out.flush()
+            if (transactional && inTx) txnOnWire = true
+            val resp = readProduceResponse(in)
+            require(resp.correlationId == id,
+              s"correlation mismatch: ${resp.correlationId} vs $id")
+            resp.acks.find(_.errorCode != 0).map(_.errorCode).getOrElse(Errors.None)
+          }
+          if (code == Errors.None) {
+            seqByTopic.put(topic, baseSeq + rs.length) // advance ONLY on ack
+            acked = true
+          } else if (code == Errors.NotLeaderForPartition && attempts < maxLeaderRetries) {
+            attempts += 1
+            topicLeader -= topic // force re-discovery
+            refreshMetadata(Seq(topic))
+          } else if (Errors.isFence(code)) fence(code, "Produce")
+          else throw new RuntimeException(s"produce to $topic[0] failed: error $code")
         }
-        seqByTopic.put(topic, baseSeq + rs.length) // advance ONLY on ack
       }
     }
   }

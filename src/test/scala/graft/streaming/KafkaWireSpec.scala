@@ -208,6 +208,40 @@ class KafkaWireSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("multi-broker: produce routes to the Metadata leader; NOT_LEADER → refresh + retry; migration loses nothing") {
+    // TWO stubs sharing one cluster: leadership for topic t starts at
+    // broker A (first registered); the producer bootstraps against A,
+    // commits txn 1 there, then leadership migrates to B mid-stream. The
+    // producer's next produce still routes to A, gets
+    // NOT_LEADER_FOR_PARTITION, refreshes metadata, and retries against B —
+    // same idempotence triple, so nothing duplicates.
+    val cluster = new KafkaBrokerStub.Cluster
+    val a = new KafkaBrokerStub(cluster = cluster, nodeId = 0)
+    val b = new KafkaBrokerStub(cluster = cluster, nodeId = 1)
+    try {
+      val p = new SocketProducer("127.0.0.1", a.port, "c-mb", "txn-mb")
+      p.beginTransaction()
+      p.send(MessagingSinks.WireRecord("t", "k1", "v1".getBytes(UTF_8), Map.empty))
+      p.commitTransaction()
+      assert(a.produceRequests.get() == 1 && b.produceRequests.get() == 0)
+      assert(cluster.visible.map(_.key) == Seq("k1"))
+
+      cluster.migrate("t", 1) // leadership moves to B mid-stream
+
+      p.beginTransaction()
+      p.send(MessagingSinks.WireRecord("t", "k2", "v2".getBytes(UTF_8), Map.empty))
+      p.commitTransaction()
+      // A saw exactly one more produce (the NOT_LEADER rejection, nothing
+      // appended); B served the re-routed batch
+      assert(a.produceRequests.get() == 2)
+      assert(b.produceRequests.get() == 1)
+      val vis = cluster.visible
+      assert(vis.map(_.key) == Seq("k1", "k2")) // exactly once, in order
+      assert(vis.map(_.baseSeq) == Seq(0, 1)) // sequences advanced once per ack
+      assert(cluster.uncommittedCount == 0)
+    } finally { a.stop(); b.stop() }
+  }
+
   test("EndTxn-only failure: commit retry re-issues just EndTxn — no re-produce, no duplicates") {
     // ADVICE finding: seqByTopic advances when Produce acks; a commit retry
     // that re-ran AddPartitionsToTxn + Produce would re-send the same
