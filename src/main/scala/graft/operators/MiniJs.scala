@@ -24,12 +24,17 @@ import scala.collection.mutable
  * (exactly JS semantics — the i64 re-normalization caveat js.rs:1-33 applies
  * identically and is handled at the host boundary).
  *
- * Also supported: template literals (with nested `${}` interpolation) and
+ * Also supported: template literals (with nested `${}` interpolation),
  * try/catch/finally (user `throw` values bind in the catch; engine errors
- * surface as Error-shaped objects; the step budget is never catchable).
+ * surface as Error-shaped objects; the step budget is never catchable),
+ * destructuring (object/array patterns with nesting, renaming, defaults,
+ * and rest — in declarations, parameters, and for-of), and spread (array
+ * literals, call arguments, object literals, rest parameters).
+ * Destructuring ASSIGNMENT expressions (`({a} = o)`, outside declarations)
+ * are not supported — declare instead.
  *
  * Not implemented (documented): prototypes/classes, regex,
- * generators/async, getters/setters, destructuring, spread, `new`.
+ * generators/async, getters/setters, `new`.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -48,13 +53,25 @@ object MiniJs {
   case class VStr(s: String) extends V
   case class VArr(items: mutable.ArrayBuffer[V]) extends V
   case class VObj(fields: mutable.LinkedHashMap[String, V]) extends V
-  case class VFunc(params: Seq[String], body: Seq[Stmt], env: Env,
+  case class VFunc(params: Seq[Pat], body: Seq[Stmt], env: Env,
                    isArrow: Boolean, thisVal: V) extends V
   case class VNative(name: String, fn: (V, Seq[V]) => V) extends V // (this, args)
 
   class JsError(msg: String) extends RuntimeException(msg)
 
   // ————————————————————————— AST —————————————————————————
+
+  /**
+   * Binding patterns (destructuring): a plain name, an object/array
+   * pattern with optional rest, a default wrapper, or a rest PARAMETER
+   * (function parameter lists only).
+   */
+  sealed trait Pat
+  case class PName(name: String) extends Pat
+  case class PDefault(p: Pat, default: Expr) extends Pat
+  case class PObj(fields: Seq[(String, Pat)], rest: Option[String]) extends Pat
+  case class PArr(items: Seq[Pat], rest: Option[String]) extends Pat
+  case class PRest(name: String) extends Pat
 
   sealed trait Expr
   case class ENum(d: Double) extends Expr
@@ -65,8 +82,11 @@ object MiniJs {
   case object EThis extends Expr
   case class EIdent(name: String) extends Expr
   case class EArr(items: Seq[Expr]) extends Expr
-  case class EObjLit(fields: Seq[(String, Expr)]) extends Expr
-  case class EFunc(params: Seq[String], body: Seq[Stmt], isArrow: Boolean) extends Expr
+  /** key None = `...spread` entry. */
+  case class EObjLit(fields: Seq[(Option[String], Expr)]) extends Expr
+  case class EFunc(params: Seq[Pat], body: Seq[Stmt], isArrow: Boolean) extends Expr
+  /** `...e` inside array literals and call argument lists. */
+  case class ESpread(e: Expr) extends Expr
   case class EUnary(op: String, e: Expr) extends Expr
   case class EPostfix(op: String, e: Expr) extends Expr
   case class EBin(op: String, l: Expr, r: Expr) extends Expr
@@ -80,12 +100,12 @@ object MiniJs {
 
   sealed trait Stmt
   case class SExpr(e: Expr) extends Stmt
-  case class SVar(kind: String, decls: Seq[(String, Option[Expr])]) extends Stmt
-  case class SFunc(name: String, params: Seq[String], body: Seq[Stmt]) extends Stmt
+  case class SVar(kind: String, decls: Seq[(Pat, Option[Expr])]) extends Stmt
+  case class SFunc(name: String, params: Seq[Pat], body: Seq[Stmt]) extends Stmt
   case class SIf(c: Expr, t: Stmt, f: Option[Stmt]) extends Stmt
   case class SWhile(c: Expr, body: Stmt) extends Stmt
   case class SFor(init: Option[Stmt], cond: Option[Expr], update: Option[Expr], body: Stmt) extends Stmt
-  case class SForOf(varName: String, iterable: Expr, body: Stmt) extends Stmt
+  case class SForOf(pat: Pat, iterable: Expr, body: Stmt) extends Stmt
   case class SForIn(varName: String, obj: Expr, body: Stmt) extends Stmt
   case class SReturn(e: Option[Expr]) extends Stmt
   case object SBreak extends Stmt
@@ -182,7 +202,7 @@ object MiniJs {
         val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
         val p =
-          if (three == "===" || three == "!==") { i += 3; three }
+          if (three == "===" || three == "!==" || three == "...") { i += 3; three }
           else if (Set("==", "!=", "<=", ">=", "&&", "||", "=>", "++", "--",
             "+=", "-=", "*=", "/=", "%=").contains(two)) { i += 2; two }
           else { i += 1; c.toString }
@@ -229,12 +249,12 @@ object MiniJs {
         SFunc(name, params, parseStmtsUntilBrace())
       } else if (isKw("var") || isKw("let") || isKw("const")) {
         val kind = next().text
-        val decls = Seq.newBuilder[(String, Option[Expr])]
+        val decls = Seq.newBuilder[(Pat, Option[Expr])]
         var more = true
         while (more) {
-          val name = expect("ident").text
+          val pat = parsePattern()
           val init = if (eatPunct("=")) Some(parseAssign()) else None
-          decls += ((name, init))
+          decls += ((pat, init))
           more = eatPunct(",")
         }
         eatPunct(";")
@@ -258,7 +278,8 @@ object MiniJs {
         SBlock(Seq(body, SWhile(c, body)))
       } else if (isKw("for")) {
         next(); expect("punct", "(")
-        // for (const x of e) | for (x of e) | for (init; cond; update)
+        // for (const x of e) | for (x of e) | for (const [a,b] of e) |
+        // for (init; cond; update)
         val save = pos
         val declKind = if (isKw("var") || isKw("let") || isKw("const")) Some(next().text) else None
         if (peek.kind == "ident" && (peek2.kind == "kw" && (peek2.text == "of" || peek2.text == "in"))) {
@@ -267,7 +288,14 @@ object MiniJs {
           val it = parseExpr()
           expect("punct", ")")
           val body = parseStmt()
-          if (kind == "of") SForOf(name, it, body) else SForIn(name, it, body)
+          if (kind == "of") SForOf(PName(name), it, body) else SForIn(name, it, body)
+        } else if (declKind.isDefined && (isPunct("{") || isPunct("["))) {
+          val pat = parsePattern()
+          if (!isKw("of")) err("destructuring for-loop needs 'of'")
+          next()
+          val it = parseExpr()
+          expect("punct", ")")
+          SForOf(pat, it, parseStmt())
         } else {
           pos = save
           val init: Option[Stmt] =
@@ -361,14 +389,86 @@ object MiniJs {
       acc
     }
 
-    private def parseParams(): Seq[String] = {
+    /**
+     * One binding pattern: `name`, `{a, b: x, c = 1, ...rest}`,
+     * `[x, y = 2, ...rest]`, nested arbitrarily; an optional `= default`
+     * wraps any pattern (callers that also accept initializers — var
+     * declarations — parse their own `=` BEFORE this default, so defaults
+     * here appear only inside enclosing patterns and parameter lists).
+     */
+    private def parsePattern(): Pat = {
+      val base: Pat =
+        if (isPunct("{")) {
+          next()
+          val fields = Seq.newBuilder[(String, Pat)]
+          var rest: Option[String] = None
+          if (!isPunct("}")) {
+            var more = true
+            while (more) {
+              if (eatPunct("...")) {
+                rest = Some(expect("ident").text)
+                more = false
+              } else {
+                val keyTok = next()
+                if (keyTok.kind != "ident" && keyTok.kind != "str" && keyTok.kind != "kw")
+                  err("bad destructuring key")
+                val key = keyTok.text
+                val sub0: Pat =
+                  if (eatPunct(":")) parsePattern()
+                  else PName(key)
+                val sub = if (isPunct("=")) { next(); PDefault(sub0, parseAssign()) } else sub0
+                fields += ((key, sub))
+                more = eatPunct(",") && !isPunct("}")
+              }
+            }
+          }
+          expect("punct", "}")
+          PObj(fields.result(), rest)
+        } else if (isPunct("[")) {
+          next()
+          val items = Seq.newBuilder[Pat]
+          var rest: Option[String] = None
+          if (!isPunct("]")) {
+            var more = true
+            while (more) {
+              if (eatPunct("...")) {
+                rest = Some(expect("ident").text)
+                more = false
+              } else {
+                val p = parsePattern()
+                items += (if (isPunct("=")) { next(); PDefault(p, parseAssign()) } else p)
+                more = eatPunct(",") && !isPunct("]")
+              }
+            }
+          }
+          expect("punct", "]")
+          PArr(items.result(), rest)
+        } else PName(expect("ident").text)
+      base // `= default` is parsed by each enclosing site (a var
+           // declaration's `=` is an initializer, not a default)
+    }
+
+    private def parseParams(): Seq[Pat] = {
       expect("punct", "(")
-      val out = Seq.newBuilder[String]
+      val out = parseParamsTail()
+      expect("punct", ")")
+      out
+    }
+
+    /** Comma-separated parameter patterns up to (not including) `)`. */
+    private def parseParamsTail(): Seq[Pat] = {
+      val out = Seq.newBuilder[Pat]
       if (!isPunct(")")) {
         var more = true
-        while (more) { out += expect("ident").text; more = eatPunct(",") }
+        while (more) {
+          if (eatPunct("...")) { out += PRest(expect("ident").text); more = false }
+          else {
+            val p = parsePattern()
+            out += (if (isPunct("=")) { next(); PDefault(p, parseAssign()) } else p)
+            more = eatPunct(",")
+          }
+        }
       }
-      expect("punct", ")")
       out.result()
     }
 
@@ -379,28 +479,26 @@ object MiniJs {
     }
 
     private def parseAssign(): Expr = {
-      // arrow functions: ident => ... | (a, b) => ...
+      // arrow functions: ident => ... | (a, {b}, ...rest) => ...
       if (peek.kind == "ident" && peek2.kind == "punct" && peek2.text == "=>") {
         val p = next().text; next()
-        return EFunc(Seq(p), parseArrowBody(), isArrow = true)
+        return EFunc(Seq(PName(p)), parseArrowBody(), isArrow = true)
       }
-      if (isPunct("(")) { // try (params) =>
+      if (isPunct("(")) { // try (params) => — full patterns, backtrack on failure
         val save = pos
         next()
-        val params = Seq.newBuilder[String]
-        var ok = true
-        if (!isPunct(")")) {
-          var more = true
-          while (more && ok) {
-            if (peek.kind == "ident") { params += next().text; more = eatPunct(",") }
-            else { ok = false }
-          }
+        val attempt =
+          try {
+            val params = parseParamsTail()
+            if (isPunct(")") && peek2.kind == "punct" && peek2.text == "=>") Some(params)
+            else None
+          } catch { case _: JsError => None }
+        attempt match {
+          case Some(params) =>
+            next(); next()
+            return EFunc(params, parseArrowBody(), isArrow = true)
+          case None => pos = save
         }
-        if (ok && isPunct(")") && peek2.kind == "punct" && peek2.text == "=>") {
-          next(); next()
-          return EFunc(params.result(), parseArrowBody(), isArrow = true)
-        }
-        pos = save
       }
       val target = parseCond()
       if (peek.kind == "punct" && Set("=", "+=", "-=", "*=", "/=", "%=").contains(peek.text)) {
@@ -491,7 +589,10 @@ object MiniJs {
           val args = Seq.newBuilder[Expr]
           if (!isPunct(")")) {
             var m = true
-            while (m) { args += parseAssign(); m = eatPunct(",") }
+            while (m) {
+              args += (if (eatPunct("...")) ESpread(parseAssign()) else parseAssign())
+              m = eatPunct(",")
+            }
           }
           expect("punct", ")")
           e = ECall(e, args.result())
@@ -528,23 +629,29 @@ object MiniJs {
             val items = Seq.newBuilder[Expr]
             if (!isPunct("]")) {
               var m = true
-              while (m) { items += parseAssign(); m = eatPunct(",") && !isPunct("]") }
+              while (m) {
+                items += (if (eatPunct("...")) ESpread(parseAssign()) else parseAssign())
+                m = eatPunct(",") && !isPunct("]")
+              }
             }
             expect("punct", "]")
             EArr(items.result())
           case "{" =>
             next()
-            val fields = Seq.newBuilder[(String, Expr)]
+            val fields = Seq.newBuilder[(Option[String], Expr)]
             if (!isPunct("}")) {
               var m = true
               while (m) {
-                val keyTok = next()
-                val key = keyTok.kind match {
-                  case "str" | "ident" | "kw" | "num" => keyTok.text
-                  case _ => err("bad object key")
+                if (eatPunct("...")) fields += ((None, parseAssign()))
+                else {
+                  val keyTok = next()
+                  val key = keyTok.kind match {
+                    case "str" | "ident" | "kw" | "num" => keyTok.text
+                    case _ => err("bad object key")
+                  }
+                  if (eatPunct(":")) fields += ((Some(key), parseAssign()))
+                  else fields += ((Some(key), EIdent(key))) // shorthand {a}
                 }
-                if (eatPunct(":")) fields += ((key, parseAssign()))
-                else fields += ((key, EIdent(key))) // shorthand {a}
                 m = eatPunct(",") && !isPunct("}")
               }
             }
@@ -624,14 +731,64 @@ object MiniJs {
       if (depth > maxDepth) { depth -= 1; throw new JsError("js: recursion too deep") }
       try {
         val env = new Env(f.env)
-        f.params.zipWithIndex.foreach { case (p, i) =>
-          env.define(p, if (i < args.length) args(i) else VUndef)
+        f.params.zipWithIndex.foreach {
+          case (PRest(name), i) =>
+            env.define(name, VArr(mutable.ArrayBuffer(args.drop(i): _*)))
+          case (p, i) =>
+            bindPattern(p, if (i < args.length) args(i) else VUndef, env, thisVal)
         }
         env.define("arguments", VArr(mutable.ArrayBuffer(args: _*)))
         val self = if (f.isArrow) f.thisVal else thisVal
         try { execBlock(f.body, env, self); VUndef }
         catch { case ReturnSignal(v) => v }
       } finally depth -= 1
+    }
+
+    /** Evaluate an expr list expanding `...spread` items (arrays, strings). */
+    private def spreadArgs(items: Seq[Expr], env: Env, thisVal: V): Seq[V] =
+      items.flatMap {
+        case ESpread(e) => evalExpr(e, env, thisVal) match {
+          case VArr(a) => a.toSeq
+          case VStr(s) => s.map(c => VStr(c.toString))
+          case other => throw new JsError(s"js: ${typeOf(other)} is not iterable (spread)")
+        }
+        case e => Seq(evalExpr(e, env, thisVal))
+      }
+
+    /** Destructure `v` into `pat`, defining every bound name in `env`. */
+    private def bindPattern(pat: Pat, v: V, env: Env, thisVal: V): Unit = pat match {
+      case PName(name) => env.define(name, v)
+      case PDefault(p, default) =>
+        bindPattern(p, if (v == VUndef) evalExpr(default, env, thisVal) else v, env, thisVal)
+      case PRest(name) => // rest outside a param list behaves like a name
+        env.define(name, v)
+      case PObj(fields, rest) =>
+        val obj = v match {
+          case VObj(m) => m
+          case VNull | VUndef =>
+            throw new JsError(s"js: cannot destructure ${typeOf(v)}")
+          case _ => mutable.LinkedHashMap.empty[String, V] // primitives: no own keys
+        }
+        fields.foreach { case (key, sub) =>
+          bindPattern(sub, obj.getOrElse(key, VUndef), env, thisVal)
+        }
+        rest.foreach { r =>
+          val taken = fields.map(_._1).toSet
+          env.define(r, VObj(obj.filter { case (k, _) => !taken(k) }
+            .foldLeft(mutable.LinkedHashMap[String, V]()) { case (m, (k, x)) => m += (k -> x) }))
+        }
+      case PArr(items, rest) =>
+        val arr: IndexedSeq[V] = v match {
+          case VArr(a) => a.toIndexedSeq
+          case VStr(s) => s.map(c => VStr(c.toString))
+          case VNull | VUndef =>
+            throw new JsError(s"js: cannot destructure ${typeOf(v)}")
+          case _ => IndexedSeq.empty
+        }
+        items.zipWithIndex.foreach { case (sub, i) =>
+          bindPattern(sub, if (i < arr.length) arr(i) else VUndef, env, thisVal)
+        }
+        rest.foreach(r => env.define(r, VArr(mutable.ArrayBuffer(arr.drop(items.length): _*))))
     }
 
     private def execBlock(stmts: Seq[Stmt], env: Env, thisVal: V): Unit = {
@@ -648,8 +805,8 @@ object MiniJs {
       s match {
         case SExpr(e) => evalExpr(e, env, thisVal); ()
         case SVar(_, decls) =>
-          decls.foreach { case (name, init) =>
-            env.define(name, init.map(evalExpr(_, env, thisVal)).getOrElse(VUndef))
+          decls.foreach { case (pat, init) =>
+            bindPattern(pat, init.map(evalExpr(_, env, thisVal)).getOrElse(VUndef), env, thisVal)
           }
         case SFunc(_, _, _) => () // hoisted
         case SIf(c, t, f) =>
@@ -676,7 +833,7 @@ object MiniJs {
             }
             update.foreach(evalExpr(_, loopEnv, thisVal))
           }
-        case SForOf(name, iterable, body) =>
+        case SForOf(pat, iterable, body) =>
           val items: Seq[V] = evalExpr(iterable, env, thisVal) match {
             case VArr(a) => a.toSeq
             case VStr(str) => str.map(c => VStr(c.toString)).toSeq
@@ -685,7 +842,7 @@ object MiniJs {
           items.foreach { item =>
             tick()
             val loopEnv = new Env(env)
-            loopEnv.define(name, item)
+            bindPattern(pat, item, loopEnv, thisVal)
             try exec(body, loopEnv, thisVal)
             catch {
               case BreakSignal => return
@@ -745,10 +902,19 @@ object MiniJs {
         case EUndef => VUndef
         case EThis => thisVal
         case EIdent(name) => env.get(name)
-        case EArr(items) => VArr(mutable.ArrayBuffer(items.map(evalExpr(_, env, thisVal)): _*))
+        case EArr(items) => VArr(mutable.ArrayBuffer(spreadArgs(items, env, thisVal): _*))
+        case ESpread(_) => throw new JsError("js: unexpected spread")
         case EObjLit(fields) =>
           val m = mutable.LinkedHashMap[String, V]()
-          fields.foreach { case (k, v) => m(k) = evalExpr(v, env, thisVal) }
+          fields.foreach {
+            case (Some(k), v) => m(k) = evalExpr(v, env, thisVal)
+            case (None, v) => evalExpr(v, env, thisVal) match { // {...src}
+              case VObj(src) => src.foreach { case (k, x) => m(k) = x }
+              case VArr(a) => a.zipWithIndex.foreach { case (x, i) => m(i.toString) = x }
+              case VNull | VUndef => () // JS ignores nullish spreads
+              case other => throw new JsError(s"js: cannot spread ${typeOf(other)} into an object")
+            }
+          }
           VObj(m)
         case EFunc(params, body, isArrow) => VFunc(params, body, env, isArrow, thisVal)
         case EUnary(op, inner) => op match {
@@ -788,17 +954,17 @@ object MiniJs {
           assign(target, v, env, thisVal); v
         case ECall(EMember(objE, name), args) =>
           val obj = evalExpr(objE, env, thisVal)
-          val argv = args.map(evalExpr(_, env, thisVal))
+          val argv = spreadArgs(args, env, thisVal)
           val f = member(obj, name)
           callValue(f, obj, argv, s"$name")
         case ECall(EIndex(objE, idxE), args) =>
           val obj = evalExpr(objE, env, thisVal)
           val idx = evalExpr(idxE, env, thisVal)
-          val argv = args.map(evalExpr(_, env, thisVal))
+          val argv = spreadArgs(args, env, thisVal)
           callValue(member(obj, toPropName(idx)), obj, argv, "computed")
         case ECall(callee, args) =>
           val f = evalExpr(callee, env, thisVal)
-          val argv = args.map(evalExpr(_, env, thisVal))
+          val argv = spreadArgs(args, env, thisVal)
           callValue(f, VUndef, argv, callee match { case EIdent(n) => n; case _ => "anonymous" })
         case EMember(objE, name) => member(evalExpr(objE, env, thisVal), name)
         case EIndex(objE, idxE) =>

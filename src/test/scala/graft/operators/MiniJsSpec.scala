@@ -175,4 +175,84 @@ class MiniJsSpec extends AnyFunSuite {
     val ex = intercept[JsError](run("function main() { return main(); }"))
     assert(ex.getMessage.contains("recursion"))
   }
+
+  test("destructuring: object patterns with renaming, defaults, nesting, rest") {
+    assert(runS(
+      """function main() {
+        |  const ev = {id: 7, type: 'update', source: {db: 'shop', table: 'orders'}, n: 2};
+        |  const {id, type: op, missing = 'dflt', source: {db, table}, ...rest} = ev;
+        |  return id + '|' + op + '|' + missing + '|' + db + '.' + table + '|' + JSON.stringify(rest);
+        |}""".stripMargin) == """7|update|dflt|shop.orders|{"n":2}""")
+    // defaults only fill undefined, not null/falsy
+    assert(runS(
+      """function main() {
+        |  const {a = 'x', b = 'y', c = 'z'} = {a: null, b: 0};
+        |  return a + '|' + b + '|' + c;
+        |}""".stripMargin) == "null|0|z")
+  }
+
+  test("destructuring: array patterns, holes via defaults, rest, strings") {
+    assert(runS(
+      """function main() {
+        |  const [first, second = 'B', ...tail] = ['a'];
+        |  const [x, y] = 'hi';
+        |  return first + '|' + second + '|' + tail.length + '|' + x + y;
+        |}""".stripMargin) == "a|B|0|hi")
+    assert(runS(
+      """function main() {
+        |  const pairs = [['k1', 1], ['k2', 2]];
+        |  let out = '';
+        |  for (const [k, v] of pairs) { out = out + k + '=' + v + ';'; }
+        |  return out;
+        |}""".stripMargin) == "k1=1;k2=2;")
+    intercept[JsError](run("function main() { const {a} = null; return a; }"))
+  }
+
+  test("destructuring: function and arrow parameters, rest params") {
+    assert(runS(
+      """function fmt({id, type = '?'}, [head] = ['none']) {
+        |  return id + ':' + type + ':' + head;
+        |}
+        |function main() { return fmt({id: 1, type: 'c'}, ['x']) + '|' + fmt({id: 2}); }
+        |""".stripMargin) == "1:c:x|2:?:none")
+    assert(runS(
+      """function main() {
+        |  const pick = ({type}) => type;
+        |  const evs = [{type: 'c'}, {type: 'u'}];
+        |  return evs.map(({type}) => type).join(',') + '|' + pick({type: 'd'});
+        |}""".stripMargin) == "c,u|d")
+    assert(runN(
+      """function sum(first, ...rest) {
+        |  let s = first;
+        |  for (const r of rest) s += r;
+        |  return s;
+        |}
+        |function main() { return sum(1, 2, 3, 4); }
+        |""".stripMargin) == 10)
+  }
+
+  test("spread: array literals, call arguments, object literals") {
+    assert(runS(
+      """function main() {
+        |  const a = [2, 3];
+        |  const b = [1, ...a, 4];
+        |  return JSON.stringify(b);
+        |}""".stripMargin) == "[1,2,3,4]")
+    assert(runN(
+      """function add3(x, y, z) { return x + y + z; }
+        |function main() { const args = [1, 2, 3]; return add3(...args); }
+        |""".stripMargin) == 6)
+    assert(runS(
+      """function main() {
+        |  const base = {a: 1, b: 2};
+        |  const over = {...base, b: 9, ...null, c: 3};
+        |  return JSON.stringify(over);
+        |}""".stripMargin) == """{"a":1,"b":9,"c":3}""")
+    // spread copies are shallow and ordered; later keys win (JS semantics)
+    assert(runS(
+      """function main() {
+        |  const o = {b: 0, ...{a: 1, b: 2}};
+        |  return JSON.stringify(o);
+        |}""".stripMargin) == """{"b":2,"a":1}""")
+  }
 }

@@ -186,6 +186,31 @@ class ScriptHostSpec extends SparkSpec {
     assert(out(2).getAs[String]("before").contains("\"routed_to\":\"deletes\""))
   }
 
+  test("JS: destructuring + spread in processBatch (real user-script shapes)") {
+    // the shapes user scripts reach for first: destructure the envelope in
+    // the parameter list and loop header, rebuild the after-image with
+    // object spread, collect fan-out with array spread
+    val js =
+      """function enrich({op, source: {db, table}, after}) {
+        |  return {...after, src: `${db}.${table}`, verb: op};
+        |}
+        |function processBatch(events) {
+        |  let out = [];
+        |  for (const ev of events) {
+        |    const {op, after = null} = ev;
+        |    if (op === "d" || after === null) continue;
+        |    ev.after = enrich(ev);
+        |    out = [...out, ev];
+        |  }
+        |  return out;
+        |}""".stripMargin
+    val out = ScriptHost.processor("jsds", js)(events()).orderBy("ts_ms").collect()
+    assert(out.length == 2) // delete dropped
+    assert(out(0).getAs[String]("after").contains("\"src\":\"shop.orders\""))
+    assert(out(0).getAs[String]("after").contains("\"verb\":\"c\""))
+    assert(out(1).getAs[String]("after").contains("\"verb\":\"u\""))
+  }
+
   test("JS: i64 envelope fields re-normalize through f64 (js.rs:205-213)") {
     // 1700000000000 > 2^32 but < 2^53: survives the double round-trip and
     // must come back as a LONG in ts_ms, not 1.7e12
