@@ -62,6 +62,38 @@ class ParquetLakeSink(val id: String, path: String,
   }
 }
 
+/**
+ * Typed flat-parquet lake sink with at-sequence schema correlation
+ * (SURVEY §7.4 hard-part 5, reference parquet writer): every event is
+ * projected with the schema-ledger version AT ITS OWN `schema_sequence` —
+ * never "latest" — so a batch replayed across a schema evolution lands
+ * each era's rows under `schema_version=<seq>/` with that era's stable
+ * flat parquet schema.
+ *
+ * Scale shape: the distinct (table, sequence) era list is a bounded
+ * driver-side collect (schema changes are rare control events, not
+ * data-sized); each era writes with one pruned pass over the batch.
+ */
+class TypedLakeSink(val id: String, path: String, registry: SchemaRegistry)
+    extends EventSink {
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val eras = batch
+      .select(col("source.table").as("t"), col("schema_sequence").as("seq"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    eras.foreach { case (table, seq) =>
+      val schema = registry.getAtSequence(table, seq).getOrElse(throw new IllegalStateException(
+        s"no ledger schema for table '$table' at sequence $seq"))
+      graft.operators.LakeProjection(
+        batch.filter(col("source.table") === table && col("schema_sequence") === seq),
+        schema)
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("append")
+        .parquet(s"$path/table=$table/schema_version=$seq")
+    }
+  }
+}
+
 /** JSONL lake sink (reference jsonl_writer.rs): one JSON document per line. */
 class JsonlSink(val id: String, path: String, envelope: DataFrame => Column)
     extends EventSink {

@@ -307,6 +307,52 @@ class SinksAndRegistrySpec extends SparkSpec {
     assert(projected(1).select("after_email").head().getString(0) == "a@b.c")
   }
 
+  test("typed lake sink: mid-stream evolution lands each era with ITS ledger schema on disk") {
+    import graft.streaming.{CdcPipeline, SinkLedger}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lake-evo").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    val v0 = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    reg.register("orders", v0, atMs = 1000L)
+
+    def batchOf(rows: Seq[(Long, String, String)]) = ChangeEvent.conform(
+      rows.toDF("schema_sequence", "after", "event_id")
+        .withColumn("op", lit("c"))
+        .withColumn("ts_ms", lit(1500L))
+        .withColumn("tx_end", lit(true))
+        .withColumn("source", struct(lit("db").as("db"), lit("orders").as("table"))))
+
+    val sink = new TypedLakeSink("lake", s"$dir/out", reg)
+    val cfg = CdcPipeline.Config(Seq(sink), ledgerDir = s"$dir/led")
+    val ledger = new SinkLedger(s"$dir/led")
+
+    // batch 0: era-0 only
+    CdcPipeline.processBatch(cfg, ledger)(batchOf(Seq(
+      (0L, """{"id":1,"name":"a"}""", "e1"),
+      (0L, """{"id":2,"name":"b"}""", "e2"))), 0L)
+
+    // DDL lands: the ledger evolves MID-STREAM
+    reg.register("orders", StructType(v0.fields :+ StructField("email", StringType)), atMs = 2000L)
+
+    // batch 1 carries one era-0 straggler plus era-1 rows — the straggler
+    // must STILL project with era-0's schema even though a newer version
+    // now exists (at-sequence correlation, never "latest")
+    CdcPipeline.processBatch(cfg, ledger)(batchOf(Seq(
+      (0L, """{"id":3,"name":"c"}""", "e3"),
+      (1L, """{"id":4,"name":"d","email":"d@x"}""", "e4"))), 1L)
+
+    val era0 = spark.read.parquet(s"$dir/out/table=orders/schema_version=0")
+    val era1 = spark.read.parquet(s"$dir/out/table=orders/schema_version=1")
+    assert(era0.count() == 3 && era1.count() == 1)
+    assert(era0.columns.contains("after_name") && !era0.columns.contains("after_email"))
+    assert(era0.select("after_name").as[String].collect().toSet == Set("a", "b", "c"))
+    assert(era1.columns.contains("after_email"))
+    assert(era1.select("after_email").head().getString(0) == "d@x")
+    // both eras carry the flat meta columns with the right provenance
+    assert(era0.select("source_table").distinct().head().getString(0) == "orders")
+    assert(era0.filter(col("_batch_id") === 1L).count() == 1) // the straggler
+  }
+
   test("clickhouse DDL: upsert vs changelog engines + meta columns (ddl.rs:17-67)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
