@@ -1,7 +1,8 @@
 package graft
 
-import graft.llm.Dedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Ad-hoc perf probe (not part of the driver contract). */
 object Probe {
@@ -9,36 +10,104 @@ object Probe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val i = sc.stageInfo
-        val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1000.0
-        if (wall > 1.0) println(f"STAGE ${i.stageId}%4d ${i.name.take(40)}%-40s wall=$wall%7.2fs " +
-          f"cpu=${i.taskMetrics.executorCpuTime / 1e9}%7.2fs run=${i.taskMetrics.executorRunTime / 1e3}%7.2fs " +
-          f"tasks=${i.numTasks} gc=${i.taskMetrics.jvmGCTime / 1e3}%5.2fs")
-      }
-    })
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    def time(name: String)(f: => Long): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def time(name: String)(f: => Unit): Unit = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      val n = f
-      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      f
+      println(f"PROBE $name%-28s wall=${(System.nanoTime() - t0) / 1e9}%7.2f s  cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%7.2f s")
     }
-    time("warmup")(docs.count())
-    if (sys.env.contains("PROBE_EXPLAIN")) {
-      Dedup.minhashCandidates(docs, 64, 32).explain("formatted")
-      spark.stop(); sys.exit(0)
+
+    // drift_types decomposition at sf0.1
+    val dir = "/root/testdata/sf0.1"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    time("warmup")(ev.count(): Unit)
+    val ctx = when(col("event_type") === "error", lit("{\"code\":1,\"msg\":\"e\"}"))
+      .when(col("event_type") === "purchase", lit("{\"amount\":2}"))
+      .otherwise(lit("{\"k\":1}"))
+    val payload = concat(
+      lit("{\"event_type\":\""), col("event_type"), lit("\""),
+      lit(",\"value\":"), col("value").cast(StringType),
+      lit(",\"props\":"), col("props"),
+      lit(",\"ctx\":"), ctx,
+      concat(lit(",\"maybe\":"),
+        when(col("user_id") % 7 =!= 0, col("user_id").cast(StringType))
+          .otherwise(lit("null"))),
+      when(col("event_type") === "signup", lit(",\"extra\":1")).otherwise(lit("")),
+      lit("}"))
+    val names = Seq("event_type", "value", "props", "ctx", "maybe", "ghost")
+    val genNames = names.indices.flatMap(i => Seq(s"__v$i", s"__t$i")) :+ "__undeclared"
+    def parsed = ev.select(payload.as("__p")).repartition(32)
+      .select(graft.functions.JsonPathOps
+        .jsonTopFields(col("__p"), names, collectUndeclared = true).as(genNames))
+    import graft.streaming.SchemaSensing._
+    val decl = Seq(
+      DeclaredColumn("event_type", "int"),
+      DeclaredColumn("value", "bigint", minValue = Some(0.0), maxValue = Some(100.0)),
+      DeclaredColumn("props", "varchar"),
+      DeclaredColumn("ctx", "json"),
+      DeclaredColumn("maybe", "bigint", nullable = false),
+      DeclaredColumn("ghost", "varchar"))
+    // sub-stage variants: where do the CPU seconds go?
+    val noS = lit(null).cast("string")
+    def entry(name: org.apache.spark.sql.Column, kind: org.apache.spark.sql.Column,
+              expected: org.apache.spark.sql.Column, observed: org.apache.spark.sql.Column,
+              structure: org.apache.spark.sql.Column) =
+      struct(name.as("field"), kind.as("kind"), expected.as("expected"),
+        observed.as("observed"), structure.as("structure"))
+    val entries = decl.zipWithIndex.flatMap { case (c, i) =>
+      val v = col(s"__v$i"); val tag = col(s"__t$i")
+      val obs = when(tag.isin("object", "array"), lit("object_or_array")).otherwise(tag)
+      val mismatch = typeMismatchKind(obs, c.sqlType)
+      val typeE = entry(lit(c.name),
+        when(mismatch.isNotNull, lit("type_mismatch")).otherwise(noS),
+        lit(c.sqlType), mismatch, noS)
+      val nullE = if (c.nullable) Nil else Seq(entry(lit(c.name),
+        when(tag === "null", lit("unexpected_null")).otherwise(noS),
+        lit("NOT NULL"), lit("NULL"), noS))
+      val rangeE = if (c.minValue.isEmpty && c.maxValue.isEmpty) Nil else {
+        val num = v.cast("double")
+        val oor = c.minValue.map(m => num < m).getOrElse(lit(false)) ||
+          c.maxValue.map(m => num > m).getOrElse(lit(false))
+        Seq(entry(lit(c.name),
+          when(num.isNotNull && oor, lit("value_out_of_range")).otherwise(noS),
+          lit("range"), lit("out_of_range"), noS))
+      }
+      val structE = if (!c.isJsonLike) Nil else Seq(entry(lit(c.name),
+        when(tag === "object", lit("_structure")).otherwise(noS),
+        lit("stable structure"), lit("n_structures"),
+        to_json(array_sort(json_object_keys(v)))))
+      val presenceE = entry(lit(c.name), lit("_presence"), lit("declared"),
+        when(tag === "missing", lit("missing")).otherwise(lit("present")), noS)
+      Seq(typeE, presenceE) ++ nullE ++ rangeE ++ structE
     }
-    time("sigs")(Dedup.minhashSignatures(docs, 64).count())
-    time("sigs2")(Dedup.minhashSignatures(docs, 64).count())
-    time("candidates")(Dedup.minhashCandidates(docs, 64, 32).count())
-    time("minhashPairs")(Dedup.minhashPairs(docs, 0.5).count())
-    time("simhash")(Dedup.simhash(docs).count())
-    time("simhashPairs")(Dedup.simhashPairs(docs, 3).count())
-    time("jaccardPairs")(Dedup.jaccardPairs(docs, 0.5).count())
+    val undeclaredEntries = transform(col("__undeclared"), k =>
+      entry(k, lit("undeclared_column"), lit("(not declared)"), lit("present"), noS))
+    def exploded = parsed
+      .select(explode(concat(array(entries: _*), undeclaredEntries)).as("e"))
+      .select(col("e.field").as("field"), col("e.kind").as("kind"),
+        col("e.expected").as("expected"), col("e.observed").as("observed"),
+        col("e.structure").as("structure"))
+      .filter(col("kind").isNotNull)
+    for (_ <- 1 to 2) {
+      time("payload-only")(ev.select(payload.as("__p")).repartition(32)
+        .write.mode("overwrite").format("noop").save())
+      time("parse(generate)")(parsed.write.mode("overwrite").format("noop").save())
+      time("exploded-no-agg")(exploded.write.mode("overwrite").format("noop").save())
+      time("agg-no-distinct")(exploded.groupBy("field", "kind", "expected", "observed")
+        .agg(count(lit(1)).as("n")).write.mode("overwrite").format("noop").save())
+      time("agg-with-distinct")(exploded.groupBy("field", "kind", "expected", "observed")
+        .agg(count(lit(1)).as("n"), count_distinct(col("structure")).as("ns"))
+        .write.mode("overwrite").format("noop").save())
+      time("full driftTyped")(driftTyped(ev, payload, decl)
+        .write.mode("overwrite").format("noop").save())
+    }
     spark.stop()
   }
 }

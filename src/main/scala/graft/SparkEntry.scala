@@ -563,8 +563,9 @@ object SparkEntry {
       // declared bigint (type_mismatch) with a [0,100] range
       // (value_out_of_range), props objects into a varchar
       // (type_mismatch), a ctx JSON column whose key-set varies by event
-      // type (json_structure_change), a non-nullable column absent on
-      // user_id%7==0 rows (unexpected_null), an undeclared key on signup
+      // type (json_structure_change), a non-nullable column explicitly
+      // null on user_id%7==0 rows (unexpected_null — absent keys don't
+      // fire it, reference observe_row), an undeclared key on signup
       // events (undeclared_column), and a declared-but-never-present
       // column (missing_column).
       import graft.streaming.SchemaSensing.{driftTyped, DeclaredColumn}
@@ -577,8 +578,9 @@ object SparkEntry {
         lit(",\"value\":"), col("value").cast(StringType),
         lit(",\"props\":"), col("props"),
         lit(",\"ctx\":"), ctx,
-        when(col("user_id") % 7 =!= 0,
-          concat(lit(",\"maybe\":"), col("user_id").cast(StringType))).otherwise(lit("")),
+        concat(lit(",\"maybe\":"),
+          when(col("user_id") % 7 =!= 0, col("user_id").cast(StringType))
+            .otherwise(lit("null"))),
         when(col("event_type") === "signup", lit(",\"extra\":1")).otherwise(lit("")),
         lit("}"))
       driftTyped(ev, payload, Seq(

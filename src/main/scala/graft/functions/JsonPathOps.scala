@@ -216,6 +216,112 @@ object JsonPathOps {
   }
 
   /**
+   * Typed single-parse scan of the TOP-LEVEL fields of a JSON object: for
+   * each requested name, the value (same string semantics as [[scan]]) AND
+   * its JSON type tag — `missing | null | int | float | bool | string |
+   * object | array`. Optionally also collects the top-level keys NOT in
+   * `names` (the "undeclared" set a drift detector needs), so schema
+   * sensing reads everything it wants from ONE parse per row.
+   *
+   * Unlike `get_json_object`-based probing this preserves JSON quoting
+   * (a quoted `"123"` tags as `string`, not `int` — the reference's
+   * String-in-numeric-column mismatch, drift_detector.rs:346-412) and
+   * distinguishes explicit JSON `null` (tag `null`) from an absent key
+   * (tag `missing`) — the reference's UnexpectedNull fires only on the
+   * former (drift_detector.rs observe_row).
+   */
+  case class JsonTopFieldsGenerate(child: Expression, names: Seq[String],
+                                   collectUndeclared: Boolean)
+      extends Expression with Generator with CodegenFallback {
+    override def children: Seq[Expression] = Seq(child)
+    override def elementSchema: StructType = StructType(
+      names.indices.flatMap(i =>
+        Seq(StructField(s"v$i", StringType, nullable = true),
+          StructField(s"t$i", StringType, nullable = false))) ++
+        (if (collectUndeclared)
+          Seq(StructField("undeclared", ArrayType(StringType, containsNull = false),
+            nullable = false))
+        else Nil))
+    override def prettyName: String = "json_top_fields"
+    @transient private lazy val idx: Map[String, Int] =
+      names.zipWithIndex.toMap
+    // interned tag constants — this generator runs once per row on the
+    // drift hot path; per-row UTF8String.fromString for fixed tags is waste
+    @transient private lazy val tagU: Map[String, UTF8String] =
+      Seq("missing", "null", "int", "float", "bool", "string", "object", "array")
+        .map(t => t -> UTF8String.fromString(t)).toMap
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      val n = names.length
+      val values = new Array[String](n)
+      val tags = Array.fill(n)("missing")
+      val undecl = new scala.collection.mutable.ArrayBuffer[String]
+      if (v != null) {
+        try {
+          val p = factory.createParser(v.toString)
+          try {
+            if (p.nextToken() == JsonToken.START_OBJECT) {
+              var tok = p.nextToken()
+              while (tok == JsonToken.FIELD_NAME) {
+                val name = p.currentName()
+                val vTok = p.nextToken()
+                val i = idx.getOrElse(name, -1)
+                if (i >= 0 && tags(i) == "missing") { // first occurrence wins
+                  vTok match {
+                    case JsonToken.VALUE_STRING =>
+                      values(i) = p.getText; tags(i) = "string"
+                    case JsonToken.VALUE_NUMBER_INT =>
+                      values(i) = p.getText; tags(i) = "int"
+                    case JsonToken.VALUE_NUMBER_FLOAT =>
+                      values(i) = p.getText; tags(i) = "float"
+                    case JsonToken.VALUE_TRUE => values(i) = "true"; tags(i) = "bool"
+                    case JsonToken.VALUE_FALSE => values(i) = "false"; tags(i) = "bool"
+                    case JsonToken.VALUE_NULL => tags(i) = "null"
+                    case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+                      val sw = new java.io.StringWriter()
+                      val gen = factory.createGenerator(sw)
+                      gen.copyCurrentStructure(p)
+                      gen.close()
+                      values(i) = sw.toString
+                      tags(i) = if (vTok == JsonToken.START_OBJECT) "object" else "array"
+                    case _ => ()
+                  }
+                } else {
+                  if (i < 0 && collectUndeclared) undecl += name
+                  if (vTok == JsonToken.START_OBJECT || vTok == JsonToken.START_ARRAY)
+                    p.skipChildren()
+                }
+                tok = p.nextToken()
+              }
+            }
+          } finally p.close()
+        } catch {
+          case _: Exception => // malformed ⇒ everything missing, like get_json_object
+            java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
+            var i = 0; while (i < n) { tags(i) = "missing"; i += 1 }
+            undecl.clear()
+        }
+      }
+      val fields = new Array[Any](n * 2 + (if (collectUndeclared) 1 else 0))
+      var i = 0
+      while (i < n) {
+        fields(2 * i) = if (values(i) == null) null else UTF8String.fromString(values(i))
+        fields(2 * i + 1) = tagU(tags(i))
+        i += 1
+      }
+      if (collectUndeclared)
+        fields(n * 2) = new GenericArrayData(
+          undecl.iterator.map(UTF8String.fromString).toArray[Any])
+      Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields))
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+  }
+
+  /**
    * JSON-array membership with the reference filter's `json_eq` semantics
    * (crates/processors/src/filter.rs:185-198, :292-300): a string element
    * matches by string equality; a numeric element matches a numeric-looking
@@ -268,4 +374,13 @@ object JsonPathOps {
   /** Column API: generator producing one column per path (alias with `.as(names)`). */
   def jsonPathsTuple(json: Column, paths: Seq[String]): Column =
     GraftBridge.column(JsonPathsGenerate(GraftBridge.expression(json), paths))
+
+  /**
+   * Column API: typed top-level scan — `(v0,t0,…,vN-1,tN-1[,undeclared])`
+   * per row (alias with `.as(names)`).
+   */
+  def jsonTopFields(json: Column, names: Seq[String],
+                    collectUndeclared: Boolean = false): Column =
+    GraftBridge.column(
+      JsonTopFieldsGenerate(GraftBridge.expression(json), names, collectUndeclared))
 }

@@ -73,6 +73,36 @@ class JsonPathOpsSpec extends SparkSpec {
     assert(viaScalar.collect().map(_.toSeq).toSeq == a.toSeq)
   }
 
+  test("typed top-field scan: tags preserve quoting and null-vs-missing") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"i": 7, "f": 1.5, "s": "123", "b": true, "n": null,
+        | "o": {"k": 1}, "a": [1,2], "undeclared1": 1, "undeclared2": {"x": 2}}""".stripMargin,
+      "{bad json",
+      """{"i": "oops", "i": 2}""").toDF("j")
+    val names = Seq("i", "f", "s", "b", "n", "o", "a", "gone")
+    val cols = names.indices.flatMap(i => Seq(s"v$i", s"t$i")) :+ "und"
+    val rows = docs.select(
+        JsonPathOps.jsonTopFields(col("j"), names, collectUndeclared = true).as(cols))
+      .collect()
+    val r0 = rows(0)
+    def vt(r: org.apache.spark.sql.Row, i: Int) = (r.getString(2 * i), r.getString(2 * i + 1))
+    assert(vt(r0, 0) == ("7", "int"))
+    assert(vt(r0, 1) == ("1.5", "float"))
+    assert(vt(r0, 2) == ("123", "string")) // quoted "123" is a STRING, not int
+    assert(vt(r0, 3) == ("true", "bool"))
+    assert(vt(r0, 4) == (null, "null")) // explicit null ≠ missing
+    assert(vt(r0, 5) == ("""{"k":1}""", "object"))
+    assert(vt(r0, 6) == ("[1,2]", "array"))
+    assert(vt(r0, 7) == (null, "missing"))
+    assert(r0.getSeq[String](names.length * 2) == Seq("undeclared1", "undeclared2"))
+    // malformed: everything missing, nothing undeclared
+    assert(names.indices.forall(i => vt(rows(1), i) == (null, "missing")))
+    assert(rows(1).getSeq[String](names.length * 2).isEmpty)
+    // duplicate key: first occurrence wins (like scan/get_json_object)
+    assert(vt(rows(2), 0) == ("oops", "string"))
+  }
+
   test("filter plan: payload predicates do one fused parse (single Generate)") {
     import spark.implicits._
     import FilterProcessor._

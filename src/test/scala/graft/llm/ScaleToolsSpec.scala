@@ -12,33 +12,38 @@ class ScaleToolsSpec extends SparkSpec {
     import graft.streaming.SchemaSensing.{driftTyped, DeclaredColumn}
     import spark.implicits._
     // 10 rows engineered so every kind fires a known number of times:
-    //  - id: ints into a declared varchar-free strictly-numeric? no — id is
-    //    fine (bigint); name: strings into declared int -> type_mismatch x10
+    //  - name: strings into declared int -> type_mismatch x10
     //  - score: floats into declared int -> type_mismatch x10; range [0,5]
     //    violated on 3 rows -> value_out_of_range x3
+    //  - qty: QUOTED "123" into bigint -> type_mismatch (string) x10 — the
+    //    quoting-preserved probe (get_json_object would misread it as int)
     //  - meta: json with two distinct key-sets -> json_structure_change n=2
-    //  - req: non-nullable, absent on 4 rows -> unexpected_null x4
+    //  - req: non-nullable, explicit null on 4 rows -> unexpected_null x4
     //  - extra_key: present on 2 rows, undeclared -> undeclared_column x2
-    //  - never: declared, absent everywhere -> missing_column
+    //  - never: declared NON-NULLABLE, absent everywhere -> missing_column
+    //    ONLY (absent keys never fire unexpected_null — reference
+    //    observe_row records explicit nulls only)
     val payloads = (1 to 10).map { i =>
-      val req = if (i <= 4) "" else s""","req":$i"""
+      val req = if (i <= 4) ""","req":null""" else s""","req":$i"""
       val extra = if (i <= 2) ""","extra_key":true""" else ""
       val meta = if (i % 2 == 0) """{"a":1}""" else """{"a":1,"b":2}"""
       val score = if (i <= 3) i + 10.5 else i / 10.0
-      s"""{"name":"n$i","score":$score,"meta":$meta$req$extra}"""
+      s"""{"name":"n$i","score":$score,"qty":"123","meta":$meta$req$extra}"""
     }
     val batch = payloads.toDF("after")
     val out = driftTyped(batch, col("after"), Seq(
       DeclaredColumn("name", "int"),
       DeclaredColumn("score", "int", minValue = Some(0.0), maxValue = Some(5.0)),
+      DeclaredColumn("qty", "bigint"),
       DeclaredColumn("meta", "json"),
       DeclaredColumn("req", "bigint", nullable = false),
-      DeclaredColumn("never", "varchar")))
+      DeclaredColumn("never", "varchar", nullable = false)))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
     assert(out == Set(
       ("name", "type_mismatch", 10L),
       ("score", "type_mismatch", 10L),
       ("score", "value_out_of_range", 3L),
+      ("qty", "type_mismatch", 10L),
       ("meta", "json_structure_change", 2L),
       ("req", "unexpected_null", 4L),
       ("extra_key", "undeclared_column", 2L),
