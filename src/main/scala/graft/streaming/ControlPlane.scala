@@ -28,6 +28,17 @@ import java.nio.charset.StandardCharsets
  *   PATCH  /pipelines/{name}     → deep-merge patch + restart from checkpoint
  *   POST   /pipelines/{name}/pause|resume|stop
  *   DELETE /pipelines/{name}     → stop + remove checkpoints/ledger
+ *
+ * Schema & sensing inspection (reference rest-api/src/schemas.rs:123-140,
+ * sensing.rs:186-207), served from a registered [[SchemaRegistry]] /
+ * [[SchemaSensor]]:
+ *   GET /pipelines/{p}/schemas                       → per-table latest versions
+ *   GET /pipelines/{p}/schemas/{table}               → columns + fingerprint
+ *   GET /pipelines/{p}/schemas/{table}/versions      → full version history
+ *   GET /pipelines/{p}/schemas/{table}/at/{seq}      → schema AT a sequence
+ *   GET /pipelines/{p}/sensing/schemas[/{table}[/json-schema]]
+ *   GET /pipelines/{p}/sensing/stats                 → structure-cache stats
+ *   GET /pipelines/{p}/drift[/{table}]               → latest drift results
  */
 class ControlPlane(spark: SparkSession, port: Int = 0,
                    manager: Option[PipelineManager] = None,
@@ -35,10 +46,22 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val dlqQueues = scala.collection.concurrent.TrieMap[String, Dlq.DlqQueue]()
+  private val registries = scala.collection.concurrent.TrieMap[String, SchemaRegistry]()
+  private val sensors = scala.collection.concurrent.TrieMap[String, SchemaSensor]()
 
   /** Attach a pipeline's DLQ queue for the ack/purge/peek endpoints. */
   def registerDlq(pipeline: String, queue: Dlq.DlqQueue): ControlPlane = {
     dlqQueues(pipeline) = queue; this
+  }
+
+  /** Attach a pipeline's declared-schema ledger for the /schemas endpoints. */
+  def registerSchemaRegistry(pipeline: String, registry: SchemaRegistry): ControlPlane = {
+    registries(pipeline) = registry; this
+  }
+
+  /** Attach a pipeline's sensor for the /sensing and /drift endpoints. */
+  def registerSensor(pipeline: String, sensor: SchemaSensor): ControlPlane = {
+    sensors(pipeline) = sensor; this
   }
 
   def boundPort: Int = server.getAddress.getPort
@@ -53,6 +76,105 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString }
+
+  /** /pipelines/{p}/schemas|sensing|drift/... (reference schemas.rs + sensing.rs routes). */
+  private def handleInspection(ex: HttpExchange, pipeline: String, rest: Seq[String]): Unit = {
+    if (ex.getRequestMethod != "GET") { respond(ex, 405, """{"error":"method not allowed"}"""); return }
+    def columnsJson(s: org.apache.spark.sql.types.StructType): String =
+      s.fields.zipWithIndex.map { case (f, i) =>
+        s"""{"name":"${esc(f.name)}","data_type":"${esc(f.dataType.sql.toLowerCase)}",""" +
+          s""""nullable":${f.nullable},"ordinal_position":${i + 1}}"""
+      }.mkString("[", ",", "]")
+    try rest match {
+      // ——— declared-schema ledger ———
+      case Seq("schemas", tail @ _*) => registries.get(pipeline) match {
+        case None => respond(ex, 404, s"""{"error":"no schema registry for pipeline $pipeline"}""")
+        case Some(reg) =>
+          // ledger rows are tiny (one per registered version); collect once per request
+          val rows = reg.ledger().collect()
+            .map(r => (r.getAs[String]("table"), r.getAs[String]("fingerprint"),
+              r.getAs[Long]("sequence"), r.getAs[Long]("registered_at_ms"),
+              r.getAs[String]("schema_json")))
+          def structOf(json: String) = org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          tail match {
+            case Seq() => // SchemaInfo list: latest version per table
+              val latest = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, vs) =>
+                val v = vs.maxBy(_._3)
+                s"""{"table":"${esc(t)}","fingerprint":"${v._2}","sequence":${v._3},""" +
+                  s""""column_count":${structOf(v._5).fields.length},"registered_at_ms":${v._4}}"""
+              }
+              respond(ex, 200, latest.mkString("[", ",", "]"))
+            case Seq(table) =>
+              rows.filter(_._1 == table).sortBy(_._3).lastOption match {
+                case None => respond(ex, 404, s"""{"error":"no schema for table $table"}""")
+                case Some(v) => respond(ex, 200,
+                  s"""{"table":"${esc(table)}","fingerprint":"${v._2}","sequence":${v._3},""" +
+                    s""""registered_at_ms":${v._4},"columns":${columnsJson(structOf(v._5))}}""")
+              }
+            case Seq(table, "versions") =>
+              val vs = rows.filter(_._1 == table).sortBy(_._3).map { v =>
+                s"""{"version":${v._3},"fingerprint":"${v._2}",""" +
+                  s""""column_count":${structOf(v._5).fields.length},"registered_at_ms":${v._4}}"""
+              }
+              respond(ex, 200, vs.mkString("[", ",", "]"))
+            // the replay-correctness lookup: schema in force AT a sequence
+            case Seq(table, "at", seq) =>
+              rows.filter(v => v._1 == table && v._3 <= seq.toLong).sortBy(_._3).lastOption match {
+                case None => respond(ex, 404,
+                  s"""{"error":"no schema for table $table at sequence $seq"}""")
+                case Some(v) => respond(ex, 200,
+                  s"""{"table":"${esc(table)}","fingerprint":"${v._2}","sequence":${v._3},""" +
+                    s""""columns":${columnsJson(structOf(v._5))}}""")
+              }
+            case _ => respond(ex, 404, """{"error":"not found"}""")
+          }
+      }
+      // ——— inferred schemas + cache stats ———
+      case Seq("sensing", tail @ _*) => sensors.get(pipeline) match {
+        case None => respond(ex, 404, s"""{"error":"no sensor for pipeline $pipeline"}""")
+        case Some(sensor) => tail match {
+          case Seq("schemas") =>
+            respond(ex, 200, sensor.tableNames.sorted
+              .flatMap(sensor.infoJson).mkString("[", ",", "]"))
+          case Seq("schemas", table) => sensor.detailJson(table) match {
+            case Some(j) => respond(ex, 200, j)
+            case None => respond(ex, 404, s"""{"error":"table $table not sensed"}""")
+          }
+          case Seq("schemas", table, "json-schema") => sensor.jsonSchema(table) match {
+            case Some(j) => respond(ex, 200, j)
+            case None => respond(ex, 404, s"""{"error":"table $table not sensed"}""")
+          }
+          case Seq("stats") => respond(ex, 200, sensor.cacheStatsJson)
+          case _ => respond(ex, 404, """{"error":"not found"}""")
+        }
+      }
+      // ——— drift results (pushed by the pipeline's drift stage) ———
+      case Seq("drift", tail @ _*) => sensors.get(pipeline) match {
+        case None => respond(ex, 404, s"""{"error":"no sensor for pipeline $pipeline"}""")
+        case Some(sensor) =>
+          def driftJson(table: String): Option[String] = sensor.drift(table).map { rows =>
+            val cols = rows.map { case (c, k, e, o, n) =>
+              s"""{"column":"${esc(c)}","kind":"${esc(k)}","expected":"${esc(e)}",""" +
+                s""""observed":"${esc(o)}","n":$n}"""
+            }.mkString("[", ",", "]")
+            s"""{"table":"${esc(table)}","has_drift":${rows.nonEmpty},"columns":$cols}"""
+          }
+          tail match {
+            case Seq() => respond(ex, 200,
+              sensor.driftTables.sorted.flatMap(driftJson).mkString("[", ",", "]"))
+            case Seq(table) => driftJson(table) match {
+              case Some(j) => respond(ex, 200, j)
+              case None => respond(ex, 404, s"""{"error":"no drift results for table $table"}""")
+            }
+            case _ => respond(ex, 404, """{"error":"not found"}""")
+          }
+      }
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    } catch {
+      case e: Throwable => respond(ex, 500, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+    }
+  }
 
   private def queryList(): String =
     spark.streams.active.map { q =>
@@ -73,6 +195,10 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
         }
       def handle(ex: HttpExchange): Unit = {
         val path = ex.getRequestURI.getPath.stripPrefix("/pipelines").stripPrefix("/")
+        val segs = path.split("/").toSeq.filter(_.nonEmpty)
+        if (segs.length >= 2 && Set("schemas", "sensing", "drift")(segs(1))) {
+          handleInspection(ex, segs.head, segs.drop(1)); return
+        }
         (ex.getRequestMethod, path, manager) match {
           case ("GET", "", Some(mgr)) =>
             respond(ex, 200, mgr.list().map { case (n, m) => mgr.infoJson(n, m) }

@@ -83,6 +83,68 @@ class OpsSurfaceSpec extends SparkSpec {
     } finally cp.stop()
   }
 
+  // — schema & sensing inspection (reference schemas.rs + sensing.rs) —
+
+  test("schema REST surface: list, detail, versions, at-sequence lookup") {
+    import org.apache.spark.sql.types.StructType
+    val dir = Files.createTempDirectory("schemaRest").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    reg.register("orders", StructType.fromDDL("id bigint, total double"), 1000L)
+    reg.register("orders", StructType.fromDDL("id bigint, total double, note string"), 2000L)
+    reg.register("items", StructType.fromDDL("sku string"), 1500L)
+    val cp = new ControlPlane(spark, 0).registerSchemaRegistry("p1", reg).start()
+    val base = s"http://127.0.0.1:${cp.boundPort}/pipelines/p1"
+    try {
+      val (c1, list) = send("GET", s"$base/schemas")
+      assert(c1 == 200 && list.contains(""""table":"orders","fingerprint":""""))
+      assert(list.contains(""""sequence":1""") && list.contains(""""column_count":3"""))
+      assert(list.contains(""""table":"items""""))
+      val (c2, detail) = send("GET", s"$base/schemas/orders")
+      assert(c2 == 200 && detail.contains(""""name":"note","data_type":"string""""))
+      assert(detail.contains(""""ordinal_position":3"""))
+      val (c3, versions) = send("GET", s"$base/schemas/orders/versions")
+      assert(c3 == 200 && versions.contains(""""version":0""") &&
+        versions.contains(""""version":1"""))
+      // the replay-correctness lookup: sequence 0 predates `note`
+      val (c4, at0) = send("GET", s"$base/schemas/orders/at/0")
+      assert(c4 == 200 && !at0.contains("note") && at0.contains(""""name":"total""""))
+      assert(send("GET", s"$base/schemas/ghost")._1 == 404)
+      assert(send("GET", s"http://127.0.0.1:${cp.boundPort}/pipelines/nope/schemas")._1 == 404)
+      assert(send("POST", s"$base/schemas")._1 == 405)
+    } finally cp.stop()
+  }
+
+  test("sensing REST surface: inferred schemas, json-schema export, stats, drift") {
+    val sensor = new SchemaSensor(SchemaSensor.Config(warmupEvents = 100))
+    sensor.observe("events", """{"k":1,"v":"x"}""")
+    sensor.observe("events", """{"k":2,"v":"y","extra":1.5}""")
+    sensor.observe("events", """{"k":2,"v":"y","extra":1.5}""") // cache hit
+    sensor.recordDrift("events",
+      Seq(("k", "type_mismatch", "varchar", "int", 42L)))
+    val cp = new ControlPlane(spark, 0).registerSensor("p1", sensor).start()
+    val base = s"http://127.0.0.1:${cp.boundPort}/pipelines/p1"
+    try {
+      val (c1, list) = send("GET", s"$base/sensing/schemas")
+      assert(c1 == 200 && list.contains(""""table":"events"""") &&
+        list.contains(""""event_count":3""") && list.contains(""""sequence":1"""))
+      val (c2, detail) = send("GET", s"$base/sensing/schemas/events")
+      assert(c2 == 200 &&
+        detail.contains(""""name":"extra","types":["float"],"nullable":false,"optional":true"""))
+      val (c3, js) = send("GET", s"$base/sensing/schemas/events/json-schema")
+      assert(c3 == 200 && js.contains(""""$schema"""") &&
+        js.contains(""""k":{"type":"integer"}""") && js.contains(""""required":["k","v"]"""))
+      val (c4, stats) = send("GET", s"$base/sensing/stats")
+      assert(c4 == 200 && stats.contains(""""cache_hits":1""") &&
+        stats.contains(""""total_cache_misses":2"""))
+      val (c5, drift) = send("GET", s"$base/drift/events")
+      assert(c5 == 200 && drift.contains(""""kind":"type_mismatch"""") &&
+        drift.contains(""""n":42"""))
+      assert(send("GET", s"$base/drift")._2.startsWith("""[{"table":"events""""))
+      assert(send("GET", s"$base/sensing/schemas/ghost")._1 == 404)
+      assert(send("GET", s"$base/drift/ghost")._1 == 404)
+    } finally cp.stop()
+  }
+
   // — metrics —
 
   test("registry scrape emits prometheus text for counters/gauges/histograms") {

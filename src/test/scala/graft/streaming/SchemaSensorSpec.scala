@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/**
+ * Sensing lifecycle: the reference sensor's six observe states in order
+ * (sensor.rs:28-56), the warmup-then-1-in-N sampling policy
+ * (deltaforge-config schema_sensing.rs:171-205), the capped structure
+ * cache, registry wiring on evolution, and the batch-aggregated stage.
+ */
+class SchemaSensorSpec extends SparkSpec {
+  import SchemaSensor._
+
+  test("one table walks all six lifecycle states in order") {
+    val sensor = new SchemaSensor(Config(
+      warmupEvents = 4, sampleRate = 3, structureCacheSize = 16, stabilizeAfter = 7))
+
+    // 1. first structure ever → NewSchema, sequence 0
+    sensor.observe("t", """{"a":1}""") match {
+      case NewSchema(_, 0) => case r => fail(s"expected NewSchema, got $r")
+    }
+    // 2. new field → Evolved 0→1 (cache invalidated, re-seeded)
+    sensor.observe("t", """{"a":1,"b":2}""") match {
+      case Evolved(_, _, 0, 1) => case r => fail(s"expected Evolved, got $r")
+    }
+    // 3. subset payload: cache miss (cleared on evolution) but MERGED schema
+    //    unchanged → Unchanged; absence only marks `b` optional (the
+    //    documented deviation from per-event fingerprints)
+    sensor.observe("t", """{"a":3}""") match {
+      case Unchanged(_, 1) => case r => fail(s"expected Unchanged, got $r")
+    }
+    // 4. structure seen since the evolution → CacheHit, no inference
+    sensor.observe("t", """{"a":1,"b":2}""") match {
+      case CacheHit(_, 1) => case r => fail(s"expected CacheHit, got $r")
+    }
+    // 5. past warmup (4 events), event_count=4, 4%3≠0: a NEW structure is
+    //    skipped by the sampling gate → Sampled
+    sensor.observe("t", """{"a":1,"c":true}""") match {
+      case Sampled(_, 1) => case r => fail(s"expected Sampled, got $r")
+    }
+    // 6. cache hits carry the count to stabilizeAfter → Stabilized
+    sensor.observe("t", """{"a":9}""") match {
+      case CacheHit(_, 1) => case r => fail(s"expected CacheHit, got $r")
+    }
+    sensor.observe("t", """{"a":9}""") match {
+      case Stabilized(_, 1) => case r => fail(s"expected Stabilized, got $r")
+    }
+    // stabilized tables early-exit — even an unseen structure senses nothing
+    sensor.observe("t", """{"zzz":"q"}""") match {
+      case Stabilized(_, 1) => case r => fail(s"expected Stabilized, got $r")
+    }
+    val st = sensor.state("t").get
+    assert(st.eventCount == 8 && st.stabilized)
+    assert(st.fields("b").presentIn < st.sensedCount) // optional, not evolved-away
+
+    // disabled sensing is its own terminal state
+    assert(new SchemaSensor(Config(enabled = false)).observe("t", "{}") == Disabled)
+  }
+
+  test("evolution registers the inferred schema in the registry ledger") {
+    val dir = Files.createTempDirectory("sensorReg").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    val sensor = new SchemaSensor(Config(warmupEvents = 10), registry = Some(reg))
+    sensor.observe("orders", """{"id":1,"total":9.5}""")
+    sensor.observe("orders", """{"id":2,"total":3.25,"note":"x"}""")
+    assert(sensor.evolutions.size == 1)
+    val latest = reg.latestSchema("orders").get
+    assert(latest.fieldNames.toSet == Set("id", "total", "note"))
+    assert(latest("id").dataType == LongType && latest("total").dataType == DoubleType)
+    assert(latest("note").nullable) // optional: absent from the first event
+    assert(reg.latest("orders").get._1 == 1L) // two versions: 0 then 1
+    // at-sequence: version 0 lacks `note` (replay correctness)
+    assert(reg.getAtSequence("orders", 0).get.fieldNames.toSet == Set("id", "total"))
+  }
+
+  test("batch stage aggregates per structure; sensor sees counts, not rows") {
+    import spark.implicits._
+    val sensor = new SchemaSensor(Config(warmupEvents = 1000))
+    val batch = ((1 to 40).map(i => s"""{"k":$i}""") ++
+      (1 to 10).map(i => s"""{"k":$i,"extra":"v"}"""))
+      .toDF("after")
+      .select(struct(lit("events").as("table")).as("source"), col("after"))
+    SchemaSensorStage.processor(sensor)(batch)
+    val st = sensor.state("events").get
+    assert(st.eventCount == 50)
+    assert(st.cacheMisses == 2) // one full inference per distinct structure
+    assert(st.cacheHits == 48) // replay equivalence: the rest are hits
+    assert(st.fields.keySet == Set("k", "extra"))
+    assert(sensor.cacheStatsJson.contains("\"total_cache_hits\":48"))
+  }
+
+  test("structure cache never grows past its cap; at capacity it only checks") {
+    val sensor = new SchemaSensor(Config(
+      warmupEvents = 2, sampleRate = 1, structureCacheSize = 3, stabilizeAfter = 0))
+    (0 until 10).foreach(i => sensor.observe("t", s"""{"f$i":1}"""))
+    val st = sensor.state("t").get
+    assert(st.structures.size <= 3)
+    assert(st.cacheMisses == 10) // every new structure missed
+  }
+}
