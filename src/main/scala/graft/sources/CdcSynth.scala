@@ -87,6 +87,85 @@ object CdcSynth {
   }
 
   /**
+   * Deterministic TPC-C transaction-mix change stream (reference
+   * crates/chaos/src/scenarios/tpcc.rs:7-14, :579-587 — the 45/43/12
+   * New-Order/Payment/Delivery terminal roll):
+   *
+   *   New-Order 45%: INSERT order + INSERT new_order + INSERT
+   *                  order_line × k + UPDATE stock × k, k ∈ [5,15]
+   *   Payment   43%: UPDATE warehouse + UPDATE district + UPDATE customer
+   *                  + INSERT history
+   *   Delivery  12%: DELETE new_order + UPDATE order + UPDATE order_line
+   *                  + UPDATE customer
+   *
+   * Every transaction is multi-row and New-Order/Payment/Delivery are
+   * multi-TABLE, with `tx_end` only on the final event — the C-1
+   * tx-boundary batching stressor. Fully distributed: one `range(nTxns)`,
+   * per-txn attributes from `xxhash64`, one `explode(sequence(...))` for
+   * the per-event fan-out; `source.sequence = txn*40 + idx` is the
+   * source's total order (gaps are legal, order is what matters).
+   */
+  def tpccEvents(spark: SparkSession, nTxns: Long, db: String = "tpcc"): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val t = col("id")
+    val roll = pmod(xxhash64(t, lit(1)), lit(100))
+    val olCnt = (pmod(xxhash64(t, lit(2)), lit(11)) + 5) // 5..15
+    val kind = when(roll < 45, lit("neworder"))
+      .when(roll < 88, lit("payment")).otherwise(lit("delivery"))
+    val nEvents = when(kind === "neworder", lit(2) + olCnt * 2).otherwise(lit(4))
+
+    val base = spark.range(nTxns).repartition(par)
+      .select(t.as("t"), kind.as("kind"), olCnt.as("ol"), nEvents.as("n"),
+        (pmod(t, lit(2)) + 1).as("w"), (pmod(t, lit(10)) + 1).as("d"),
+        (pmod(xxhash64(t, lit(3)), lit(300)) + 1).as("c"))
+      .select(col("*"), explode(sequence(lit(0), col("n") - 1)).as("i"))
+
+    val no = col("kind") === "neworder"
+    val pay = col("kind") === "payment"
+    val i = col("i")
+    val table =
+      when(no && i === 0, "tpcc_order").when(no && i === 1, "tpcc_new_order")
+        .when(no && i < col("ol") + 2, "tpcc_order_line").when(no, "tpcc_stock")
+        .when(pay && i === 0, "tpcc_warehouse").when(pay && i === 1, "tpcc_district")
+        .when(pay && i === 2, "tpcc_customer").when(pay, "tpcc_history")
+        .when(i === 0, "tpcc_new_order").when(i === 1, "tpcc_order")
+        .when(i === 2, "tpcc_order_line").otherwise("tpcc_customer")
+    val op =
+      when(no && i < col("ol") + 2, ChangeEvent.Op.Create) // order, new_order, order_lines
+        .when(no, ChangeEvent.Op.Update) // stock
+        .when(pay && i === 3, ChangeEvent.Op.Create) // history
+        .when(pay, ChangeEvent.Op.Update) // warehouse/district/customer
+        .when(i === 0, ChangeEvent.Op.Delete) // delivery: new_order delete
+        .otherwise(ChangeEvent.Op.Update)
+    // row images: a pure function of (t, i) so any consumer/oracle can
+    // recompute them; updates/deletes carry a before image
+    val amount = pmod(xxhash64(col("t"), i), lit(500000)).cast(DoubleType) / 100.0
+    val after = when(op =!= ChangeEvent.Op.Delete, concat(
+      lit("{\"w_id\":"), col("w"), lit(",\"d_id\":"), col("d"),
+      lit(",\"c_id\":"), col("c"), lit(",\"o_id\":"), col("t"),
+      lit(",\"line\":"), i, lit(",\"amount\":"), amount, lit("}")))
+    val before = when(op.isin(ChangeEvent.Op.Update, ChangeEvent.Op.Delete), concat(
+      lit("{\"w_id\":"), col("w"), lit(",\"d_id\":"), col("d"),
+      lit(",\"c_id\":"), col("c"), lit(",\"o_id\":"), col("t"),
+      lit(",\"line\":"), i, lit(",\"amount\":"), amount - 1.0, lit("}")))
+    val seq = col("t") * 40 + i // 40 > max events/txn (2 + 2×15 = 32)
+    val tsMs = lit(1700000000000L) + col("t")
+    val source = struct(
+      lit("graft-0.1.0").as("version"), lit("mysql").as("connector"),
+      lit("tpcc-source").as("name"), tsMs.as("ts_ms"), lit(db).as("db"),
+      lit(null).cast(StringType).as("schema"), table.as("table"),
+      lit(false).as("snapshot"), lit(1L).as("server_id"),
+      lit(null).cast(StringType).as("gtid"), lit("binlog.000001").as("file"),
+      seq.as("pos"), lit(null).cast(StringType).as("lsn"),
+      col("t").as("tx_id"), seq.as("sequence"))
+    ChangeEvent.conform(base.select(
+      before.as("before"), after.as("after"), source.as("source"), op.as("op"),
+      tsMs.as("ts_ms"),
+      concat(lit(s"$db:"), col("t"), lit(":"), i).as("event_id"),
+      (i === col("n") - 1).as("tx_end")))
+  }
+
+  /**
    * Snapshot read as `op='r'` events (reference mysql_snapshot.rs:156-331).
    * At scale this is `spark.read.jdbc(partitionColumn=pk, ...)`; here it reads
    * the driver parquet directly. Partition-pruned, column-pruned by Catalyst.
