@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -33,6 +33,22 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (osBean.getProcessCpuTime - c0) / 1e9
     (wall, cpu)
+  }
+
+  /**
+   * Inter-query pollution barrier. The r6 artifact recorded dedup_simhash
+   * at 3.5× its isolated cost (62.1 vs 17.8 CPU-s) — ContextCleaner frees
+   * prior queries' broadcast/shuffle blocks ASYNCHRONOUSLY after a GC
+   * discovers them, so a heavy neighbor's cleanup lands inside the next
+   * query's timing window. Two GCs with a drain pause between them: the
+   * first enqueues the dead references, the pause lets the cleaner thread
+   * process the queue, the second collects what the cleanup itself freed.
+   */
+  private def quiesce(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(250)
+    System.gc()
   }
 
   /** Min-wall of `k` runs; None when every rep failed. */
@@ -79,20 +95,21 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        val r = best(name, reps) {
-          spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
-          System.gc() // reclaim prior queries' broadcast/shuffle refs — measured 2× CPU drift without it
-          // noop sink, not count(): count() lets ColumnPruning drop computed
-          // output columns (envelope JSON, flattened fields, text scores) —
-          // the timing then omits the very work the query claims. The noop
-          // writer evaluates EVERY output column and discards the bytes.
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        }
-        (name, r)
+    val results = queryList.map { case (name, fn) =>
+      quiesce(spark) // flush the PREVIOUS query's async cleanup before timing
+      val r = best(name, reps) {
+        spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
+        System.gc() // reclaim prior reps' broadcast/shuffle refs — measured 2× CPU drift without it
+        // noop sink, not count(): count() lets ColumnPruning drop computed
+        // output columns (envelope JSON, flattened fields, text scores) —
+        // the timing then omits the very work the query claims. The noop
+        // writer evaluates EVERY output column and discards the bytes.
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       }
+      (name, r)
+    }
     // Backlog-drain throughput, comparable to the reference's headline
     // (151K events/s MySQL→Kafka, docs/src/performance.md:15-17): 1M change
     // events through the full processor chain (filter gates + routing
@@ -129,6 +146,13 @@ object Bench {
       // ColumnPruning drop the envelope/routing projections entirely, so it
       // would measure synth+filter only — the envelope encode is the bulk of
       // the work the reference's 151K number includes
+      quiesce(spark)
+      // One UNTIMED warmup pass: r7 A/B showed drain-only cold runs 25-35%
+      // below drain-after-queries runs on the same host (546K vs 848K ev/s)
+      // — JIT/codegen warmth from neighbors was inflating the headline's
+      // run-to-run spread. The warmup makes the number order-independent.
+      try chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()
+      catch { case _: Throwable => () }
       best("drain", reps)(
         chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()) match {
         case Some((wall, _)) if wall > 0 => math.round(inputEvents / wall)
@@ -136,50 +160,127 @@ object Bench {
       }
     }
 
-    // Scale probe for the dedup family — the "sf1" datapoint. No sf1
-    // testdata exists, so scale the sf0.1 corpus 10× with TOKEN-SALTED
-    // replicas: replica r suffixes every token with _r, so each replica
-    // shard reproduces the original corpus's internal near-dup structure
-    // while sharing zero shingles across shards — the realistic "bigger
-    // corpus" model (10 independent shards), not a 10-clique of dups per
-    // document. (Word ROTATION fails here: rotations share nearly all
-    // cyclic n-grams, making every replica a near-dup of its siblings and
-    // exploding the pair graph quadratically — measured 37× CPU.)
-    // Near-linear CPU growth (≲12× for 10× data) proves the df-capped
-    // posting join + checkpointed CC hold at the next scale step.
+    // Second drain headline: the reference's TPC-C-mix soak workload
+    // (crates/chaos/src/scenarios/tpcc.rs — 45/43/12 New-Order/Payment/
+    // Delivery over 9 tables with multi-row multi-table transactions),
+    // through the same processor chain. Unlike the uniform orders replay,
+    // this stresses tx-boundary batching: only the final event of each
+    // transaction carries tx_end, and the chain is fed whole transactions.
+    val drainTpccEps = {
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val nTxns = 83000L // ≈ 1M events at the mix's ~12.1 events/txn average
+      val backlog = graft.sources.CdcSynth.tpccEvents(spark, nTxns)
+      val chain = {
+        val filtered = FilterProcessor(FilterProcessor.Config(
+          ops = Seq("c", "u", "d"),
+          tables = Seq("tpcc.*")))(backlog)
+        filtered.select(
+          Routing.resolveTopic(Some("cdc.${source.db}.${source.table}"), "events").as("topic"),
+          Envelopes.debezium.as("value"))
+      }
+      val inputEvents = backlog.count()
+      quiesce(spark)
+      try chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()
+      catch { case _: Throwable => () }
+      best("drain_tpcc", reps)(
+        chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()) match {
+        case Some((wall, _)) if wall > 0 => math.round(inputEvents / wall)
+        case _ => 0L
+      }
+    }
+
+    // FULL-SUITE scale probe — the "sf1" datapoint for EVERY query, not
+    // just the dedup family (the r6 drift_types cliff shipped precisely
+    // because only dedup was probed at ×10). A ×10 copy of the sf0.1
+    // dataset is materialized once with per-replica key remapping
+    // (newkey = key*10 + rep keeps joins intra-replica and collision-free),
+    // TOKEN-SALTED document text (replica shards reproduce the corpus's
+    // internal near-dup structure but share zero shingles — word ROTATION
+    // instead makes every replica a near-dup of its siblings and explodes
+    // the pair graph quadratically, measured 37× CPU), and SIGN-FLIPPED
+    // embeddings (deterministic ± per (replica,dim): norms and
+    // intra-replica angles exact, cross-replica cosines decorrelate — so
+    // ANN pair counts scale like a bigger corpus, not a 10-clique).
+    // Then the whole query suite runs once against the ×10 dir; the JSON
+    // records per-query CPU growth vs the ×1 numbers above. Queries that
+    // are all-pairs BY DESIGN (oracle twins of bucketed scale paths) are
+    // excluded and named — a silent cap would read as "covered".
     // SPARK_GRAFT_SCALE_PROBE=0 skips (local iteration aid).
+    val quadraticByDesign = Map(
+      "ann_pairs_exact" -> "all-pairs oracle twin of ann_pairs_lsh; O(n^2) by design")
     val scaleProbe: String =
       if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) "null"
       else {
         import org.apache.spark.sql.functions._
-        import graft.llm.Dedup
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-          .repartition(spark.sparkContext.defaultParallelism)
-        def scaled(mult: Int) =
-          if (mult == 1) docs
-          else docs
-            .withColumn("_rep", explode(array((0 until mult).map(lit): _*)))
-            .withColumn("doc_id", col("doc_id") * mult + col("_rep"))
-            .withColumn("text", when(col("_rep") === 0, col("text")).otherwise(
+        val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR",
+          s"${System.getProperty("java.io.tmpdir")}/graft_bench_x10")
+        def buildX10(): Unit = {
+          val repsArr = array((0 until 10).map(lit): _*)
+          def scale(table: String, keyCols: Seq[String],
+                    extra: DataFrame => DataFrame = identity): Unit = {
+            val df = spark.read.parquet(s"$sfDir/$table.parquet")
+            val replicated = df.withColumn("_rep", explode(repsArr))
+            val keyed = keyCols.foldLeft(replicated) { (d, k) =>
+              d.withColumn(k,
+                (col(k).cast("long") * 10 + col("_rep")).cast(df.schema(k).dataType))
+            }
+            extra(keyed).drop("_rep")
+              .repartition(spark.sparkContext.defaultParallelism)
+              .write.mode("overwrite").parquet(s"$x10Dir/$table.parquet")
+          }
+          scale("region", Seq("r_regionkey"))
+          scale("nation", Seq("n_nationkey", "n_regionkey"))
+          scale("customer", Seq("c_custkey", "c_nationkey"))
+          scale("supplier", Seq("s_suppkey", "s_nationkey"))
+          scale("part", Seq("p_partkey"))
+          scale("orders", Seq("o_orderkey", "o_custkey"))
+          scale("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+          scale("events", Seq("event_id", "user_id"))
+          scale("documents", Seq("doc_id"), d => d.withColumn("text",
+            when(col("_rep") === 0, col("text")).otherwise(
               array_join(transform(split(col("text"), " "),
-                t => concat(t, lit("_"), col("_rep"))), " ")))
-            .drop("_rep")
-        def probe(mult: Int): (Double, Double, Double, Double) = {
-          spark.catalog.clearCache(); System.gc()
-          val d = scaled(mult)
-          val (jw, jc) = timed(
-            Dedup.jaccardPairs(d, 0.5, maxDf = Some(1000L))
-              .write.mode("overwrite").format("noop").save())
-          spark.catalog.clearCache(); System.gc()
-          val (cw, cc) = timed(
-            Dedup.clusters(d, Dedup.jaccardPairs(d, 0.5, maxDf = Some(1000L)))
-              .write.mode("overwrite").format("noop").save())
-          (jw, jc, cw, cc)
+                t => concat(t, lit("_"), col("_rep"))), " "))))
+          scale("embeddings", Seq("vec_id"), d => d.withColumn("embedding",
+            when(col("_rep") === 0, col("embedding")).otherwise(
+              zip_with(col("embedding"),
+                sequence(lit(0), size(col("embedding")) - 1),
+                (x, i) => x * (pmod(hash(col("_rep") * 1024 + i), lit(2)) * 2 - 1)
+                  .cast("float")))))
         }
         try {
-          val (j1w, j1c, c1w, c1c) = probe(1)
-          val (j10w, j10c, c10w, c10c) = probe(10)
-          f"""{"mult":10,"dedup_jaccard":{"x1_wall":$j1w%.2f,"x1_cpu":$j1c%.2f,"x10_wall":$j10w%.2f,"x10_cpu":$j10c%.2f,"cpu_growth":${j10c / math.max(j1c, 0.01)}%.2f},"dedup_clusters":{"x1_wall":$c1w%.2f,"x1_cpu":$c1c%.2f,"x10_wall":$c10w%.2f,"x10_cpu":$c10c%.2f,"cpu_growth":${c10c / math.max(c1c, 0.01)}%.2f}}"""
+          val (bw, _) = timed(buildX10())
+          System.err.println(f"[bench] x10 dataset built in $bw%.1fs at $x10Dir")
+          val x1Cpu = results.collect { case (k, Some((_, c))) => (k, c) }.toMap
+          val probed = queryList.filterNot { case (n, _) => quadraticByDesign.contains(n) }
+            .map { case (name, fn) =>
+              quiesce(spark)
+              val r = best(s"x10:$name", 1) {
+                fn(spark, x10Dir).write.mode("overwrite").format("noop").save()
+              }
+              (name, r)
+            }
+          // best-effort cleanup of the materialized ×10 copy
+          try {
+            import java.nio.file.{Files, Paths}
+            import scala.jdk.CollectionConverters._
+            val root = Paths.get(x10Dir)
+            if (Files.exists(root))
+              Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          } catch { case _: Throwable => () }
+          val okX = probed.collect { case (k, Some((w, c))) => (k, w, c) }
+          val failedX = probed.collect { case (k, None) => k }
+          val cpuJson = okX.map { case (k, _, c) => "\"" + k + "\":" + c }
+            .mkString("{", ",", "}")
+          val wallJson = okX.map { case (k, w, _) => "\"" + k + "\":" + w }
+            .mkString("{", ",", "}")
+          val growthJson = okX.flatMap { case (k, _, c) =>
+            x1Cpu.get(k).map(c1 => "\"" + k + "\":" + f"${c / math.max(c1, 0.01)}%.2f")
+          }.mkString("{", ",", "}")
+          val exclJson = quadraticByDesign
+            .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+          val failedJsonX = failedX.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s"""{"mult":10,"queries_cpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"excluded":$exclJson,"failed":$failedJsonX}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
@@ -196,7 +297,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"scale_probe_x10":$scaleProbe}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"scale_probe_x10":$scaleProbe}"""
     val pw = new java.io.PrintWriter(outPath)
     try { pw.println(json) } finally { pw.close() }
     println(json)
