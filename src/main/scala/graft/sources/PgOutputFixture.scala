@@ -191,8 +191,13 @@ object PgOutputFixture {
       col("o_orderstatus"), col("o_totalprice").cast("double"),
       unix_millis(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
       .as[(Long, Long, String, Double, Long, String)]
+    // rotated at a bounded row count like the MySQL fixture (and like WAL
+    // segment files): unbounded per-partition segments made the ×10 probe
+    // measure 128× CPU for 10× data — allocation thrash, not decode cost
     val dataSegments: Dataset[Array[Byte]] =
-      prepped.mapPartitions(it => Iterator.single(ordersSegment(it)))(
+      prepped.mapPartitions(it =>
+        it.grouped(MysqlBinlogFixture.SegmentRows)
+          .map(g => ordersSegment(g.iterator)))(
         org.apache.spark.sql.Encoders.BINARY)
     val control = spark.createDataset(Seq(truncateSegment()))(
       org.apache.spark.sql.Encoders.BINARY)
