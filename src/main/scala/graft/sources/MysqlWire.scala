@@ -31,7 +31,13 @@ object MysqlWire {
 
   private val MaxChunk = 0xffffff
 
-  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+  /**
+   * Writes `payload`, splitting ≥16MB-1 bodies, and returns the NEXT
+   * sequence number — splitting consumes one sequence per chunk, and a
+   * caller that keeps numbering from `seq + 1` after a split write would
+   * silently desynchronize the conversation.
+   */
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Int = {
     var off = 0
     var s = seq
     var continue = true
@@ -48,6 +54,7 @@ object MysqlWire {
       continue = len == MaxChunk
     }
     out.flush()
+    s
   }
 
   /** (sequence-of-first-packet, payload) — rejoins 0xffffff continuations. */
@@ -74,9 +81,16 @@ object MysqlWire {
     else {
       val joined = new ByteArrayOutputStream()
       joined.write(first)
+      var expect = seq0
       var more = true
       while (more) {
-        val (len, _, part) = one()
+        val (len, seq, part) = one()
+        // continuations must increment mod 256 — a skew means the stream
+        // lost framing and every later "payload" would be garbage
+        expect = (expect + 1) & 0xff
+        if (seq != expect)
+          throw new java.io.IOException(
+            s"mysql: continuation packet sequence $seq, expected $expect — framing lost")
         joined.write(part)
         more = len == MaxChunk
       }

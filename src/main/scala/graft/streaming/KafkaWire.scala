@@ -504,17 +504,18 @@ object KafkaWire {
    * per topic and requires acks=-1 success on every partition.
    *
    * Delivery semantics, stated precisely: abort before commit touches the
-   * wire not at all. A commit that FAILS leaves `pending` intact and does
-   * NOT advance any sequence, so the caller's replay (a fresh producer for
-   * the same micro-batch partition) re-sends byte-identical batches with
-   * the SAME (producerId, epoch, baseSequence) — a broker's idempotent
-   * dedup collapses them. Sequences are per topic (Kafka tracks them per
-   * topic-partition; a shared counter would be rejected as
-   * OUT_OF_ORDER_SEQUENCE_NUMBER). A multi-topic commit is therefore NOT
-   * atomic mid-flight — it is idempotent-convergent: topics acked before a
-   * failure are re-sent on replay and deduped. True cross-topic atomicity
-   * needs the coordinator txn RPCs (EndTxn markers), which need a live
-   * cluster and stay environment-bound.
+   * wire not at all. A commit that FAILS leaves the UNACKED topics'
+   * records in `pending` with their sequences unadvanced, so the caller's
+   * retry re-sends byte-identical batches with the SAME (producerId,
+   * epoch, baseSequence) — a broker's idempotent dedup collapses a
+   * written-but-unacked batch. Topics that DID ack are dropped from
+   * `pending` as they ack (their sequence advanced, so a re-send would be
+   * accepted as fresh rows — the one duplication hole in the pre-r7
+   * keep-everything-pending design). Sequences are per topic (Kafka
+   * tracks them per topic-partition; a shared counter would be rejected
+   * as OUT_OF_ORDER_SEQUENCE_NUMBER). A multi-topic commit is therefore
+   * NOT atomic mid-flight — it is idempotent-convergent. True cross-topic
+   * atomicity needs the coordinator txn path (`transactionalId` set).
    */
   class SocketProducer(host: String, port: Int, clientId: String,
                        transactionalId: String = null,
@@ -626,7 +627,16 @@ object KafkaWire {
       // must observe the exact same (pid, epoch, seq) triple to be deduped
       if (pending.nonEmpty) {
         if (transactional) commitWithCoordinator()
-        else flush(pending.toSeq)
+        else {
+          // per-topic, dropping each topic from `pending` AS IT ACKS: an
+          // acked topic's sequence has advanced, so a commit retry that
+          // re-produced it would be accepted as fresh rows (duplicates).
+          // After a partial failure the retry re-sends ONLY unacked topics.
+          pending.toSeq.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+            produce(rs)
+            pending --= rs
+          }
+        }
       }
       txBaseSeq.clear(); producedInTx = false
       pending.clear(); inTx = false; txnOnWire = false

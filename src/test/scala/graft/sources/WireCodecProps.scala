@@ -34,13 +34,27 @@ object WireCodecProps extends Properties("graft.wirecodecs") {
       var i = 0
       while (i < n) { payload(i) = (i * 31 + 7).toByte; i += 1 }
       val out = new ByteArrayOutputStream()
-      writePacket(out, 3, payload)
+      val next = writePacket(out, 3, payload)
       val framed = out.toByteArray
       val (s, p) = readPacket(new ByteArrayInputStream(framed))
       // every full 0xffffff chunk demands a continuation (possibly empty),
-      // so the stream holds floor(n/0xffffff)+1 packets of 4-byte headers
+      // so the stream holds floor(n/0xffffff)+1 packets of 4-byte headers —
+      // and the returned next-sequence reflects every one of them
       s == 3 && java.util.Arrays.equals(p, payload) &&
-        framed.length == n + 4 * (n / 0xffffff + 1)
+        framed.length == n + 4 * (n / 0xffffff + 1) &&
+        next == 3 + (n / 0xffffff + 1)
+    }
+
+  property("mysql continuation with a skewed sequence is rejected") =
+    Prop.forAll(Gen.choose(1, 250)) { skew =>
+      val payload = new Array[Byte](0xffffff + 5)
+      val out = new ByteArrayOutputStream()
+      writePacket(out, 0, payload)
+      val framed = out.toByteArray
+      framed(4 + 0xffffff + 3) = ((1 + skew) & 0xff).toByte // corrupt 2nd header's seq
+      Prop.throws(classOf[java.io.IOException]) {
+        readPacket(new ByteArrayInputStream(framed))
+      }
     }
 
   property("mysql greeting: nonce and plugin survive encode∘decode") =

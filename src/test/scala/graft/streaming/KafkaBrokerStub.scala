@@ -66,7 +66,8 @@ object KafkaBrokerStub {
 class KafkaBrokerStub(failFirstProduce: Boolean = false,
                       failFirstEndTxn: Boolean = false,
                       cluster: KafkaBrokerStub.Cluster = null,
-                      nodeId: Int = 0) {
+                      nodeId: Int = 0,
+                      failProduceAt: Int = 0) {
   import KafkaWire._
   import KafkaBrokerStub.{Appended, Cluster}
 
@@ -88,6 +89,8 @@ class KafkaBrokerStub(failFirstProduce: Boolean = false,
   private def handleProduce(req: ProduceRequest): ProduceResponse = {
     val n = produceRequests.incrementAndGet()
     if (failFirstProduce && n == 1)
+      return ProduceResponse(req.correlationId, req.topic, Seq(PartitionAck(0, 7, -1L)))
+    if (failProduceAt > 0 && n == failProduceAt)
       return ProduceResponse(req.correlationId, req.topic, Seq(PartitionAck(0, 7, -1L)))
     // leadership gate: a non-leader rejects the batch untouched
     if (c.leaderFor(req.topic) != nodeId)

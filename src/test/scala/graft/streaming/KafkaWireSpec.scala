@@ -115,6 +115,28 @@ class KafkaWireSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("non-tx partial commit: acked topics are never re-produced on retry") {
+    // SECOND produce fails: topic-a acks (sequence advanced), topic-b
+    // errors. A retry that re-produced topic-a would carry an ADVANCED
+    // base sequence — the broker would accept it as fresh rows
+    // (duplicates). The commit must drop acked topics from pending.
+    val stub = new KafkaBrokerStub(failProduceAt = 2)
+    try {
+      val p = new SocketProducer("127.0.0.1", stub.port, "c-nontx")
+      p.beginTransaction()
+      p.send(MessagingSinks.WireRecord("topic-a", "ka", "va".getBytes(UTF_8), Map.empty))
+      p.send(MessagingSinks.WireRecord("topic-b", "kb", "vb".getBytes(UTF_8), Map.empty))
+      intercept[RuntimeException] { p.commitTransaction() } // topic-b errors
+      assert(stub.visible.map(_.key) == Seq("ka")) // a landed, b did not
+      p.commitTransaction() // retry re-sends ONLY topic-b
+      val appended = stub.visible
+      assert(appended.map(_.key).sorted == Seq("ka", "kb")) // exactly once each
+      // and not because broker dedup saved us: topic-a was produced ONCE
+      // (3 produce requests total: a-ok, b-fail, b-ok)
+      assert(stub.produceRequests.get() == 3)
+    } finally stub.stop()
+  }
+
   test("abort leaves nothing on the wire; broker error fails the batch write") {
     val stub = new KafkaBrokerStub()
     try {
