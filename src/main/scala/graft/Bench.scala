@@ -25,14 +25,41 @@ object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
-  /** Run `body` once; returns (wallSec, processCpuSec). */
-  private def timed(body: => Unit): (Double, Double) = {
+  /**
+   * Task-thread CPU accumulator (Spark's own `executorCpuTime` per task).
+   * Process CPU charges a query with whatever the JVM happens to be doing
+   * in its window — above all GC of the PREVIOUS queries' garbage, which
+   * in a long bench JVM reached 8-30× the query's own cost (r7: isolated
+   * fresh-JVM cdc_binlog_decode ×10 = 116 task-CPU-s, same query at the
+   * tail of the full bench JVM = 2753 process-CPU-s). Task CPU excludes
+   * GC threads, so it is the number that attributes to the PLAN.
+   */
+  private class TaskCpuListener extends org.apache.spark.scheduler.SparkListener {
+    private val ns = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) ns.addAndGet(m.executorCpuTime)
+    }
+    /** Read-and-reset, in seconds. Listener events trail the job end by a
+     * beat; the caller sleeps briefly before draining. */
+    def drainSec(): Double = ns.getAndSet(0L) / 1e9
+  }
+  private val taskCpu = new TaskCpuListener
+  @volatile private var listenerAttached = false
+  private def attach(spark: SparkSession): Unit = if (!listenerAttached) {
+    spark.sparkContext.addSparkListener(taskCpu); listenerAttached = true
+  }
+
+  /** Run `body` once; returns (wallSec, processCpuSec, taskCpuSec). */
+  private def timed(body: => Unit): (Double, Double, Double) = {
+    taskCpu.drainSec() // discard anything accrued outside a timed window
     val c0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-    (wall, cpu)
+    Thread.sleep(80) // let trailing TaskEnd events land
+    (wall, cpu, taskCpu.drainSec())
   }
 
   /**
@@ -52,12 +79,12 @@ object Bench {
   }
 
   /** Min-wall of `k` runs; None when every rep failed. */
-  private def best(name: String, k: Int)(body: => Unit): Option[(Double, Double)] = {
+  private def best(name: String, k: Int)(body: => Unit): Option[(Double, Double, Double)] = {
     val runs = (1 to k).map { _ =>
       try timed(body) catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (Double.NaN, Double.NaN)
+          (Double.NaN, Double.NaN, Double.NaN)
       }
     }
     val ok = runs.filterNot(_._1.isNaN)
@@ -89,6 +116,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    attach(spark)
 
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
@@ -155,7 +183,7 @@ object Bench {
       catch { case _: Throwable => () }
       best("drain", reps)(
         chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()) match {
-        case Some((wall, _)) if wall > 0 => math.round(inputEvents / wall)
+        case Some((wall, _, _)) if wall > 0 => math.round(inputEvents / wall)
         case _ => 0L
       }
     }
@@ -185,7 +213,7 @@ object Bench {
       catch { case _: Throwable => () }
       best("drain_tpcc", reps)(
         chain.agg(sum(length(col("value"))) + sum(length(col("topic")))).head()) match {
-        case Some((wall, _)) if wall > 0 => math.round(inputEvents / wall)
+        case Some((wall, _, _)) if wall > 0 => math.round(inputEvents / wall)
         case _ => 0L
       }
     }
@@ -249,9 +277,12 @@ object Bench {
                   .cast("float")))))
         }
         try {
-          val (bw, _) = timed(buildX10())
+          val (bw, _, _) = timed(buildX10())
           System.err.println(f"[bench] x10 dataset built in $bw%.1fs at $x10Dir")
-          val x1Cpu = results.collect { case (k, Some((_, c))) => (k, c) }.toMap
+          // growth compares TASK CPU (×10 vs ×1): process CPU charges the
+          // probe — which runs at the tail of a long JVM — with GC of the
+          // whole suite's garbage, and measured 8-30× phantom growth
+          val x1Cpu = results.collect { case (k, Some((_, _, tc))) => (k, tc) }.toMap
           val probed = queryList.filterNot { case (n, _) => quadraticByDesign.contains(n) }
             .map { case (name, fn) =>
               quiesce(spark)
@@ -268,19 +299,19 @@ object Bench {
             if (Files.exists(root))
               Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
           } catch { case _: Throwable => () }
-          val okX = probed.collect { case (k, Some((w, c))) => (k, w, c) }
+          val okX = probed.collect { case (k, Some((w, _, tc))) => (k, w, tc) }
           val failedX = probed.collect { case (k, None) => k }
-          val cpuJson = okX.map { case (k, _, c) => "\"" + k + "\":" + c }
+          val cpuJson = okX.map { case (k, _, tc) => "\"" + k + "\":" + tc }
             .mkString("{", ",", "}")
           val wallJson = okX.map { case (k, w, _) => "\"" + k + "\":" + w }
             .mkString("{", ",", "}")
-          val growthJson = okX.flatMap { case (k, _, c) =>
-            x1Cpu.get(k).map(c1 => "\"" + k + "\":" + f"${c / math.max(c1, 0.01)}%.2f")
+          val growthJson = okX.flatMap { case (k, _, tc) =>
+            x1Cpu.get(k).map(c1 => "\"" + k + "\":" + f"${tc / math.max(c1, 0.01)}%.2f")
           }.mkString("{", ",", "}")
           val exclJson = quadraticByDesign
             .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
           val failedJsonX = failedX.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s"""{"mult":10,"queries_cpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"excluded":$exclJson,"failed":$failedJsonX}"""
+          s"""{"mult":10,"queries_taskcpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"excluded":$exclJson,"failed":$failedJsonX}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
@@ -290,14 +321,15 @@ object Bench {
 
     // failed queries are excluded from the total and listed separately —
     // a -1 sentinel summed into "value" silently deflates the total
-    val ok = results.collect { case (k, Some((w, c))) => (k, w, c) }
+    val ok = results.collect { case (k, Some((w, c, tc))) => (k, w, c, tc) }
     val failed = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, w, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
-    val qsCpu = ok.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, w, _, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val qsCpu = ok.map { case (k, _, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val qsTaskCpu = ok.map { case (k, _, _, tc) => "\"" + k + "\":" + tc }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"scale_probe_x10":$scaleProbe}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"scale_probe_x10":$scaleProbe}"""
     val pw = new java.io.PrintWriter(outPath)
     try { pw.println(json) } finally { pw.close() }
     println(json)

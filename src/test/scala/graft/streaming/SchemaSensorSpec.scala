@@ -93,6 +93,28 @@ class SchemaSensorSpec extends SparkSpec {
     assert(sensor.cacheStatsJson.contains("\"total_cache_hits\":48"))
   }
 
+  test("pipeline wiring: the sensing stage rides CdcPipeline processors") {
+    import graft.core.ChangeEvent
+    import spark.implicits._
+    val sensor = new SchemaSensor(Config(warmupEvents = 1000))
+    val sink = new MemorySink("s1")
+    val dir = Files.createTempDirectory("sensorPipe").toString
+    val cfg = CdcPipeline.Config(
+      sinks = Seq(sink), ledgerDir = dir,
+      processors = Seq(SchemaSensorStage.processor(sensor)))
+    val batch = ChangeEvent.conform(
+      (1 to 20).map(i => ("c", s"""{"id":$i}""", i.toLong)).toDF("op", "after", "ts_ms")
+        .withColumn("source", struct(lit("db").as("db"), lit("orders").as("table"),
+          col("ts_ms").as("sequence")))
+        .withColumn("event_id", concat(lit("e"), col("ts_ms")))
+        .withColumn("tx_end", lit(true)))
+    CdcPipeline.processBatch(cfg, new SinkLedger(dir))(batch, 0L)
+    // events flowed to the sink AND the sensor observed the batch
+    assert(sink.totalRows == 20)
+    val st = sensor.state("orders").get
+    assert(st.eventCount == 20 && st.fields.keySet == Set("id"))
+  }
+
   test("structure cache never grows past its cap; at capacity it only checks") {
     val sensor = new SchemaSensor(Config(
       warmupEvents = 2, sampleRate = 1, structureCacheSize = 3, stabilizeAfter = 0))
