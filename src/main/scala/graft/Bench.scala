@@ -283,10 +283,17 @@ object Bench {
           // probe — which runs at the tail of a long JVM — with GC of the
           // whole suite's garbage, and measured 8-30× phantom growth
           val x1Cpu = results.collect { case (k, Some((_, _, tc))) => (k, tc) }.toMap
+          // SAME protocol as the ×1 loop (min-of-`reps`, clearCache+gc per
+          // rep): a single cold ×10 run pays plan compile + fixture
+          // synthesis that min-of-2 excludes at ×1, and the asymmetry read
+          // as phantom super-linear growth (r7: cold-tail binlog ×10 = 593
+          // task-CPU-s vs 116 under the symmetric protocol in a fresh JVM).
           val probed = queryList.filterNot { case (n, _) => quadraticByDesign.contains(n) }
             .map { case (name, fn) =>
               quiesce(spark)
-              val r = best(s"x10:$name", 1) {
+              val r = best(s"x10:$name", reps) {
+                spark.catalog.clearCache()
+                System.gc()
                 fn(spark, x10Dir).write.mode("overwrite").format("noop").save()
               }
               (name, r)
@@ -305,13 +312,22 @@ object Bench {
             .mkString("{", ",", "}")
           val wallJson = okX.map { case (k, w, _) => "\"" + k + "\":" + w }
             .mkString("{", ",", "}")
+          // a growth RATIO over a sub-half-second ×1 base is noise (the
+          // base is dominated by per-job fixed overhead, not data-sized
+          // work) — those queries are listed explicitly, never silently
+          // dropped, and their absolute ×10 numbers stay in the maps above
+          val growthFloor = 0.5
           val growthJson = okX.flatMap { case (k, _, tc) =>
-            x1Cpu.get(k).map(c1 => "\"" + k + "\":" + f"${tc / math.max(c1, 0.01)}%.2f")
+            x1Cpu.get(k).filter(_ >= growthFloor)
+              .map(c1 => "\"" + k + "\":" + f"${tc / c1}%.2f")
           }.mkString("{", ",", "}")
+          val smallBaseJson = okX.flatMap { case (k, _, _) =>
+            x1Cpu.get(k).filter(_ < growthFloor).map(_ => "\"" + k + "\"")
+          }.mkString("[", ",", "]")
           val exclJson = quadraticByDesign
             .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
           val failedJsonX = failedX.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s"""{"mult":10,"queries_taskcpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"excluded":$exclJson,"failed":$failedJsonX}"""
+          s"""{"mult":10,"queries_taskcpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"growth_floor_x1_taskcpu_sec":$growthFloor,"growth_smallbase_excluded":$smallBaseJson,"excluded":$exclJson,"failed":$failedJsonX}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
