@@ -257,8 +257,16 @@ object Dedup {
     // checkpoint() against the job's checkpoint dir — same shape.)
     // Superseded rounds' checkpoint blocks are freed by the ContextCleaner
     // once their frames go unreferenced at the end of each loop turn.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // BOTH edge orientations come out of ONE pass over `pairs` (explode of a
+    // 2-struct array), not a 2-branch union: `pairs` is a LAZY frame whose
+    // upstream is the whole pair-mining pipeline, and a union re-executes it
+    // per branch (PLANS rule #5 — measured ~40 task-CPU-s of duplicated
+    // jaccard mining inside dedup_clusters at sf0.1).
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("id"))

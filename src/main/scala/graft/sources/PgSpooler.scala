@@ -83,6 +83,26 @@ class PgSpooler(
   def runOnce(): Unit = {
     val client = new PgWire.ReplicationClient(host, port, user, database, slot, publication)
     try {
+      doRunOnce(client)
+    } catch {
+      // Slot-dropped guard (reference chaos slot_dropped.rs: "halts rather
+      // than silently connecting to a different slot or starting from the
+      // WAL head"): the server says the slot is GONE. With a consumed
+      // checkpoint the saved position is unreachable — resuming via a fresh
+      // slot would start at the WAL head and silently skip everything
+      // between. That is a NON-RETRYABLE operator condition (the PG twin of
+      // the MySQL binlog-purge guard), so it escapes the IOException
+      // reconnect loop as its own type. On a CLEAN start (no consumed
+      // position) the IOException propagates unchanged — the operator's
+      // provisioning path may create the slot and start fresh.
+      case e: java.io.IOException
+          if PgSpooler.slotGone(e, slot) && checkpoint() > startLsn =>
+        throw new PgSpooler.SlotDroppedException(slot, checkpoint(), e)
+    }
+  }
+
+  private def doRunOnce(client: PgWire.ReplicationClient): Unit = {
+    try {
       client.tail(checkpoint()) { (lsn, msg) =>
         msg(0).toChar match {
           case 'R' =>
@@ -121,6 +141,9 @@ class PgSpooler(
     var done = false
     while (!done) {
       attempts += 1
+      // SlotDroppedException is NOT an IOException: it must escape the
+      // reconnect loop on the FIRST attempt — retrying a dropped slot can
+      // never succeed, and backing off just delays the operator page
       try { runOnce(); done = true }
       catch {
         case e: java.io.IOException =>
@@ -130,4 +153,43 @@ class PgSpooler(
     }
     attempts
   }
+}
+
+object PgSpooler {
+
+  /**
+   * The replication slot named by the checkpoint no longer exists on the
+   * server (reference chaos/src/scenarios/slot_dropped.rs). Deliberately
+   * not an IOException: reconnect loops must not retry it.
+   */
+  class SlotDroppedException(val slot: String, val checkpointLsn: Long, cause: Throwable)
+      extends IllegalStateException(
+        s"replication slot '$slot' does not exist but checkpoint LSN $checkpointLsn " +
+          "was consumed through it — saved position is lost; halt for operator " +
+          "intervention or re-snapshot (never silently resume from the WAL head)",
+        cause)
+
+  /** Does this server error say our slot is gone? (PG: `ERROR: replication
+   * slot "x" does not exist`, SQLSTATE 42704 — surfaced via the client's
+   * error text.) */
+  def slotGone(e: java.io.IOException, slot: String): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("replication slot") && m.contains(slot) && m.contains("does not exist")
+  }
+
+  /**
+   * Resume-decision for a PG checkpoint, mirroring
+   * [[SnapshotSupport.decideResume]] (F12: halt or adapt, never silent):
+   * slot present → resume; slot gone + Adapt → re-snapshot; slot gone +
+   * Halt → operator intervention.
+   */
+  def decideResume(checkpointLsn: Long, slotExists: Boolean,
+                   policy: SnapshotSupport.ReachabilityPolicy): SnapshotSupport.ResumeDecision =
+    if (slotExists) SnapshotSupport.Resume
+    else policy match {
+      case SnapshotSupport.Adapt => SnapshotSupport.Resnapshot
+      case SnapshotSupport.Halt => SnapshotSupport.HaltWith(
+        s"replication slot dropped; checkpoint LSN $checkpointLsn unreachable — " +
+          "slot must be recreated and the table re-snapshotted")
+    }
 }

@@ -75,7 +75,12 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
   }
 
   private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString }
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      // every other control char must also be escaped or the JSON is invalid
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** /pipelines/{p}/schemas|sensing|drift/... (reference schemas.rs + sensing.rs routes). */
   private def handleInspection(ex: HttpExchange, pipeline: String, rest: Seq[String]): Unit = {
@@ -120,12 +125,17 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
               respond(ex, 200, vs.mkString("[", ",", "]"))
             // the replay-correctness lookup: schema in force AT a sequence
             case Seq(table, "at", seq) =>
-              rows.filter(v => v._1 == table && v._3 <= seq.toLong).sortBy(_._3).lastOption match {
-                case None => respond(ex, 404,
-                  s"""{"error":"no schema for table $table at sequence $seq"}""")
-                case Some(v) => respond(ex, 200,
-                  s"""{"table":"${esc(table)}","fingerprint":"${v._2}","sequence":${v._3},""" +
-                    s""""columns":${columnsJson(structOf(v._5))}}""")
+              seq.toLongOption match {
+                case None => respond(ex, 400,
+                  s"""{"error":"sequence must be an integer, got '${esc(seq)}'"}""")
+                case Some(seqL) =>
+                  rows.filter(v => v._1 == table && v._3 <= seqL).sortBy(_._3).lastOption match {
+                    case None => respond(ex, 404,
+                      s"""{"error":"no schema for table $table at sequence $seq"}""")
+                    case Some(v) => respond(ex, 200,
+                      s"""{"table":"${esc(table)}","fingerprint":"${v._2}","sequence":${v._3},""" +
+                        s""""columns":${columnsJson(structOf(v._5))}}""")
+                  }
               }
             case _ => respond(ex, 404, """{"error":"not found"}""")
           }

@@ -262,7 +262,12 @@ class SchemaSensor(val config: SchemaSensor.Config = SchemaSensor.Config(),
   // ———————————————————————— JSON (REST surface) ————————————————————————
 
   private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString }
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      // every other control char must also be escaped or the JSON is invalid
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** `InferredSchemaInfo` row (rest-api/src/sensing.rs:62-78). */
   def infoJson(table: String): Option[String] = synchronized {
@@ -316,7 +321,10 @@ class SchemaSensor(val config: SchemaSensor.Config = SchemaSensor.Config(),
       (a + st.cacheHits, b + st.cacheMisses)
     }
     val rate = if (h + m == 0) 0.0 else h.toDouble / (h + m)
-    f"""{"tables":$rows,"total_cache_hits":$h,"total_cache_misses":$m,"hit_rate":$rate%.4f}"""
+    // Double.toString, not f"%.4f": the f interpolator is locale-sensitive
+    // and renders "0,98" under comma-decimal locales → invalid JSON
+    val rateS = (math.rint(rate * 10000) / 10000).toString
+    s"""{"tables":$rows,"total_cache_hits":$h,"total_cache_misses":$m,"hit_rate":$rateS}"""
   }
 }
 
@@ -331,16 +339,36 @@ object SchemaSensorStage {
    * Row throughput never reaches the driver — only structure diversity
    * does, and the structure cache bounds what full sensing ever parses.
    */
-  def processor(sensor: SchemaSensor, payload: Column = col("after"))
+  def processor(sensor: SchemaSensor, payload: Column = col("after"),
+                dynamicFields: Seq[String] = Nil,
+                maxStructuresPerBatch: Int = 1024)
       : DataFrame => DataFrame = { batch =>
+    // Structure hash: once the HC classifier has named a table's dynamic
+    // map fields, hash WITHOUT them (reference compute_adaptive_hash) —
+    // otherwise per-row map keys make every row its own structure.
+    val hash =
+      if (dynamicFields.isEmpty) SchemaSensing.structureHash(col("__p"))
+      else SchemaSensing.structureHashAdaptive(col("__p"), dynamicFields)
+    // The collect is bounded: heaviest structures first (TakeOrdered, no
+    // global sort), capped at maxStructuresPerBatch — a pathological batch
+    // (every row a distinct structure, e.g. unclassified per-row map keys)
+    // would otherwise collect every payload to the driver. Truncation is
+    // LOGGED, never silent: the dropped tail is rare structures whose
+    // per-structure counts can't advance warmup/stabilization much anyway.
     val structured = batch
       .select(col("source.table").as("__t"), payload.as("__p"))
       .filter(col("__p").isNotNull)
-      .groupBy(col("__t"),
-        SchemaSensing.structureHash(col("__p")).as("__s"))
+      .groupBy(col("__t"), hash.as("__s"))
       .agg(count(lit(1)).as("__n"), first(col("__p")).as("__sample"))
+      .orderBy(col("__n").desc)
+      .limit(maxStructuresPerBatch + 1)
       .collect()
-    structured.foreach { r =>
+    if (structured.length > maxStructuresPerBatch)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"schema sensor: batch exceeded $maxStructuresPerBatch distinct " +
+          "structures; tail truncated — classify dynamic fields " +
+          "(structureHashAdaptive) to collapse per-row map keys")
+    structured.take(maxStructuresPerBatch).foreach { r =>
       sensor.observeStructure(r.getString(0), r.getAs[String]("__sample"),
         r.getAs[Long]("__n"))
     }

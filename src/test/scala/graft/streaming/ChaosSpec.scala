@@ -414,9 +414,244 @@ class ChaosSpec extends SparkSpec {
     assert(keys.distinct.length == 20) // exactly once — no duplicates
     assert(ledger.committed("k") == 0L)
   }
+
+  test("slot_dropped: PG slot vanishes while offline — halt on restart, never silent WAL-head resume") {
+    import graft.sources.{PgSpooler, PgWire, SnapshotSupport, PgOutputFixture => PFx}
+    import PgWire._
+
+    // in-test PG server: streams fixture pgoutput until `dropped` flips, then
+    // answers START_REPLICATION exactly like a real server whose slot is gone
+    val dropped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val conns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new java.net.ServerSocket(0)
+    val relationMsg = PFx.relation(9001L, PFx.Schema, PFx.Table, PFx.ordersCols)
+    def stream: Seq[(Long, Array[Byte])] = {
+      var lsn = 1000L
+      val out = Seq.newBuilder[(Long, Array[Byte])]
+      (1L to 3L).foreach { pk =>
+        out += ((lsn, PFx.begin(lsn + 2, PFx.CommitMicrosPg, 700 + pk)))
+        out += ((lsn + 1, PFx.insert(9001L, PFx.orderValues(pk, pk + 100, "O", 10.5 + pk,
+          812332800000L, "2-HIGH", toastUnchanged = false))))
+        out += ((lsn + 2, PFx.commit(lsn + 2, lsn + 3, PFx.CommitMicrosPg)))
+        lsn += 10
+      }
+      out.result()
+    }
+    val acceptor = new Thread(() => {
+      while (!server.isClosed) {
+        try {
+          val sock = server.accept()
+          conns.incrementAndGet()
+          try {
+            val in = new java.io.BufferedInputStream(sock.getInputStream)
+            val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+            readStartup(in)
+            val (t1, b1) = authenticationOk(); writeMsg(out, t1, b1)
+            val (t2, b2) = readyForQuery(); writeMsg(out, t2, b2)
+            var open = true
+            while (open) {
+              val (typ, body) = readMsg(in)
+              typ match {
+                case 'Q' =>
+                  val sql = new String(body, 0, body.length - 1,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  if (sql == "IDENTIFY_SYSTEM") {
+                    singleRow(Seq("systemid" -> "7001", "timeline" -> "1",
+                      "xlogpos" -> lsnToString(5000L), "dbname" -> "shop"))
+                      .foreach { case (t, b) => writeMsg(out, t, b) }
+                    val (tc, bc) = commandComplete("IDENTIFY_SYSTEM"); writeMsg(out, tc, bc)
+                    val (tz, bz) = readyForQuery(); writeMsg(out, tz, bz)
+                  } else if (sql.startsWith("START_REPLICATION")) {
+                    if (dropped.get()) {
+                      // the slot-dropped server response (SQLSTATE 42704)
+                      val (te, be) = errorResponse(
+                        """replication slot "chaos_slot" does not exist""")
+                      writeMsg(out, te, be)
+                      val (tz, bz) = readyForQuery(); writeMsg(out, tz, bz)
+                    } else {
+                      val startLsn = parseLsn(sql.split(' ')(4))
+                      val (tw, bw) = copyBothResponse(); writeMsg(out, tw, bw)
+                      writeMsg(out, 'd', xlogData(startLsn, startLsn, relationMsg))
+                      stream.filter(_._1 > startLsn).foreach { case (lsn, msg) =>
+                        writeMsg(out, 'd', xlogData(lsn, lsn + 1, msg))
+                      }
+                      writeMsg(out, 'd', keepalive(9999L, replyRequested = true))
+                      readMsg(in) // standby status update
+                      writeMsg(out, 'c', Array.empty)
+                      val (tc, bc) = commandComplete("COPY"); writeMsg(out, tc, bc)
+                      val (tz, bz) = readyForQuery(); writeMsg(out, tz, bz)
+                    }
+                    open = false
+                  }
+                case 'X' => open = false
+                case _ => ()
+              }
+            }
+          } catch { case _: java.io.IOException | _: java.io.EOFException => () }
+          finally sock.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    try {
+      val dir = tmp()
+      val spooler = new graft.sources.PgSpooler("127.0.0.1", server.getLocalPort,
+        "repl", "shop", "chaos_slot", "chaos_pub", dir)
+
+      // 1. warmup (slot_dropped.rs step 1): streaming works, checkpoint saved
+      spooler.pump()
+      val saved = spooler.checkpoint()
+      assert(saved > 0L, "warmup did not checkpoint")
+      def segs(): Seq[String] = {
+        val d = new java.io.File(dir)
+        d.listFiles().map(_.getName).filter(_.startsWith("seg-")).toSeq.sorted
+      }
+      val segsBefore = segs()
+      assert(segsBefore.nonEmpty)
+
+      // 2-3. "offline"; the slot is dropped on the server — checkpoint
+      // position is now unreachable
+      dropped.set(true)
+
+      // 4-5. restart: must halt LOUDLY — and on the FIRST attempt (a dropped
+      // slot is not transient; retry/backoff just delays the page). Silent
+      // alternative ruled out: a fresh slot would resume from the WAL head
+      // and skip everything between the checkpoint and now.
+      val connsBefore = conns.get()
+      val ex = intercept[PgSpooler.SlotDroppedException] { spooler.pump() }
+      assert(ex.getMessage.contains("chaos_slot") && ex.getMessage.contains("halt"))
+      assert(conns.get() == connsBefore + 1, "slot-gone was retried — it must halt immediately")
+      assert(spooler.checkpoint() == saved) // position untouched
+      assert(segs() == segsBefore) // nothing spooled from a wrong position
+
+      // the operator-facing decision mirrors the MySQL binlog-purge guard
+      PgSpooler.decideResume(saved, slotExists = false, SnapshotSupport.Halt) match {
+        case SnapshotSupport.HaltWith(reason) => assert(reason.contains("slot"))
+        case other => fail(s"expected halt, got $other")
+      }
+      assert(PgSpooler.decideResume(saved, slotExists = false, SnapshotSupport.Adapt) ==
+        SnapshotSupport.Resnapshot)
+      assert(PgSpooler.decideResume(saved, slotExists = true, SnapshotSupport.Halt) ==
+        SnapshotSupport.Resume)
+
+      // a CLEAN start (no consumed checkpoint) is NOT the guard's case: the
+      // provisioning path sees the raw IOException and may create the slot
+      val fresh = new graft.sources.PgSpooler("127.0.0.1", server.getLocalPort,
+        "repl", "shop", "chaos_slot", "chaos_pub", tmp())
+      intercept[java.io.IOException] { fresh.pump(maxAttempts = 1) }
+    } finally server.close()
+  }
+
+  test("s3_outage: lake sink down mid-write — no partial files visible, gate holds, clean catch-up") {
+    // The S3 outage (ref s3_outage.rs): PUTs fail while the outage holds.
+    // Injected INSIDE the write job (the envelope expression throws on task
+    // threads), so the committer's file-level atomicity is genuinely
+    // exercised — some tasks abort after others started writing.
+    val dir = tmp()
+    val lake = tmp()
+    ChaosSpec.s3down.set(true)
+    val s3put = udf { (s: String) =>
+      if (ChaosSpec.s3down.get()) throw new RuntimeException("503 Slow Down")
+      s
+    }
+    val sink = new JsonlSink("s3", lake,
+      _ => s3put(to_json(struct(col("event_id"), col("ts_ms")))))
+    val cfg = Config(Seq(sink), ledgerDir = dir)
+    val ledger = new SinkLedger(dir)
+
+    def visibleDataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          if (f.getName == "_temporary") Nil // committer scratch — not visible
+          else f.listFiles().toSeq.flatMap(walk)
+        } else if (f.getName.startsWith("part-")) Seq(f) else Nil
+      walk(new java.io.File(lake))
+    }
+
+    // outage holds across two delivery attempts (ref step 3: "object count
+    // should NOT grow"): no visible files, no checkpoint advance
+    for (_ <- 1 to 2) {
+      intercept[Exception] { processBatch(cfg, ledger)(events(12), 0L) }
+      assert(visibleDataFiles().isEmpty, "partial files visible during the outage")
+      assert(ledger.committed("s3") == -1L) // backpressure: gate held
+    }
+
+    // restore (ref steps 4-5): the replayed batch lands in a new file
+    ChaosSpec.s3down.set(false)
+    processBatch(cfg, ledger)(events(12), 0L)
+    assert(visibleDataFiles().nonEmpty)
+    val lines = spark.read.text(s"$lake/batch_id=0").collect().map(_.getString(0))
+    assert(lines.length == 12) // everything delivered
+    assert(lines.distinct.length == 12) // no duplicates within the landed batch
+    assert(ledger.committed("s3") == 0L)
+  }
+
+  test("ch_outage: ClickHouse down — no rows land during outage, gate holds, catch-up delivers once") {
+    import ClickHouseWire._
+    import org.apache.spark.sql.types._
+    // ground-truth ClickHouse: records accepted inserts; 503s while down
+    // (ref ch_outage.rs reads the row count directly, bypassing the proxy)
+    val down = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val accepted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Array[Byte])]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = ex.getRequestBody.readAllBytes()
+        if (down.get()) { ex.sendResponseHeaders(503, -1); ex.close() }
+        else {
+          accepted.add((Option(ex.getRequestURI.getQuery).getOrElse(""), body))
+          ex.sendResponseHeaders(200, -1); ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val userSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+      val sink = new ClickHouseSink("ch", "p1",
+        () => new ClickHouseHttpClient(url, "analytics"),
+        "analytics", "events", userSchema, Seq("id"), versionSource = TsMs)
+      val dir = tmp()
+      val cfg = Config(Seq(sink), ledgerDir = dir)
+      val ledger = new SinkLedger(dir)
+
+      def chRows(): Long = accepted.toArray(Array.empty[(String, Array[Byte])])
+        .filterNot(_._1.isEmpty)
+        .map(c => RowBinary.decode(c._2, wireSchema(userSchema)).length.toLong).sum
+
+      // warmup (ref step 1): rows land
+      processBatch(cfg, ledger)(events(10), 0L)
+      val warm = chRows()
+      assert(warm == 10 && ledger.committed("ch") == 0L)
+
+      // outage (ref steps 2-3): required sink down → batch fails, NO rows
+      // land, the commit gate does not advance past the warmup batch
+      down.set(true)
+      for (_ <- 1 to 2) {
+        intercept[Exception] { processBatch(cfg, ledger)(events(10), 1L) }
+        assert(chRows() == warm, "rows landed during the outage")
+        assert(ledger.committed("ch") == 0L) // gate held at the last good batch
+      }
+
+      // restore (ref steps 4-5): the replay delivers the held batch
+      down.set(false)
+      processBatch(cfg, ledger)(events(10), 1L)
+      assert(chRows() == warm + 10)
+      assert(ledger.committed("ch") == 1L)
+      // replay-stable dedup tokens: a real ClickHouse would collapse any
+      // crash-retry duplicates (insert_deduplication_token per partition)
+      val tokens = accepted.toArray(Array.empty[(String, Array[Byte])])
+        .map(_._1).filter(_.contains("insert_deduplication_token"))
+      assert(tokens.length == tokens.distinct.length)
+    } finally server.stop(0)
+  }
 }
 
 object ChaosSpec {
   val buffer = new java.util.concurrent.ConcurrentLinkedQueue[MessagingSinks.WireRecord]()
   val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** S3-outage flag — static so udf task closures read the LIVE value. */
+  val s3down = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
