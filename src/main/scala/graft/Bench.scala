@@ -263,19 +263,31 @@ object Bench {
         import org.apache.spark.sql.functions._
         val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR",
           s"${System.getProperty("java.io.tmpdir")}/graft_bench_x10")
-        def buildX10(): Unit = {
-          val repsArr = array((0 until 10).map(lit): _*)
+        // LAYOUT-MATCHED ×1 base: the sf dir's tables are single sub-4MB
+        // parquet files that scan as 1-5 tasks, while the ×10 copies are
+        // 32-file 32-task scans — and 32 concurrent string-heavy tasks on
+        // one box inflate per-row THREAD CPU ~3-6× through memory-bandwidth
+        // contention (r8 measurement: text_metrics wall grew 3.4× for 10×
+        // data while task-CPU "grew" 101×; q1, already 5-task at ×1, grew
+        // ~11×). A CPU ratio is only meaningful at EQUAL parallelism, so
+        // the ×1 denominator is measured against a mult=1 REWRITE of the
+        // base tables through the exact same builder (identical rows —
+        // key*1+0 is the identity, rep 0 keeps text/embeddings unchanged —
+        // same 32-file layout).
+        val x1RDir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_x1r"
+        def buildXN(mult: Int, outDir: String): Unit = {
+          val repsArr = array((0 until mult).map(lit): _*)
           def scale(table: String, keyCols: Seq[String],
                     extra: DataFrame => DataFrame = identity): Unit = {
             val df = spark.read.parquet(s"$sfDir/$table.parquet")
             val replicated = df.withColumn("_rep", explode(repsArr))
             val keyed = keyCols.foldLeft(replicated) { (d, k) =>
               d.withColumn(k,
-                (col(k).cast("long") * 10 + col("_rep")).cast(df.schema(k).dataType))
+                (col(k).cast("long") * mult + col("_rep")).cast(df.schema(k).dataType))
             }
             extra(keyed).drop("_rep")
               .repartition(spark.sparkContext.defaultParallelism)
-              .write.mode("overwrite").parquet(s"$x10Dir/$table.parquet")
+              .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
           }
           scale("region", Seq("r_regionkey"))
           scale("nation", Seq("n_nationkey", "n_regionkey"))
@@ -297,8 +309,8 @@ object Bench {
                   .cast("float")))))
         }
         try {
-          val (bw, _, _) = timed(buildX10())
-          System.err.println(f"[bench] x10 dataset built in $bw%.1fs at $x10Dir")
+          val (bw, _, _) = timed { buildXN(10, x10Dir); buildXN(1, x1RDir) }
+          System.err.println(f"[bench] x10 + layout-matched x1 built in $bw%.1fs at $x10Dir / $x1RDir")
           // SYMMETRIC ×1/×10 protocol (r7 judge finding #1): the r7 artifact
           // compared ×1 task-CPU read at the START of the bench JVM against
           // ×10 read at its TAIL, and the asymmetric JVM state (heap
@@ -317,7 +329,7 @@ object Bench {
               val r1 = best(s"x1adj:$name", reps) {
                 spark.catalog.clearCache()
                 System.gc()
-                fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+                fn(spark, x1RDir).write.mode("overwrite").format("noop").save()
               }
               quiesce(spark)
               val r10 = best(s"x10:$name", reps) {
@@ -367,7 +379,7 @@ object Bench {
           val exclJson = quadraticByDesign
             .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
           val failedJsonX = failedX.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s"""{"mult":10,"protocol":"x1 re-measured adjacent to x10, same JVM phase","queries_taskcpu_x1_adjacent":$x1AdjJson,"queries_taskcpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"growth_floor_x1_taskcpu_sec":$growthFloor,"growth_smallbase_excluded":$smallBaseJson,"absolute_gate_x10_taskcpu_sec":$absoluteGateSec,"absolute_flagged_attributed":$flaggedAttrJson,"absolute_flagged_unattributed":$flaggedUnattrJson,"excluded":$exclJson,"failed":$failedJsonX}"""
+          s"""{"mult":10,"protocol":"x1 re-measured adjacent to x10 against a layout-matched mult=1 rewrite (equal parallelism, same JVM phase)","queries_taskcpu_x1_adjacent":$x1AdjJson,"queries_taskcpu_x10":$cpuJson,"queries_wall_x10":$wallJson,"cpu_growth":$growthJson,"growth_floor_x1_taskcpu_sec":$growthFloor,"growth_smallbase_excluded":$smallBaseJson,"absolute_gate_x10_taskcpu_sec":$absoluteGateSec,"absolute_flagged_attributed":$flaggedAttrJson,"absolute_flagged_unattributed":$flaggedUnattrJson,"excluded":$exclJson,"failed":$failedJsonX}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
@@ -376,13 +388,15 @@ object Bench {
           // cleanup must run on FAILURE too (r8 advice): an aborted probe
           // otherwise leaves the multi-hundred-MB ×10 copy in tmpdir, and a
           // stale SPARK_GRAFT_X10_DIR would be silently reused next run
-          try {
-            import java.nio.file.{Files, Paths}
-            import scala.jdk.CollectionConverters._
-            val root = Paths.get(x10Dir)
-            if (Files.exists(root))
-              Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          } catch { case _: Throwable => () }
+          Seq(x10Dir, x1RDir).foreach { d =>
+            try {
+              import java.nio.file.{Files, Paths}
+              import scala.jdk.CollectionConverters._
+              val root = Paths.get(d)
+              if (Files.exists(root))
+                Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            } catch { case _: Throwable => () }
+          }
         }
       }
 

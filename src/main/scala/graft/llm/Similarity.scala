@@ -206,16 +206,28 @@ object Similarity {
         (i.toLong, normalize(r.getSeq[Number](0).map(_.doubleValue())))
       }
 
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
     for (_ <- 1 to iters) {
+      // EXCHANGE BARRIER between assignment and the mean explode (plan rule
+      // #1): the argmax assignment is a greatest() chain of k fused cosines;
+      // putting it in the same Project as posexplode leaves the chain ABOVE
+      // the Generate, where it re-evaluates once per exploded element —
+      // k·dim cosines per vector instead of k (measured 45 task-CPU-s for a
+      // 20k×64 corpus; ~2 with the barrier). The round-robin repartition
+      // materializes the cid column once per row; the explode then reads it.
       val assigned = ivfAssignLiteral(base, cents, idCol = "id", vecCol = "v",
         cIdCol = cIdCol)
-      val means = assigned
+        .repartition(par)
+      // the k×dim per-cell means collect to the driver (k·dim rows — bounded
+      // control-plane data); assembling the mean vectors driver-side avoids
+      // a second collect_list+array_sort shuffle over them
+      val partial = assigned
         .select(col(cIdCol), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col(cIdCol), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col(cIdCol))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col(cIdCol), transform(col("pm"), e => e.getField("m")).as("mean"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        .collect()
+      val means = partial.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
       cents = cents.map { case (cid, old) =>
         (cid, means.get(cid).map(normalize).getOrElse(old))
       }

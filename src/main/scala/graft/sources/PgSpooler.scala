@@ -25,11 +25,43 @@ class PgSpooler(
     maxTxPerSegment: Int = 100) {
 
   private val statePath = Paths.get(dir, "_spool_checkpoint")
+  private val identityPath = Paths.get(dir, "_spool_identity")
   Files.createDirectories(Paths.get(dir))
 
   def checkpoint(): Long =
     if (Files.exists(statePath)) new String(Files.readAllBytes(statePath), UTF_8).trim.toLong
     else startLsn
+
+  /** The `system_identifier` this spool's position belongs to (first
+   * IDENTIFY_SYSTEM), or None before the first successful connect. */
+  def identity(): Option[String] =
+    if (Files.exists(identityPath))
+      Some(new String(Files.readAllBytes(identityPath), UTF_8).trim)
+    else None
+
+  /**
+   * Failover guard (reference chaos pg_failover.rs steps 5-7, the PG twin
+   * of the MySQL UUID guard): every connection IDENTIFY_SYSTEMs before
+   * streaming; a `system_identifier` different from the one the checkpoint
+   * was consumed from means the server was REPLACED — the LSN and the slot
+   * belong to the old primary's WAL timeline and are meaningless on the
+   * new one. With a consumed checkpoint this throws [[PgSpooler.FailoverException]]
+   * (non-retryable); on a clean spool the new identity is adopted.
+   */
+  private def checkIdentity(client: PgWire.ReplicationClient): Unit = {
+    val sysId = client.identifySystem().getOrElse("systemid",
+      throw new java.io.IOException("pg: IDENTIFY_SYSTEM returned no systemid"))
+    identity() match {
+      case Some(saved) if saved != sysId && checkpoint() > startLsn =>
+        throw new PgSpooler.FailoverException(saved, sysId, checkpoint())
+      case Some(saved) if saved == sysId => ()
+      case _ =>
+        val tmp = Paths.get(dir, "_spool_identity.tmp")
+        Files.write(tmp, sysId.getBytes(UTF_8))
+        Files.move(tmp, identityPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   private def commitCheckpoint(lsn: Long): Unit = {
     val tmp = Paths.get(dir, "_spool_checkpoint.tmp")
@@ -82,6 +114,7 @@ class PgSpooler(
 
   def runOnce(): Unit = {
     val client = new PgWire.ReplicationClient(host, port, user, database, slot, publication)
+    checkIdentity(client) // failover guard BEFORE streaming from a checkpoint
     try {
       doRunOnce(client)
     } catch {
@@ -168,6 +201,19 @@ object PgSpooler {
           "was consumed through it — saved position is lost; halt for operator " +
           "intervention or re-snapshot (never silently resume from the WAL head)",
         cause)
+
+  /**
+   * The server answering this spool's reconnect is NOT the server the
+   * checkpoint was consumed from (reference chaos pg_failover.rs: detected
+   * via `system_identifier` comparison after reconnect). Not an
+   * IOException: reconnect loops must not retry it.
+   */
+  class FailoverException(val savedId: String, val newId: String, val checkpointLsn: Long)
+      extends IllegalStateException(
+        s"postgres system_identifier changed $savedId → $newId but checkpoint LSN " +
+          s"$checkpointLsn was consumed from the old server — the saved position is " +
+          "meaningless on the new timeline; halt for operator intervention or " +
+          "re-snapshot (never silently resume)")
 
   /** Does this server error say our slot is gone? (PG: `ERROR: replication
    * slot "x" does not exist`, SQLSTATE 42704 — surfaced via the client's

@@ -147,7 +147,10 @@ class LiveWireSpec extends SparkSpec {
     import PgWire._
     val statusUpdates = new ConcurrentLinkedQueue[StatusUpdate]()
     val slots = new ConcurrentLinkedQueue[String]()
-    private val conns = new AtomicInteger(0)
+    // the drop targets the first STREAMING connection: the spooler's
+    // failover guard IDENTIFY_SYSTEMs on its own connection first, which
+    // must not absorb the injected fault
+    private val streamConns = new AtomicInteger(0)
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     @volatile private var running = true
@@ -158,7 +161,6 @@ class LiveWireSpec extends SparkSpec {
           val sock = server.accept()
           new Thread(() => {
             try {
-              val n = conns.incrementAndGet()
               val in = new BufferedInputStream(sock.getInputStream)
               val out = new BufferedOutputStream(sock.getOutputStream)
               val params = readStartup(in)
@@ -178,6 +180,7 @@ class LiveWireSpec extends SparkSpec {
                       val (tc, bc) = commandComplete("IDENTIFY_SYSTEM"); writeMsg(out, tc, bc)
                       val (tz, bz) = readyForQuery(); writeMsg(out, tz, bz)
                     } else if (sql.startsWith("START_REPLICATION")) {
+                      val n = streamConns.incrementAndGet()
                       slots.add(sql)
                       val startLsn = parseLsn(sql.split(' ')(4))
                       val (tw, bw) = copyBothResponse(); writeMsg(out, tw, bw)

@@ -415,17 +415,23 @@ class ChaosSpec extends SparkSpec {
     assert(ledger.committed("k") == 0L)
   }
 
-  test("slot_dropped: PG slot vanishes while offline — halt on restart, never silent WAL-head resume") {
-    import graft.sources.{PgSpooler, PgWire, SnapshotSupport, PgOutputFixture => PFx}
+  /**
+   * In-test PG replication server for the failure scenarios: streams
+   * fixture pgoutput; `dropped` makes START_REPLICATION answer like a real
+   * server whose slot is gone; `sysId` is the IDENTIFY_SYSTEM identity
+   * (mutable — flipping it IS the failover).
+   */
+  private class PgChaosStub {
+    import graft.sources.{PgWire, PgOutputFixture => PFx}
     import PgWire._
-
-    // in-test PG server: streams fixture pgoutput until `dropped` flips, then
-    // answers START_REPLICATION exactly like a real server whose slot is gone
     val dropped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sysId = new java.util.concurrent.atomic.AtomicReference[String]("7001")
     val conns = new java.util.concurrent.atomic.AtomicInteger(0)
-    val server = new java.net.ServerSocket(0)
-    val relationMsg = PFx.relation(9001L, PFx.Schema, PFx.Table, PFx.ordersCols)
-    def stream: Seq[(Long, Array[Byte])] = {
+    private val server = new java.net.ServerSocket(0)
+    def port: Int = server.getLocalPort
+    def stop(): Unit = server.close()
+    private val relationMsg = PFx.relation(9001L, PFx.Schema, PFx.Table, PFx.ordersCols)
+    private def stream: Seq[(Long, Array[Byte])] = {
       var lsn = 1000L
       val out = Seq.newBuilder[(Long, Array[Byte])]
       (1L to 3L).foreach { pk =>
@@ -437,7 +443,7 @@ class ChaosSpec extends SparkSpec {
       }
       out.result()
     }
-    val acceptor = new Thread(() => {
+    private val acceptor = new Thread(() => {
       while (!server.isClosed) {
         try {
           val sock = server.accept()
@@ -456,7 +462,7 @@ class ChaosSpec extends SparkSpec {
                   val sql = new String(body, 0, body.length - 1,
                     java.nio.charset.StandardCharsets.UTF_8)
                   if (sql == "IDENTIFY_SYSTEM") {
-                    singleRow(Seq("systemid" -> "7001", "timeline" -> "1",
+                    singleRow(Seq("systemid" -> sysId.get(), "timeline" -> "1",
                       "xlogpos" -> lsnToString(5000L), "dbname" -> "shop"))
                       .foreach { case (t, b) => writeMsg(out, t, b) }
                     val (tc, bc) = commandComplete("IDENTIFY_SYSTEM"); writeMsg(out, tc, bc)
@@ -494,10 +500,17 @@ class ChaosSpec extends SparkSpec {
     })
     acceptor.setDaemon(true)
     acceptor.start()
+  }
+
+  test("slot_dropped: PG slot vanishes while offline — halt on restart, never silent WAL-head resume") {
+    import graft.sources.{PgSpooler, SnapshotSupport}
+    val stub = new PgChaosStub
+    val dropped = stub.dropped
+    val conns = stub.conns
 
     try {
       val dir = tmp()
-      val spooler = new graft.sources.PgSpooler("127.0.0.1", server.getLocalPort,
+      val spooler = new graft.sources.PgSpooler("127.0.0.1", stub.port,
         "repl", "shop", "chaos_slot", "chaos_pub", dir)
 
       // 1. warmup (slot_dropped.rs step 1): streaming works, checkpoint saved
@@ -522,7 +535,8 @@ class ChaosSpec extends SparkSpec {
       val connsBefore = conns.get()
       val ex = intercept[PgSpooler.SlotDroppedException] { spooler.pump() }
       assert(ex.getMessage.contains("chaos_slot") && ex.getMessage.contains("halt"))
-      assert(conns.get() == connsBefore + 1, "slot-gone was retried — it must halt immediately")
+      // one identity check + one streaming attempt — NOT a retry storm
+      assert(conns.get() == connsBefore + 2, "slot-gone was retried — it must halt immediately")
       assert(spooler.checkpoint() == saved) // position untouched
       assert(segs() == segsBefore) // nothing spooled from a wrong position
 
@@ -538,10 +552,45 @@ class ChaosSpec extends SparkSpec {
 
       // a CLEAN start (no consumed checkpoint) is NOT the guard's case: the
       // provisioning path sees the raw IOException and may create the slot
-      val fresh = new graft.sources.PgSpooler("127.0.0.1", server.getLocalPort,
+      val fresh = new graft.sources.PgSpooler("127.0.0.1", stub.port,
         "repl", "shop", "chaos_slot", "chaos_pub", tmp())
       intercept[java.io.IOException] { fresh.pump(maxAttempts = 1) }
-    } finally server.close()
+    } finally stub.stop()
+  }
+
+  test("pg_failover: server replaced mid-stream — identity change halts, never resume on a foreign timeline") {
+    import graft.sources.PgSpooler
+    val stub = new PgChaosStub
+    try {
+      val dir = tmp()
+      val spooler = new PgSpooler("127.0.0.1", stub.port,
+        "repl", "shop", "chaos_slot", "chaos_pub", dir)
+
+      // warmup on "postgres-a" (ref pg_failover.rs step 1): identity adopted
+      spooler.pump()
+      val saved = spooler.checkpoint()
+      assert(saved > 0L && spooler.identity().contains("7001"))
+
+      // failover (steps 2-4): the proxy now fronts postgres-b — a different
+      // system_identifier, whose WAL timeline our LSN means nothing on
+      stub.sysId.set("8002")
+
+      // steps 5-7: reconnect detects the identity change and halts on the
+      // FIRST attempt — before any START_REPLICATION against the new server
+      val connsBefore = stub.conns.get()
+      val ex = intercept[PgSpooler.FailoverException] { spooler.pump() }
+      assert(ex.savedId == "7001" && ex.newId == "8002" && ex.checkpointLsn == saved)
+      assert(stub.conns.get() == connsBefore + 1) // identity check only — no stream attempt
+      assert(spooler.checkpoint() == saved) // position untouched
+      assert(spooler.identity().contains("7001")) // identity NOT silently re-adopted
+
+      // a CLEAN spool against postgres-b adopts the new identity and streams
+      // (the reference's post-scenario "clear checkpoint and restart" path)
+      val fresh = new PgSpooler("127.0.0.1", stub.port,
+        "repl", "shop", "chaos_slot", "chaos_pub", tmp())
+      fresh.pump()
+      assert(fresh.identity().contains("8002") && fresh.checkpoint() > 0L)
+    } finally stub.stop()
   }
 
   test("s3_outage: lake sink down mid-write — no partial files visible, gate holds, clean catch-up") {

@@ -87,4 +87,93 @@ class TpccMixSpec extends SparkSpec {
       assert(carryRows.filter(col("tx_end")).count() == 0)
     } finally ev.unpersist()
   }
+
+  test("schema sensor rides a live TPC-C drain: CacheHit/Stabilized dominate after warmup, REST serves the sensed schemas") {
+    // The e2e wiring the state-machine spec (SchemaSensorSpec) doesn't
+    // cover: SchemaSensorStage.processor as a CdcPipeline stage on a
+    // drain-scale workload, evolution ledger attached, REST surface live.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-tpcc-sensor").toString
+    val reg = new SchemaRegistry(spark, s"$dir/registry")
+    val sensor = new SchemaSensor(
+      // stabilizeAfter sized so the HIGH-traffic tables (order_line sees
+      // ~9k events at 2000 txns) cross it mid-drain while low-traffic
+      // tables stay in the CacheHit regime — both verdicts visible at once
+      SchemaSensor.Config(warmupEvents = 100, sampleRate = 10, stabilizeAfter = 5000),
+      registry = Some(reg))
+    val sink = new MemorySink("mem")
+    val cfg = CdcPipeline.Config(Seq(sink), ledgerDir = s"$dir/ledger",
+      processors = Seq(SchemaSensorStage.processor(sensor)))
+    val ledger = new SinkLedger(s"$dir/ledger")
+
+    // live drain: 2000 transactions (~24k events, 9 tables) in 8
+    // sequence-ordered micro-batches through the full coordinator
+    val ev = CdcSynth.tpccEvents(spark, 2000).persist()
+    try {
+      val total = ev.count()
+      val txPerBatch = 250L
+      (0 until 8).foreach { b =>
+        val batch = ev.filter(col("source.tx_id") >= b * txPerBatch &&
+          col("source.tx_id") < (b + 1) * txPerBatch)
+        CdcPipeline.processBatch(cfg, ledger)(batch, b.toLong)
+      }
+      assert(sink.totalRows == total) // sensing never stalled delivery
+
+      val tables = sensor.tableNames.sorted
+      assert(tables == Seq("tpcc_customer", "tpcc_district", "tpcc_history",
+        "tpcc_new_order", "tpcc_order", "tpcc_order_line", "tpcc_stock",
+        "tpcc_warehouse")) // 8 sensed tables (9th op is the delete-only path: no after image on new_order deletes — but new_order also gets creates, so all 8 appear)
+
+      // after warmup the cache regime dominates: each table has ONE stable
+      // payload structure, so misses stay O(structures) while hits count
+      // the drained events — the reference's "driver sees structures, not
+      // events" cost model at drain scale
+      tables.foreach { t =>
+        val st = sensor.state(t).get
+        assert(st.fingerprint.nonEmpty && st.sequence == 0L) // no spurious evolution
+        assert(st.cacheMisses <= 2, s"$t: ${st.cacheMisses} misses for one structure")
+      }
+      val deleteOnly = ev.filter(col("after").isNull).count()
+      val sensed = tables.map(t => sensor.state(t).get.eventCount).sum
+      assert(sensed == total - deleteOnly) // every payload-bearing event counted
+      // high-traffic tables crossed stabilizeAfter mid-drain (terminal state);
+      // low-traffic ones are still in the CacheHit regime
+      assert(sensor.state("tpcc_order_line").get.stabilized)
+      assert(sensor.state("tpcc_stock").get.stabilized)
+      assert(!sensor.state("tpcc_warehouse").get.stabilized)
+      val statsJson = sensor.cacheStatsJson
+      val hits = "\"total_cache_hits\":(\\d+)".r.findFirstMatchIn(statsJson).get.group(1).toLong
+      val misses = "\"total_cache_misses\":(\\d+)".r.findFirstMatchIn(statsJson).get.group(1).toLong
+      assert(hits > 100 * misses, s"cache regime not dominant: $hits hits / $misses misses")
+
+      // evolution ledger: the sensor REGISTERED each inferred schema once
+      tables.foreach { t =>
+        val latest = reg.latest(t)
+        assert(latest.isDefined && latest.get._1 == 0L, s"$t: ${latest.map(_._1)}")
+        assert(reg.getAtSequence(t, 0L).get.fieldNames.toSet ==
+          Set("w_id", "d_id", "c_id", "o_id", "line", "amount"))
+      }
+
+      // REST: the sensed versions are visible over live HTTP
+      val cp = new ControlPlane(spark).registerSensor("p1", sensor)
+        .registerSchemaRegistry("p1", reg).start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        def get(path: String): String = http.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${cp.boundPort}$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        val schemas = get("/pipelines/p1/sensing/schemas")
+        tables.foreach(t => assert(schemas.contains("\"" + t + "\"")))
+        val detail = get("/pipelines/p1/sensing/schemas/tpcc_order_line")
+        assert(detail.contains("\"amount\"") && detail.contains("\"stabilized\":true"))
+        val stats = get("/pipelines/p1/sensing/stats")
+        // hit_rate must be valid JSON number (locale-safe formatting)
+        val rate = "\"hit_rate\":([0-9.]+)[,}]".r.findFirstMatchIn(stats)
+          .map(_.group(1).toDouble)
+        assert(rate.exists(_ > 0.9), s"bad hit_rate in $stats")
+        assert(get("/pipelines/p1/schemas").contains("tpcc_order_line"))
+      } finally cp.stop()
+    } finally ev.unpersist()
+  }
 }
