@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Repurposable ad-hoc decomposition harness (not part of the library
- * surface): current experiment = ann_ivf_trained cost anatomy — where does
- * the training loop's task CPU go at ×1 vs ×10, with and without an
- * exchange barrier between assignment and the posexplode mean. */
+ * surface): current experiment = cdc_binlog_decode ×10 anatomy in a FRESH
+ * JVM — the full-suite probe measures 18.8× task-CPU growth (30→570 s)
+ * under the symmetric layout-matched protocol; decompose encode (rows →
+ * segments), decode (segments → rows), and the final sort at ×1 vs ×10 to
+ * find whether the superlinearity is in the plan or in tail-of-JVM
+ * allocation state the per-query quiesce can't clear. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -31,103 +34,60 @@ object Probe {
       Thread.sleep(150)
       (wall, taskNs.get / 1e9)
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
 
-    import graft.llm.Similarity
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    def scaled(mult: Int) =
-      if (mult == 1) emb
-      else emb.withColumn("_rep", explode(array((0 until mult).map(lit): _*)))
-        .withColumn("vec_id", col("vec_id") * mult + col("_rep"))
-        .withColumn("embedding",
-          when(col("_rep") === 0, col("embedding")).otherwise(
-            zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-              (x, i) => (x * (pmod(hash(col("_rep") * 1024 + i), lit(2)) * 2 - 1))
-                .cast("float"))))
+    import graft.sources.{MysqlBinlog, MysqlBinlogFixture => Fx}
+    val orders0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+
+    // the bench's ×N builder shape: key remap, same 32-file layout for both
+    def build(mult: Int): String = {
+      val dir = s"/tmp/probe_binlog_x$mult"
+      val repsArr = array((0 until mult).map(lit): _*)
+      orders0.withColumn("_rep", explode(repsArr))
+        .withColumn("o_orderkey",
+          (col("o_orderkey").cast("long") * mult + col("_rep")).cast("long"))
         .drop("_rep")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
 
-    for (m <- Seq(1, 10)) {
-      val base0 = scaled(m)
-      // materialize the corpus as parquet like the bench does (32 files)
-      val dir = s"/tmp/probe_ivf_x$m"
-      base0.repartition(32).write.mode("overwrite").parquet(dir)
-      val v = spark.read.parquet(dir)
-      val n = v.count()
+    for (m <- Seq(1, 10); dir = build(m)) {
+      val orders = spark.read.parquet(dir)
+      val n = orders.count()
       for (rep <- 1 to 2) {
+        // full query as benched (encode + decode + filter + sort)
         val (w1, c1) = timed {
-          Similarity.trainCentroidsSeq(v, k = 8, iters = 3): Unit
+          noop(Fx.decodedOrders(orders)
+            .filter(col("op").isin("c", "u", "d"))
+            .select(col("pos"), col("op"), col("before"), col("after"))
+            .orderBy("pos"))
         }
-        println(f"PROBE x$m rep$rep n=$n train wall=$w1%.2f taskCpu=$c1%.2f")
+        println(f"PROBE x$m rep$rep n=$n full wall=$w1%.2f taskCpu=$c1%.2f")
       }
-      // decompose: assignment-only scan (no explode)
-      val cents = Similarity.trainCentroidsSeq(v, k = 8, iters = 0)
+      // no final sort
       val (w2, c2) = timed {
-        Similarity.ivfAssignLiteral(v, cents)
-          .write.mode("overwrite").format("noop").save()
+        noop(Fx.decodedOrders(orders)
+          .filter(col("op").isin("c", "u", "d"))
+          .select(col("pos"), col("op"), col("before"), col("after")))
       }
-      println(f"PROBE x$m assignOnly wall=$w2%.2f taskCpu=$c2%.2f")
-      // explode WITHOUT barrier (the pre-r8 shape)
-      val (w3, c3) = timed {
-        Similarity.ivfAssignLiteral(v, cents, idCol = "vec_id", vecCol = "embedding")
-          .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
-          .write.mode("overwrite").format("noop").save()
-      }
-      println(f"PROBE x$m explodeNoBarrier wall=$w3%.2f taskCpu=$c3%.2f")
-      // explode WITH barrier
-      val (w4, c4) = timed {
-        Similarity.ivfAssignLiteral(v, cents, idCol = "vec_id", vecCol = "embedding")
-          .repartition(32)
-          .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
-          .write.mode("overwrite").format("noop").save()
-      }
-      println(f"PROBE x$m explodeBarrier wall=$w4%.2f taskCpu=$c4%.2f")
-      // cosines alone, no struct/greatest
-      val (w5, c5) = timed {
-        v.select(cents.map { case (cid, cv) =>
-          Similarity.cosine(col("embedding"), array(cv.map(lit): _*)).as(s"c$cid")
-        }: _*).write.mode("overwrite").format("noop").save()
-      }
-      println(f"PROBE x$m cosinesOnly wall=$w5%.2f taskCpu=$c5%.2f")
-      // greatest over plain doubles (no struct)
-      val (w6, c6) = timed {
-        v.select(greatest(cents.map { case (_, cv) =>
-          Similarity.cosine(col("embedding"), array(cv.map(lit): _*))
-        }: _*).as("g")).write.mode("overwrite").format("noop").save()
-      }
-      println(f"PROBE x$m greatestDouble wall=$w6%.2f taskCpu=$c6%.2f")
-      // single cosine
-      val (w7, c7) = timed {
-        v.select(Similarity.cosine(col("embedding"),
-          array(cents.head._2.map(lit): _*)).as("c")).write.mode("overwrite")
-          .format("noop").save()
-      }
-      println(f"PROBE x$m oneCosine wall=$w7%.2f taskCpu=$c7%.2f")
-      // baseline: scan only
-      val (w8, c8) = timed {
-        v.select(col("vec_id")).write.mode("overwrite").format("noop").save()
-      }
-      println(f"PROBE x$m scanOnly wall=$w8%.2f taskCpu=$c8%.2f")
-      // JIT theory: same cosine, 2 BIG tasks instead of 32 tiny ones — if
-      // per-row cost collapses, the 32-wide numbers are interpretation
-      // (fresh codegen class per stage, tasks too small to reach C2)
+      println(f"PROBE x$m noSort wall=$w2%.2f taskCpu=$c2%.2f")
+      // encode only: rows → segments (the fixture synthesis half)
+      val (w3, c3) = timed { noop(Fx.ordersSegments(orders).toDF("seg")) }
+      println(f"PROBE x$m encodeOnly wall=$w3%.2f taskCpu=$c3%.2f")
+      // decode only: segments materialized once (off the clock), then decoded
+      val segs = Fx.ordersSegments(orders).localCheckpoint(true)
+      val nSegs = segs.count()
       for (rep <- 1 to 2) {
-        val (w9, c9) = timed {
-          v.coalesce(2).select(Similarity.cosine(col("embedding"),
-            array(cents.head._2.map(lit): _*)).as("c")).write.mode("overwrite")
-            .format("noop").save()
+        val (w4, c4) = timed {
+          import spark.implicits._
+          val names = Fx.ordersCols.map(_.name).toIndexedSeq
+          noop(segs.flatMap(seg => MysqlBinlog.decodeSegment(seg, (_, _) => names)).toDF())
         }
-        println(f"PROBE x$m oneCosineCoalesce2 rep$rep wall=$w9%.2f taskCpu=$c9%.2f")
+        println(f"PROBE x$m rep$rep segs=$nSegs decodeOnly wall=$w4%.2f taskCpu=$c4%.2f")
       }
-      // and 32-wide again twice — same generated class re-run (JIT-warm)
-      for (rep <- 1 to 2) {
-        val (wA, cA) = timed {
-          v.select(Similarity.cosine(col("embedding"),
-            array(cents.head._2.map(lit): _*)).as("c")).write.mode("overwrite")
-            .format("noop").save()
-        }
-        println(f"PROBE x$m oneCosine32 rep$rep wall=$wA%.2f taskCpu=$cA%.2f")
-      }
+      segs.unpersist(true)
     }
     spark.stop()
   }

@@ -206,28 +206,27 @@ object Similarity {
         (i.toLong, normalize(r.getSeq[Number](0).map(_.doubleValue())))
       }
 
-    val par = vectors.sparkSession.sparkContext.defaultParallelism
     for (_ <- 1 to iters) {
-      // EXCHANGE BARRIER between assignment and the mean explode (plan rule
-      // #1): the argmax assignment is a greatest() chain of k fused cosines;
-      // putting it in the same Project as posexplode leaves the chain ABOVE
-      // the Generate, where it re-evaluates once per exploded element —
-      // k·dim cosines per vector instead of k (measured 45 task-CPU-s for a
-      // 20k×64 corpus; ~2 with the barrier). The round-robin repartition
-      // materializes the cid column once per row; the explode then reads it.
-      val assigned = ivfAssignLiteral(base, cents, idCol = "id", vecCol = "v",
+      // Mean recompute via [[graft.functions.VectorSumAgg]], NOT posexplode +
+      // groupBy(pos): the argmax assignment is a greatest() chain of k fused
+      // cosines, and an alias in the same Project as a Generate re-evaluates
+      // once per exploded element (PLANS rule #1 — measured k·dim cosines
+      // per vector, 45 task-CPU-s for a 20k×64 corpus vs ~2 fixed). The
+      // typed aggregate evaluates the chain once per row, and map-side
+      // partial aggregation means the iteration's ONLY exchange carries
+      // k×dim partial sums — no corpus-wide repartition barrier (which
+      // would shuffle the full corpus per iteration at 100 TB).
+      val partial = ivfAssignLiteral(base, cents, idCol = "id", vecCol = "v",
         cIdCol = cIdCol)
-        .repartition(par)
-      // the k×dim per-cell means collect to the driver (k·dim rows — bounded
-      // control-plane data); assembling the mean vectors driver-side avoids
-      // a second collect_list+array_sort shuffle over them
-      val partial = assigned
-        .select(col(cIdCol), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col(cIdCol), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col(cIdCol))
+        .agg(graft.functions.VectorAgg.vectorSum(col("v")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-      val means = partial.groupBy(_.getLong(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
+      // k rows of (cid, dim-length sum, count) — bounded control-plane data
+      val means = partial.map { r =>
+        val n = r.getLong(2).toDouble
+        r.getLong(0) -> r.getSeq[Double](1).map(_ / n)
+      }.toMap
       cents = cents.map { case (cid, old) =>
         (cid, means.get(cid).map(normalize).getOrElse(old))
       }

@@ -30,12 +30,46 @@ class BinlogSpooler(
 
   private val XID_EVENT = 16
   private val statePath = Paths.get(dir, "_spool_checkpoint")
+  private val identityPath = Paths.get(dir, "_spool_identity")
   Files.createDirectories(Paths.get(dir))
 
   /** Spooled-through position: resume point for reconnects. */
   def checkpoint(): Long =
     if (Files.exists(statePath)) new String(Files.readAllBytes(statePath), UTF_8).trim.toLong
     else startPos
+
+  /** The `server_uuid` this spool's position belongs to (first identity
+   * probe), or None before the first successful connect. */
+  def identity(): Option[String] =
+    if (Files.exists(identityPath))
+      Some(new String(Files.readAllBytes(identityPath), UTF_8).trim)
+    else None
+
+  /**
+   * Failover guard (reference chaos failover.rs steps 5-7 +
+   * mysql_health.rs:317-337 `fetch_server_identity`): every connection
+   * probes `@@global.server_uuid` before streaming; a different UUID means
+   * the server was REPLACED (primary promotion) — the checkpointed binlog
+   * file/position names the OLD server's binlog history and is meaningless
+   * on the new one. With a consumed checkpoint this throws
+   * [[BinlogSpooler.FailoverException]] (non-retryable); on a clean spool
+   * the new identity is adopted. A server that cannot answer (pre-5.6, or
+   * the variable unset) yields None — "cannot detect failover", fall
+   * through to position validation only (the reference's `Ok(None)` path).
+   */
+  private def checkIdentity(client: MysqlWire.BinlogClient): Unit =
+    client.queryScalar("SELECT @@global.server_uuid").foreach { uuid =>
+      identity() match {
+        case Some(saved) if saved != uuid && checkpoint() > startPos =>
+          throw new BinlogSpooler.FailoverException(saved, uuid, binlogFile, checkpoint())
+        case Some(saved) if saved == uuid => ()
+        case _ =>
+          val tmp = Paths.get(dir, "_spool_identity.tmp")
+          Files.write(tmp, uuid.getBytes(UTF_8))
+          Files.move(tmp, identityPath, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   private def commitCheckpoint(pos: Long): Unit = {
     val tmp = Paths.get(dir, "_spool_checkpoint.tmp")
@@ -78,6 +112,7 @@ class BinlogSpooler(
    */
   def runOnce(): Unit = {
     val client = new MysqlWire.BinlogClient(host, port, user, password, serverId)
+    checkIdentity(client) // failover guard BEFORE streaming from a checkpoint
     try {
       client.tail(binlogFile, checkpoint()) { (e, endPos) =>
         val typ = e(4) & 0xff
@@ -123,4 +158,21 @@ class BinlogSpooler(
     }
     attempts
   }
+}
+
+object BinlogSpooler {
+
+  /**
+   * The server answering this spool's reconnect is NOT the server the
+   * checkpoint was consumed from (reference chaos failover.rs: UUID change
+   * detected post-reconnect → reconciliation → position Lost → halt).
+   * Deliberately not an IOException: reconnect loops must not retry it.
+   */
+  class FailoverException(val savedUuid: String, val newUuid: String,
+                          val binlogFile: String, val checkpointPos: Long)
+      extends IllegalStateException(
+        s"mysql server_uuid changed $savedUuid → $newUuid but checkpoint " +
+          s"$binlogFile:$checkpointPos was consumed from the old server — the " +
+          "saved position names the old primary's binlog history; halt for " +
+          "operator intervention or re-snapshot (never silently resume)")
 }

@@ -108,6 +108,14 @@ object MysqlWire {
     def u8(v: Long): W = { u4(v); u4(v >>> 32) }
     def raw(b: Array[Byte]): W = { buf.write(b, 0, b.length); this }
     def str0(s: String): W = { raw(s.getBytes(UTF_8)); u1(0) }
+    /** Length-encoded integer (protocol "int<lenenc>"). */
+    def lenc(v: Long): W =
+      if (v < 251L) u1(v.toInt)
+      else if (v < 65536L) { u1(0xfc); u2(v.toInt) }
+      else if (v < 16777216L) { u1(0xfd); u1(v.toInt); u1((v >> 8).toInt); u1((v >> 16).toInt) }
+      else { u1(0xfe); u8(v) }
+    /** Length-encoded string (protocol "string<lenenc>"). */
+    def lencStr(s: String): W = { val b = s.getBytes(UTF_8); lenc(b.length.toLong); raw(b) }
     def bytes: Array[Byte] = buf.toByteArray
   }
 
@@ -125,6 +133,13 @@ object MysqlWire {
       s
     }
     def rawN(n: Int): Array[Byte] = { val a = java.util.Arrays.copyOfRange(b, off, off + n); off += n; a }
+    /** Length-encoded integer (protocol "int<lenenc>"). */
+    def lenc(): Long = u1() match {
+      case 0xfc => u2().toLong
+      case 0xfd => (u1() | (u1() << 8) | (u1() << 16)).toLong
+      case 0xfe => u8()
+      case v => v.toLong
+    }
     def remaining: Int = b.length - off
   }
 
@@ -288,6 +303,47 @@ object MysqlWire {
     DumpRequest(serverId, file, pos, gtids)
   }
 
+  // —————————————————— COM_QUERY (text protocol, scalar queries) ——————————————————
+  //
+  // Minimal text-protocol support for the identity/health probes a CDC
+  // source issues before streaming (reference mysql_health.rs:317-337
+  // `SELECT @@global.server_uuid`) — NOT a general SQL client. Symmetric
+  // encode (test stubs play the server) + decode (BinlogClient.queryScalar).
+
+  def encodeComQuery(sql: String): Array[Byte] =
+    new W().u1(0x03).raw(sql.getBytes(UTF_8)).bytes
+
+  def decodeComQuery(payload: Array[Byte]): String = {
+    require((payload(0) & 0xff) == 0x03, "not COM_QUERY")
+    new String(payload, 1, payload.length - 1, UTF_8)
+  }
+
+  /**
+   * Server-side single-column text resultset as a payload sequence
+   * (column-count, column-definition, EOF, one row per value — NULL as
+   * 0xfb, EOF). Protocol-41 without CLIENT_DEPRECATE_EOF.
+   */
+  def textResultSet(colName: String, rows: Seq[Option[String]]): Seq[Array[Byte]] = {
+    val colCount = new W().lenc(1L).bytes
+    val colDef = new W()
+      .lencStr("def").lencStr("").lencStr("").lencStr("")
+      .lencStr(colName).lencStr(colName)
+      .lenc(0x0cL) // fixed-length fields block
+      .u2(33) // utf8_general_ci
+      .u4(255L) // column length
+      .u1(0xfd) // MYSQL_TYPE_VAR_STRING
+      .u2(0) // flags
+      .u1(0) // decimals
+      .u2(0) // filler
+      .bytes
+    val eof = Array[Byte](0xfe.toByte, 0, 0, 2, 0)
+    val rowPackets = rows.map {
+      case Some(v) => new W().lencStr(v).bytes
+      case None => Array(0xfb.toByte)
+    }
+    Seq(colCount, colDef, eof) ++ rowPackets :+ eof
+  }
+
   // —————————————————— the binlog client ——————————————————
 
   /**
@@ -301,7 +357,7 @@ object MysqlWire {
                      serverId: Long = 101L, connectTimeoutMs: Int = 5000,
                      readTimeoutMs: Int = 30000) {
 
-    def tail(file: String, pos: Long)(onEvent: (Array[Byte], Long) => Boolean): Unit = {
+    private def withConn[T](f: (java.io.InputStream, java.io.OutputStream) => T): T = {
       val socket = new Socket()
       try {
         socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -317,6 +373,50 @@ object MysqlWire {
         val (_, authAck) = readPacket(in)
         requireOk(authAck, "authentication")
 
+        f(in, out)
+      } finally socket.close()
+    }
+
+    /**
+     * First column of the first row of a text-protocol query (the identity
+     * probe's shape). None when the server answers OK-without-resultset,
+     * ERR (variable unavailable — the reference's "cannot detect failover"
+     * `Ok(None)`, mysql_health.rs:314-316), or a NULL value. Connection
+     * errors still propagate as IOException — a dead server is not "the
+     * variable is unset".
+     */
+    def queryScalar(sql: String): Option[String] = withConn { (in, out) =>
+      writePacket(out, 0, encodeComQuery(sql))
+      val (_, first) = readPacket(in)
+      (first(0) & 0xff) match {
+        case 0x00 | 0xff => None
+        case _ =>
+          val colCount = new R(first, 0).lenc().toInt
+          (1 to colCount).foreach(_ => readPacket(in)) // column definitions
+          var p = readPacket(in)._2
+          if ((p(0) & 0xff) == 0xfe && p.length < 9) p = readPacket(in)._2 // post-columns EOF
+          var result: Option[String] = None
+          var done = false
+          while (!done) {
+            (p(0) & 0xff) match {
+              case 0xfe if p.length < 9 => done = true // EOF closes the resultset
+              case 0xff => done = true // mid-stream ERR
+              case 0xfb =>
+                if (!done) p = readPacket(in)._2 // NULL row — keep result None
+              case _ =>
+                if (result.isEmpty) {
+                  val r = new R(p, 0)
+                  result = Some(r.strN(r.lenc().toInt))
+                }
+                p = readPacket(in)._2
+            }
+          }
+          result
+      }
+    }
+
+    def tail(file: String, pos: Long)(onEvent: (Array[Byte], Long) => Boolean): Unit =
+      withConn { (in, out) =>
         // dump request (new command resets sequence)
         writePacket(out, 0, encodeBinlogDumpGtid(DumpRequest(serverId, file, pos, Nil)))
 
@@ -335,7 +435,6 @@ object MysqlWire {
             case other => throw new java.io.IOException(s"mysql: unexpected packet marker $other")
           }
         }
-      } finally socket.close()
-    }
+      }
   }
 }

@@ -69,7 +69,10 @@ class ScriptHostSpec extends SparkSpec {
   }
 
   test("scripted processor: mutate, drop, fan-out, routing through a live engine") {
-    val out = ScriptHost.processor("js1", script, scalaLang)(events())
+    // generous deadline: this test pins TRANSFORM semantics, not the timeout
+    // (covered by the runaway-script test below); the default 5 s flakes
+    // when the full suite saturates all 32 host threads
+    val out = ScriptHost.processor("js1", script, scalaLang, timeoutMs = 60000)(events())
       .orderBy("ts_ms", "synthetic")
       .collect()
     // c → original + synthetic fan-out; u → 1; d → dropped

@@ -48,14 +48,21 @@ object MysqlTestStub {
     raw.result().map { e => off += e.length; patchLogPos(e, off) }
   }
 
-  /** Minimal MySQL server; `dropAfterOnFirst` kills connection #1 after N
-   * non-FDE events. */
+  /** Minimal MySQL server; `dropAfterOnFirst` kills the first STREAMING
+   * connection after N non-FDE events (the spooler's failover guard probes
+   * `server_uuid` on its own connection first, which must not absorb the
+   * injected fault). `serverUuid` is the identity the COM_QUERY probe
+   * answers — flipping it mid-test IS the failover; None simulates a
+   * pre-5.6 server where the variable is unavailable (ERR). */
   class Stub(password: String, events: IndexedSeq[Array[Byte]],
              dropAfterOnFirst: Int = Int.MaxValue) {
     import MysqlWire._
     val nonce: Array[Byte] = (1 to 20).map(_.toByte).toArray
     val dumps = new ConcurrentLinkedQueue[DumpRequest]()
-    private val conns = new AtomicInteger(0)
+    val queries = new ConcurrentLinkedQueue[String]()
+    val serverUuid = new java.util.concurrent.atomic.AtomicReference[Option[String]](Some(Uuid.toString))
+    val conns = new AtomicInteger(0)
+    private val streamConns = new AtomicInteger(0)
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     @volatile private var running = true
@@ -65,7 +72,7 @@ object MysqlTestStub {
           val sock = server.accept()
           new Thread(() => {
             try {
-              val n = conns.incrementAndGet()
+              conns.incrementAndGet()
               val in = new BufferedInputStream(sock.getInputStream)
               val out = new BufferedOutputStream(sock.getOutputStream)
               writePacket(out, 0, encodeGreeting("8.0.36-graft", 1L, nonce))
@@ -76,21 +83,42 @@ object MysqlTestStub {
                 writePacket(out, 2, errPacket(1045, s"Access denied for user '${resp.user}'"))
               } else {
                 writePacket(out, 2, okPacket())
-                val (_, cmd) = readPacket(in)
-                val req = decodeBinlogDumpGtid(cmd)
-                dumps.add(req)
-                var seq = 1
-                var sent = 0
-                val serve = events.filter(e =>
-                  eventType(e) == B.FORMAT_DESCRIPTION_EVENT || logPos(e) > req.pos)
-                serve.foreach { e =>
-                  if (n == 1 && sent >= dropAfterOnFirst) throw new java.io.IOException("injected drop")
-                  writePacket(out, seq, 0x00.toByte +: e)
-                  seq += 1
-                  if (eventType(e) != B.FORMAT_DESCRIPTION_EVENT) sent += 1
+                var open = true
+                while (open) {
+                  val (_, cmd) = readPacket(in)
+                  (cmd(0) & 0xff) match {
+                    case 0x03 => // COM_QUERY: the identity probe
+                      val sql = decodeComQuery(cmd)
+                      queries.add(sql)
+                      var seq = 1
+                      serverUuid.get() match {
+                        case Some(uuid) if sql.contains("server_uuid") =>
+                          textResultSet("@@global.server_uuid", Seq(Some(uuid)))
+                            .foreach { p => seq = writePacket(out, seq, p) }
+                        case _ =>
+                          seq = writePacket(out, seq,
+                            errPacket(1193, "Unknown system variable 'server_uuid'"))
+                      }
+                    case 0x1e => // COM_BINLOG_DUMP_GTID
+                      val n = streamConns.incrementAndGet()
+                      val req = decodeBinlogDumpGtid(cmd)
+                      dumps.add(req)
+                      var seq = 1
+                      var sent = 0
+                      val serve = events.filter(e =>
+                        eventType(e) == B.FORMAT_DESCRIPTION_EVENT || logPos(e) > req.pos)
+                      serve.foreach { e =>
+                        if (n == 1 && sent >= dropAfterOnFirst) throw new java.io.IOException("injected drop")
+                        writePacket(out, seq, 0x00.toByte +: e)
+                        seq += 1
+                        if (eventType(e) != B.FORMAT_DESCRIPTION_EVENT) sent += 1
+                      }
+                      // EOF packet: 0xfe with short payload
+                      writePacket(out, seq, Array(0xfe.toByte, 0, 0, 0, 0))
+                      open = false
+                    case _ => open = false // COM_QUIT / unknown
+                  }
                 }
-                // EOF packet: 0xfe with short payload
-                writePacket(out, seq, Array(0xfe.toByte, 0, 0, 0, 0))
               }
             } catch { case _: java.io.IOException => () }
             finally sock.close()

@@ -593,6 +593,52 @@ class ChaosSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("mysql_failover: primary replaced mid-stream — server_uuid change halts, never resume on a foreign binlog") {
+    import graft.sources.{BinlogSpooler, MysqlTestStub}
+    val stub = new MysqlTestStub.Stub("secret",
+      MysqlTestStub.binlogFile(Seq(1L, 2L, 3L), xidPerRow = true))
+    try {
+      val dir = tmp()
+      val spooler = new BinlogSpooler("127.0.0.1", stub.port, "repl", "secret",
+        dir, "binlog.000001", maxEventsPerSegment = 1)
+
+      // warmup on "mysql-a" (ref failover.rs step 1): identity adopted
+      assert(spooler.pump() == 1)
+      val saved = spooler.checkpoint()
+      assert(saved > 4L && spooler.identity().contains(MysqlTestStub.Uuid.toString))
+
+      // failover (steps 2-4): the proxy now fronts mysql-b — a different
+      // server_uuid, whose binlog history our file:pos means nothing in
+      stub.serverUuid.set(Some("b0b0b0b0-dead-beef-0000-000000000002"))
+
+      // steps 5-7: reconnect detects the UUID change and halts on the FIRST
+      // attempt — before any dump request against the new server
+      val dumpsBefore = stub.dumps.size()
+      val ex = intercept[BinlogSpooler.FailoverException] { spooler.pump() }
+      assert(ex.savedUuid == MysqlTestStub.Uuid.toString &&
+        ex.newUuid.startsWith("b0b0b0b0") && ex.checkpointPos == saved)
+      assert(stub.dumps.size() == dumpsBefore) // no stream attempt
+      assert(spooler.checkpoint() == saved) // position untouched
+      assert(spooler.identity().contains(MysqlTestStub.Uuid.toString)) // not re-adopted
+
+      // a CLEAN spool against mysql-b adopts the new identity and streams
+      // (the reference's post-scenario restart-fresh path)
+      val fresh = new BinlogSpooler("127.0.0.1", stub.port, "repl", "secret",
+        tmp(), "binlog.000001", maxEventsPerSegment = 1)
+      assert(fresh.pump() == 1)
+      assert(fresh.identity().exists(_.startsWith("b0b0b0b0")) && fresh.checkpoint() > 4L)
+
+      // pre-5.6 server (no server_uuid): identity probe answers ERR —
+      // "cannot detect failover", streaming proceeds on position alone
+      // (reference fetch_server_identity Ok(None))
+      stub.serverUuid.set(None)
+      val blind = new BinlogSpooler("127.0.0.1", stub.port, "repl", "secret",
+        tmp(), "binlog.000001", maxEventsPerSegment = 1)
+      assert(blind.pump() == 1)
+      assert(blind.identity().isEmpty && blind.checkpoint() > 4L)
+    } finally stub.stop()
+  }
+
   test("s3_outage: lake sink down mid-write — no partial files visible, gate holds, clean catch-up") {
     // The S3 outage (ref s3_outage.rs): PUTs fail while the outage holds.
     // Injected INSIDE the write job (the envelope expression throws on task
