@@ -32,4 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with a 39-query bench needs headroom: 8g thrashes GC once
   // cached intermediates + broadcast cleanup pile up (machine has 128g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pre-commit and pre-touch the whole heap at JVM start: the bench's ×10
+  // probe measured the FIRST large-allocation execution of a plan shape at
+  // 20× its steady-state task-CPU (3306 vs 165 s for the same query on the
+  // same data in the same JVM) — first-touch page faults on freshly
+  // committed heap pages are charged to the faulting task threads, so lazy
+  // heap growth lands inside whichever timed window triggers it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
+  // ~50 queries × (x1 suite + x1-adjacent + x10 probe) × several codegen
+  // stages each ≫ the 240m default; an exhausted code cache silently stops
+  // JIT compilation and the tail of the run measures interpreted bytecode
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -246,9 +246,9 @@ object Bench {
     val absoluteGateSec = 30.0
     val absoluteAttribution = Map(
       "cdc_binlog_decode" ->
-        "inherent: full MySQL wire decode of ~1.5M events; linear from ~31 task-CPU-s at x1",
+        "inherent: full MySQL wire decode of ~1.5M events; fresh-JVM steady state 165 task-CPU-s (linear, 7.5x from x1's 22)",
       "cdc_pgoutput_decode" ->
-        "inherent: full pgoutput wire decode; linear from ~17 task-CPU-s at x1",
+        "inherent: full pgoutput wire decode of ~1.5M events; linear",
       "dedup_jaccard" ->
         "inherent: posting-join pair mining over the x10 corpus; sublinear growth (~1.9x) from ~40 at x1",
       "dedup_clusters" ->
@@ -256,7 +256,25 @@ object Bench {
       "dedup_simhash" ->
         "inherent: pigeonhole chunk join at x10; growth ~1.5x",
       "dedup_minhash" ->
-        "inherent: banded LSH bucket join at x10; growth ~5x")
+        "inherent: banded LSH bucket join at x10; growth ~5x",
+      "cdc_lake_project" ->
+        "inherent: flat-envelope projection of the full x10 change stream; linear",
+      "cdc_outbox" ->
+        "inherent: outbox JSON parse+route of the full x10 change stream; linear",
+      "cdc_json_extract" ->
+        "inherent: JSON path extraction over the full x10 change stream; linear",
+      "cdc_filter" ->
+        "inherent: 13-predicate gate over the full x10 change stream; linear",
+      "cdc_filter_changed" ->
+        "inherent: changed-column diff over full before/after images at x10; linear",
+      "cdc_scd2" ->
+        "inherent: per-key history window over the x10 stream (keys remapped per replica, history depth constant); linear",
+      "text_metrics" ->
+        "inherent: tokenization + punct/stopword scans of the full x10 corpus; linear",
+      "ann_ivf_trained" ->
+        "inherent: 3 k-means iterations (8 fused cosines/row via VectorSumAgg partials) + exact full-probe top-k over the x10 corpus; linear",
+      "ann_ivf_topk" ->
+        "inherent: fixed-645-cell assignment + 4-cell probe over the x10 corpus; linear")
     val scaleProbe: String =
       if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) "null"
       else {
@@ -323,14 +341,35 @@ object Bench {
           // query's ×10 run, same protocol (min-of-`reps`, clearCache+gc per
           // rep, quiesce between): both reads see the same JVM phase and the
           // ratio attributes to the PLAN, not to when it was measured.
+          // Untimed WARMUP pass per (query, scale) before the timed reps:
+          // the binlog anatomy probe (fresh JVM, /tmp/probe_binlog_r8.log)
+          // measured the FIRST execution of the ×10 decode at 3306 task-CPU-s
+          // vs 165 for the identical rep2 — first-touch heap-commit page
+          // faults and JIT/profile churn charge the shape's first run, and a
+          // prior ×1 run of the SAME query does NOT absorb it (the cost is
+          // data-sized). min-of-reps can't save the measurement when the
+          // residual spills into rep2 (the r8 full-suite run still recorded
+          // 570). The warmup eats the one-time cost off the clock; with
+          // -XX:+AlwaysPreTouch it is cheap insurance rather than a storm.
+          def warm(name: String, fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+            try {
+              spark.catalog.clearCache()
+              fn(spark, dir).write.mode("overwrite").format("noop").save()
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+            }
           val probed = queryList.filterNot { case (n, _) => quadraticByDesign.contains(n) }
             .map { case (name, fn) =>
+              quiesce(spark)
+              warm(s"x1adj:$name", fn, x1RDir)
               quiesce(spark)
               val r1 = best(s"x1adj:$name", reps) {
                 spark.catalog.clearCache()
                 System.gc()
                 fn(spark, x1RDir).write.mode("overwrite").format("noop").save()
               }
+              quiesce(spark)
+              warm(s"x10:$name", fn, x10Dir)
               quiesce(spark)
               val r10 = best(s"x10:$name", reps) {
                 spark.catalog.clearCache()

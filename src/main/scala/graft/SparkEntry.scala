@@ -377,10 +377,15 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
-      // IVF scale path: coarse-quantize to 16 deterministic centroids, probe
-      // the 4 cells nearest the query, brute-force only inside those cells.
+      // IVF scale path: coarse-quantize to a FIXED number of deterministic
+      // centroids, probe the 4 cells nearest the query, brute-force only
+      // inside those cells. The vec_id < 19995 cap bounds the cell count at
+      // 645 regardless of corpus size — a coarse index whose cell count
+      // scales with the corpus makes assignment O(n²/31) (the bench's ×10
+      // probe measured exactly that before the cap); fixed cells keep
+      // assignment linear and cells 1/C of the corpus.
       val emb = t(s, dir, "embeddings")
-      val cents = emb.filter(col("vec_id") % 31 === 0)
+      val cents = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < 19995)
         .select((col("vec_id") / 31).cast(LongType).as("centroid_id"),
           col("embedding").as("vec"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qvec"))
@@ -926,7 +931,7 @@ object SparkEntry {
     // the same (sim DESC, centroid_id) tie order, brute-force inside cells.
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT CAST(vec_id / 31 AS BIGINT) AS centroid_id, v AS cvec FROM e WHERE vec_id % 31 = 0),
+        |c AS (SELECT CAST(vec_id / 31 AS BIGINT) AS centroid_id, v AS cvec FROM e WHERE vec_id % 31 = 0 AND vec_id < 19995),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |probes AS (SELECT centroid_id FROM c, q
         |           ORDER BY list_cosine_similarity(cvec, qv) DESC, centroid_id LIMIT 4),
