@@ -683,6 +683,68 @@ class ChaosSpec extends SparkSpec {
     assert(ledger.committed("s3") == 0L)
   }
 
+  test("s3_soak: sustained steady load — rolling emits new objects over time, every row lands exactly once") {
+    // The S3 soak (ref s3_soak.rs): a stability test, not a throughput
+    // benchmark. Reference invariants → analog assertions:
+    //  - "file rolling fires correctly (new objects appear over time)" →
+    //    the visible object count grows every sampled batch;
+    //  - "final inserted count matches" → global exactly-once over ALL
+    //    batches (distinct event ids == total rows == offered load);
+    //  - "memory does not grow unboundedly (no full-file-in-RAM)" → the
+    //    event cap holds on every emitted object (a writer that buffered
+    //    a whole batch per file would exceed it), and the write path is
+    //    Spark's executor-side streaming parquet writer — nothing is
+    //    collected to the driver.
+    val dir = tmp()
+    val lake = tmp()
+    val rowsPer = 120
+    val cap = 50L
+    val sink = new ParquetLakeSink("s3", lake, Rolling.Config(maxEvents = cap))
+    val cfg = Config(Seq(sink), ledgerDir = dir)
+    val ledger = new SinkLedger(dir)
+
+    def soakEvents(n: Int, offset: Int): DataFrame = {
+      import spark.implicits._
+      ChangeEvent.conform(
+        (1 to n).map(i => ("c", s"""{"id":${offset + i}}""", (offset + i).toLong))
+          .toDF("op", "after", "ts_ms")
+          .withColumn("source", struct(lit("db").as("db"), lit("t").as("table"),
+            col("ts_ms").as("sequence")))
+          .withColumn("event_id", concat(lit("e"), col("ts_ms")))
+          .withColumn("tx_end", lit(true)))
+    }
+    def visibleObjects(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) {
+          if (f.getName == "_temporary") 0
+          else f.listFiles().map(walk).sum
+        } else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) 1
+        else 0
+      val root = new java.io.File(lake)
+      if (root.exists()) walk(root) else 0
+    }
+
+    val batches = 6
+    val counts = (0 until batches).map { b =>
+      processBatch(cfg, ledger)(soakEvents(rowsPer, b * rowsPer), b.toLong)
+      visibleObjects()
+    }
+    // rolling fired on every batch: the bucket grew at every sample, and the
+    // event cap forced ≥ rowsPer/cap objects per batch
+    assert(counts.zip(counts.tail).forall { case (a, b) => b > a },
+      s"object count must grow every batch, saw $counts")
+    assert(counts.last >= batches * (rowsPer / cap.toInt), s"rolling under-fired: $counts")
+    // exactly-once over the whole soak
+    val landed = spark.read.parquet(lake)
+    assert(landed.count() == batches.toLong * rowsPer)
+    assert(landed.select("event_id").distinct().count() == batches.toLong * rowsPer)
+    // the event cap held on every object (no file buffered past the roll)
+    val perFile = landed.groupBy(input_file_name()).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perFile <= cap, s"an object holds $perFile rows > cap $cap")
+    assert(ledger.committed("s3") == (batches - 1).toLong)
+  }
+
   test("ch_outage: ClickHouse down — no rows land during outage, gate holds, catch-up delivers once") {
     import ClickHouseWire._
     import org.apache.spark.sql.types._
