@@ -425,6 +425,26 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    "embed_quantize" -> ((s, dir) => {
+      // Int8 embedding quantization roundtrip (functions/VectorQuant —
+      // symmetric per-vector scheme, scale = max|x|/127, round-half-even):
+      // per-vector scale, roundtrip cosine, and max reconstruction error.
+      // One narrow codegen-free pass, no shuffle — the 4× storage saving is
+      // what makes a 100 TB float corpus shippable (candidates on int8,
+      // exact re-rank of the shortlist on the float originals).
+      import graft.functions.{VectorOps, VectorQuant}
+      val emb = t(s, dir, "embeddings")
+      val q = emb.select(col("vec_id"), col("embedding"),
+        VectorQuant.quantize(col("embedding")).as("_q"))
+      val deq = VectorQuant.dequantize(col("_q"))
+      q.select(col("vec_id"),
+          round(col("_q").getField("scale"), 9).as("scale"),
+          round(VectorOps.cosine(col("embedding"), deq), 6).as("cos_rt"),
+          round(array_max(zip_with(col("embedding"), deq,
+            (x, y) => abs(x - y))), 9).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     "data_split" -> ((s, dir) => {
       // deterministic hash-based train/test split — reproducible in ANY
       // engine with md5 (the sharding every training pipeline needs; no
@@ -953,6 +973,22 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id LIMIT 20""".stripMargin,
+
+    // round_even mirrors Java Math.rint (quantize uses round-half-even);
+    // every per-element op is double-typed and element-local on both sides,
+    // so the roundtrip is bit-identical before the display rounding
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale FROM e),
+        |d AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> greatest(-127.0, least(127.0, round_even(x / scale, 0))) * scale) AS deq
+        |  FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  round(list_cosine_similarity(v, deq), 6) AS cos_rt,
+        |  round(list_max(list_transform(list_zip(v, deq), p -> abs(p[1] - p[2]))), 9) AS max_err
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     "data_split" ->
       """WITH b AS (SELECT doc_id,
