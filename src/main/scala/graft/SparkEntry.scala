@@ -312,6 +312,29 @@ object SparkEntry {
         .orderBy("op", "lsn")
     }),
 
+    "skew_salted_join" -> ((s, dir) => {
+      // Hot-key mitigation (llm/Skew.saltedJoin): scatter the big side over
+      // 8 salt buckets, replicate the dim into every bucket, join on
+      // (key, salt) — row-identical to the plain equi-join (the oracle is
+      // the plain join), proven through an exact aggregate. AQE splits
+      // skewed sort-merge partitions at runtime; salting is the plan-level
+      // tool when one key dominates (a single-tenant CDC stream, a viral
+      // near-dup cluster) and survives any scale because no partition ever
+      // holds more than 1/salt of a hot key.
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.llm.Skew.saltedJoin(li, supp, "l_suppkey", 8)
+        .groupBy(col("s_nationkey"))
+        .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy("s_nationkey")
+    }),
+
+    "skew_hot_keys" -> ((s, dir) => {
+      // The monitoring query behind salting: top-N hottest keys by count.
+      graft.llm.Skew.hotKeys(t(s, dir, "lineitem"), col("l_suppkey"), 20)
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents").groupBy(col("text"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
@@ -863,6 +886,19 @@ object SparkEntry {
         |FROM j
         |UNION ALL SELECT '0/1', 't', NULL, NULL)
         |SELECT lsn, op, before, after FROM r ORDER BY op, lsn""".stripMargin,
+
+    // the oracle is the UNSALTED join — equality proves the salted
+    // two-phase plan is row-identical to the plain equi-join
+    "skew_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "skew_hot_keys" ->
+      """SELECT l_suppkey AS key, count(*) AS n FROM lineitem
+        |GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups
