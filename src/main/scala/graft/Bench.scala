@@ -274,7 +274,9 @@ object Bench {
       "ann_ivf_trained" ->
         "inherent: 3 k-means iterations (8 fused cosines/row via VectorSumAgg partials) + exact full-probe top-k over the x10 corpus; linear",
       "ann_ivf_topk" ->
-        "inherent: fixed-645-cell assignment + 4-cell probe over the x10 corpus; linear")
+        "inherent: fixed-645-cell assignment + 4-cell probe over the x10 corpus; linear",
+      "skew_salted_join" ->
+        "inherent: 8-way salted scatter-join over 6M lineitem rows at x10; linear (the oracle twin IS the plain join)")
     val scaleProbe: String =
       if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) "null"
       else {
