@@ -504,14 +504,18 @@ object SparkEntry {
     }),
 
     "text_metrics" -> ((s, dir) => {
-      val txt = col("text")
+      // ONE fused character walk for all five counts (TextScanOps) — the
+      // per-metric split/regex form was five scans plus interpreted HOF
+      // lambdas per token; codegen subexpression elimination collapses the
+      // five field references to a single scan per row.
+      val m = TextAnalysis.metrics(col("text"))
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.nChars(txt).cast(LongType).as("n_chars_m"),
-        TextAnalysis.nWords(txt).cast(LongType).as("n_words"),
-        TextAnalysis.nPunct(txt).cast(LongType).as("n_punct"),
-        TextAnalysis.nStopwords(txt).cast(LongType).as("n_stop"),
-        TextAnalysis.bpeTokenCount(txt).cast(LongType).as("n_bpe"))
+        m.getField("n_chars").cast(LongType).as("n_chars_m"),
+        m.getField("n_words").cast(LongType).as("n_words"),
+        m.getField("n_punct").cast(LongType).as("n_punct"),
+        m.getField("n_stop").cast(LongType).as("n_stop"),
+        m.getField("n_bpe").cast(LongType).as("n_bpe"))
         .orderBy("doc_id")
     }),
 

@@ -39,14 +39,28 @@ object TextAnalysis {
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
   /**
+   * Fused one-pass metrics struct `(n_chars, n_words, n_punct, n_stop,
+   * n_bpe)` — ONE character walk instead of one split/regex scan per
+   * metric ([[graft.functions.TextScanOps]]; semantics pinned to the
+   * declarative functions above by `TextScanSpec` property tests).
+   */
+  def metrics(text: Column): Column =
+    graft.functions.TextScanOps.metrics(text, stopwords)
+
+  /**
    * Composite quality score in [0,1]: penalize punctuation soup and
    * no-stopword text. Truncated (floor) to 4 decimals rather than rounded:
    * floor of bit-identical doubles is engine-independent, round-half is not.
+   *
+   * Counts come from the fused scan; the arithmetic is unchanged (same op
+   * order — the double math must stay bit-identical to the oracle).
    */
   def qualityScore(text: Column): Column = {
-    val w = nWords(text).cast("double")
-    val punctRatio = nPunct(text).cast("double") / greatest(nChars(text).cast("double"), lit(1.0))
-    val stopRatio = nStopwords(text).cast("double") / greatest(w, lit(1.0))
+    val m = metrics(text)
+    val w = m.getField("n_words").cast("double")
+    val punctRatio = m.getField("n_punct").cast("double") /
+      greatest(m.getField("n_chars").cast("double"), lit(1.0))
+    val stopRatio = m.getField("n_stop").cast("double") / greatest(w, lit(1.0))
     val q = greatest(lit(0.0), least(lit(1.0),
       lit(0.5) * least(w / lit(20.0), lit(1.0)) // enough words
         + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) // natural-language-ish
@@ -68,8 +82,11 @@ object TextAnalysis {
     size(filter(tokens(text), t => t.isin(langStopwords(lang): _*)))
 
   def langId(text: Column): Column = {
-    val en = langScore(text, "en"); val es = langScore(text, "es")
-    val de = langScore(text, "de"); val fr = langScore(text, "fr")
+    // one fused scan produces all four wordlist hit counts (the
+    // split+filter+isin form is four interpreted scans per row)
+    val order = Seq("en", "es", "de", "fr")
+    val hits = graft.functions.TextScanOps.listHits(text, order.map(langStopwords))
+    val Seq(en, es, de, fr) = (1 to 4).map(i => element_at(hits, i))
     val best = greatest(en, es, de, fr)
     when(best === 0, "unknown")
       .when(en === best, "en").when(es === best, "es")

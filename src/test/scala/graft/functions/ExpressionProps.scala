@@ -104,4 +104,40 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
       got == want
     }
+
+  // ---- fused text scanners vs split/regex reference semantics ----
+
+  private val stopwords = graft.llm.TextAnalysis.stopwords
+  private val piece = Gen.frequency(
+    (5, word), (3, Gen.oneOf(stopwords)), (2, Gen.numStr.map(_.take(5))),
+    (2, Gen.oneOf(".", ",", "!", "?", ";", ":", "..", "a.b", "x1y2", "\tq", "é")),
+    (2, Gen.const("")))
+  private val scanText: Gen[String] =
+    Gen.listOf(Gen.zip(piece, Gen.choose(1, 3))).map(
+      _.map { case (p, sp) => p + (" " * sp) }.mkString)
+
+  property("TextMetricsScan equals per-metric split/regex reference") =
+    Prop.forAll(scanText) { t =>
+      val row = TextScanOps.TextMetricsScan(
+        Literal(UTF8String.fromString(t), StringType), stopwords)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val words = t.split(" +").filter(_.nonEmpty).toSeq
+      val want = (
+        t.codePointCount(0, t.length),
+        words.length,
+        t.count(".,!?;:".contains(_)),
+        words.count(stopwords.contains),
+        "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]".r.findAllIn(t).size)
+      (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) == want
+    }
+
+  property("TokenListHits equals per-list split+contains reference") =
+    Prop.forAll(scanText) { t =>
+      val lists = Seq("en", "es", "de", "fr").map(graft.llm.TextAnalysis.langStopwords)
+      val got = TextScanOps.TokenListHits(
+        Literal(UTF8String.fromString(t), StringType), lists)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      val words = t.split(" +").filter(_.nonEmpty).toSeq
+      got == lists.map(l => words.count(l.contains))
+    }
 }
