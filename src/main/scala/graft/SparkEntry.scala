@@ -29,10 +29,28 @@ object SparkEntry {
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
-  /** events.parquet has ns timestamps (unsupported by the Parquet reader) → read ts as long. */
+  /**
+   * events.parquet's `ts` physical type has changed across driver testdata
+   * generations: TIMESTAMP(NANOS) (unreadable natively → nanosAsLong int64)
+   * through round 7, TIMESTAMP(MICROS) from round 8's regeneration — which
+   * silently killed every events query (`ts div 1000000` fails analysis on
+   * a timestamp column). Branch on the schema the reader actually produced
+   * so the helper survives either generation; all queries consume only the
+   * derived epoch-`ms` column.
+   */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ms", expr("ts div 1000000"))
+    val df = t(s, dir, "events")
+    val ms = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000") // nanos-as-long
+      case TimestampType => unix_millis(col("ts"))
+      case TimestampNTZType =>
+        // session TZ is pinned to UTC in Verify/Bench, so NTZ→TZ is exact
+        unix_millis(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected type $other")
+    }
+    df.withColumn("ms", ms)
   }
 
   /** CDC-ified orders (deterministic op mix, JSON payloads). */

@@ -20,13 +20,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,9 +32,53 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+    // Failures must be LOUD (r8 verdict #2): a throwing query previously
+    // wrote nothing, the driver's CORRECTNESS json simply omitted the row,
+    // and an 8-query regression shipped inside a 100%-green artifact. Every
+    // failure now lands in THREE places the artifact diff can't miss:
+    // a per-query _failed/<name>.txt marker, an aggregated _errors.json,
+    // and a _summary.json carrying attempted/succeeded/failed COUNTS.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        val fd = Paths.get(s"$outDir/_failed")
+        Files.createDirectories(fd)
+        Files.writeString(fd.resolve(s"$name.txt"), msg + "\n")
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/_summary.json"),
+      s"""{"attempted": ${SparkEntry.queries.size}, "succeeded": ${SparkEntry.queries.size - errors.size}, "failed": ${errors.size}, "failed_names": ${errors.keys.map(q).mkString("[", ",", "]")}}""")
+
+    // Schema manifest (r8 verdict #7): the driver regenerates testdata
+    // between rounds and has changed column physical types before (events.ts
+    // nanos→micros broke 8 queries). Log every table's ACTUAL read schema
+    // into the verify output so schema drift shows up as an artifact diff,
+    // not a mid-round analysis failure.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val manifest = tables.map { tb =>
+      val schema =
+        try spark.read.parquet(s"$sfDir/$tb.parquet").schema
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+        catch { case e: Throwable => s"UNREADABLE: ${e.getMessage}" }
+      s"${q(tb)}: ${q(schema)}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_schemas.json"), manifest)
+
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    }
   }
 }
