@@ -33,7 +33,18 @@ import scala.collection.mutable
  * Destructuring ASSIGNMENT expressions (`({a} = o)`, outside declarations)
  * are not supported — declare instead.
  *
- * Not implemented (documented): prototypes/classes, regex,
+ * Regex: literals (`/re/gims`, lexed with the standard
+ * cannot-follow-a-value heuristic) compile to java.util.regex — the
+ * syntaxes agree on the contract subset (classes, groups, alternation,
+ * anchors, \d \w \s, quantifiers). Supported call surface:
+ * `r.test/exec/source/flags/global`, `s.match/search/split/replace/
+ * replaceAll` with regex args (string AND function replacements, JS `$&`/
+ * `$1` references), and a new-less `RegExp(source, flags)` constructor.
+ * Divergences (documented): `exec` has no `lastIndex` statefulness, match
+ * arrays carry no `index`/`input` properties, and named groups /
+ * lookbehind follow Java semantics.
+ *
+ * Not implemented (documented): prototypes/classes,
  * generators/async, getters/setters, `new`.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
@@ -51,6 +62,14 @@ object MiniJs {
   case class VBool(b: Boolean) extends V
   case class VNum(d: Double) extends V
   case class VStr(s: String) extends V
+  /** Regex value: JS literal source + flags, compiled eagerly to
+   * java.util.regex (the syntaxes agree on the subset the contract's
+   * scripts use: classes, groups, alternation, anchors, \d \w \s
+   * quantifiers). `g` is tracked as a semantic flag — Java has no
+   * equivalent; replace/match branch on it. */
+  case class VRegex(source: String, flags: String, p: java.util.regex.Pattern) extends V {
+    def global: Boolean = flags.contains('g')
+  }
   case class VArr(items: mutable.ArrayBuffer[V]) extends V
   case class VObj(fields: mutable.LinkedHashMap[String, V]) extends V
   case class VFunc(params: Seq[Pat], body: Seq[Stmt], env: Env,
@@ -76,6 +95,7 @@ object MiniJs {
   sealed trait Expr
   case class ENum(d: Double) extends Expr
   case class EStr(s: String) extends Expr
+  case class ERegex(pattern: String, flags: String) extends Expr
   case class EBool(b: Boolean) extends Expr
   case object ENull extends Expr
   case object EUndef extends Expr
@@ -126,10 +146,23 @@ object MiniJs {
     "try", "catch", "finally")
 
   private def tokenize(src: String): IndexedSeq[Tok] = {
-    val out = IndexedSeq.newBuilder[Tok]
+    val out = mutable.ArrayBuffer[Tok]()
     var i = 0
     val n = src.length
     def err(m: String) = throw new JsError(s"js syntax: $m at offset $i")
+    // `/` is a regex literal start iff the previous token cannot END an
+    // expression (the standard lexer heuristic — full JS needs parser
+    // feedback, but this covers the contract's scripts): after a value
+    // token, a closing bracket, or a value-like keyword, `/` is division.
+    def regexAllowed: Boolean = out.lastOption match {
+      case None => true
+      case Some(t) => t.kind match {
+        case "num" | "str" | "template" | "ident" => false
+        case "kw" => !Set("this", "true", "false", "null", "undefined").contains(t.text)
+        case "punct" => t.text != ")" && t.text != "]"
+        case _ => true
+      }
+    }
     while (i < n) {
       val c = src.charAt(i)
       if (c.isWhitespace) i += 1
@@ -140,6 +173,29 @@ object MiniJs {
         while (i + 1 < n && !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) i += 1
         if (i + 1 >= n) err("unterminated block comment")
         i += 2
+      } else if (c == '/' && regexAllowed) {
+        // regex literal /pattern/flags — escapes pass through verbatim; an
+        // unescaped `/` inside a character class does not terminate
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var inClass = false
+        while (i < n && src.charAt(i) != '\n' && (inClass || src.charAt(i) != '/')) {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) { sb.append(ch).append(src.charAt(i + 1)); i += 2 }
+          else {
+            if (ch == '[') inClass = true else if (ch == ']') inClass = false
+            sb.append(ch); i += 1
+          }
+        }
+        if (i >= n || src.charAt(i) != '/') err("unterminated regex literal")
+        i += 1
+        val flagStart = i
+        while (i < n && src.charAt(i).isLetter) i += 1
+        // one token, FLAGS FIRST: flags are letters-only so the first ' '
+        // is an unambiguous separator (the pattern itself may contain any
+        // character, including spaces)
+        out += Tok("regex", src.substring(flagStart, i) + " " + sb.toString, start)
       } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
         val start = i
         while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
@@ -210,7 +266,7 @@ object MiniJs {
       }
     }
     out += Tok("eof", "", n)
-    out.result()
+    out.toIndexedSeq
   }
 
   // ————————————————————————— parser —————————————————————————
@@ -606,6 +662,10 @@ object MiniJs {
       t.kind match {
         case "num" => next(); ENum(t.text.toDouble)
         case "str" => next(); EStr(t.text)
+        case "regex" =>
+          next()
+          val sep = t.text.indexOf(' ')
+          ERegex(t.text.substring(sep + 1), t.text.substring(0, sep))
         case "template" => next(); parseTemplate(t.text)
         case "ident" => next(); EIdent(t.text)
         case "kw" => t.text match {
@@ -897,6 +957,7 @@ object MiniJs {
       e match {
         case ENum(d) => VNum(d)
         case EStr(s) => VStr(s)
+        case ERegex(p, f) => compileRegex(p, f)
         case EBool(b) => VBool(b)
         case ENull => VNull
         case EUndef => VUndef
@@ -1032,6 +1093,18 @@ object MiniJs {
           case Some(i) => if (i >= 0 && i < s.length) VStr(s.charAt(i).toString) else VUndef
           case None => Builtins.stringMethod(this, s, name)
         }
+      case r: VRegex => name match {
+        case "test" => VNative("test", (_, args) =>
+          VBool(r.p.matcher(toStr(args.headOption.getOrElse(VUndef))).find()))
+        // exec without `g`-statefulness (no lastIndex): first match + groups
+        case "exec" => VNative("exec", (_, args) =>
+          Builtins.regexFirstMatch(r, toStr(args.headOption.getOrElse(VUndef))))
+        case "source" => VStr(r.source)
+        case "flags" => VStr(r.flags)
+        case "global" => VBool(r.global)
+        case "toString" => VNative("toString", (_, _) => VStr(toStr(r)))
+        case _ => VUndef
+      }
       case VNull => throw new JsError(s"js: cannot read '$name' of null")
       case VUndef => throw new JsError(s"js: cannot read '$name' of undefined")
       case VNum(d) => name match {
@@ -1066,6 +1139,44 @@ object MiniJs {
     case _ => Double.NaN
   }
 
+  /** JS regex flags → java.util.regex; `g` is semantic (no Java bit). */
+  def compileRegex(pattern: String, flags: String): VRegex = {
+    var bits = 0
+    flags.foreach {
+      case 'g' => () // global: handled by replace/match/exec call sites
+      case 'i' => bits |= java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE
+      case 'm' => bits |= java.util.regex.Pattern.MULTILINE
+      case 's' => bits |= java.util.regex.Pattern.DOTALL
+      case 'u' => () // java regex is code-point aware already
+      case other => throw new JsError(s"js: unsupported regex flag '$other'")
+    }
+    try VRegex(pattern, flags, java.util.regex.Pattern.compile(pattern, bits))
+    catch { case e: java.util.regex.PatternSyntaxException =>
+      throw new JsError(s"js: invalid regex /$pattern/$flags: ${e.getDescription}")
+    }
+  }
+
+  /** JS replacement string → Java: `$&` (whole match) becomes `$0`;
+   * backslashes are literal in JS replacements so they're escaped. */
+  def toJavaReplacement(r: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\') { sb.append("\\\\"); i += 1 }
+      else if (c == '$' && i + 1 < r.length) {
+        r.charAt(i + 1) match {
+          case '&' => sb.append("$0"); i += 2
+          case '$' => sb.append("\\$"); i += 2
+          case d if d.isDigit => sb.append('$').append(d); i += 2
+          case _ => sb.append("\\$"); i += 1
+        }
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def toStr(v: V): String = v match {
     case VStr(s) => s
     case VNum(d) => numToString(d)
@@ -1074,6 +1185,7 @@ object MiniJs {
     case VUndef => "undefined"
     case VArr(a) => a.map(x => if (x == VNull || x == VUndef) "" else toStr(x)).mkString(",")
     case VObj(_) => "[object Object]"
+    case r: VRegex => s"/${r.source}/${r.flags}"
     case _: VFunc | _: VNative => "function"
   }
 
@@ -1105,6 +1217,7 @@ object MiniJs {
     case (a: VArr, b: VArr) => a eq b
     case (a: VObj, b: VObj) => a eq b
     case (a: VFunc, b: VFunc) => a eq b
+    case (a: VRegex, b: VRegex) => a eq b
     case _ => false
   }
 
@@ -1157,6 +1270,7 @@ object MiniJs {
     case VObj(f) =>
       f.iterator.filterNot(kv => kv._2.isInstanceOf[VFunc] || kv._2.isInstanceOf[VNative] || kv._2 == VUndef)
         .map { case (k, x) => quote(k) + ":" + stringify(x) }.mkString("{", ",", "}")
+    case _: VRegex => "{}" // JSON.stringify(/re/) === "{}" in JS
     case _: VFunc | _: VNative => "null"
   }
 
@@ -1281,6 +1395,13 @@ object MiniJs {
       g.define("Array", VObj(mutable.LinkedHashMap(
         "isArray" -> VNative("Array.isArray", (_, args) =>
           VBool(args.headOption.exists(_.isInstanceOf[VArr]))))))
+      // callable without `new` (as in JS); RegExp(/re/) re-wraps the source
+      g.define("RegExp", VNative("RegExp", (_, args) => args.headOption match {
+        case Some(r: VRegex) =>
+          compileRegex(r.source, args.lift(1).map(toStr).getOrElse(r.flags))
+        case other =>
+          compileRegex(other.map(toStr).getOrElse(""), args.lift(1).map(toStr).getOrElse(""))
+      }))
       g.define("Object", VObj(mutable.LinkedHashMap(
         "keys" -> VNative("Object.keys", (_, args) => args.headOption match {
           case Some(VObj(f)) => VArr(mutable.ArrayBuffer(f.keys.map(VStr).toSeq: _*))
@@ -1434,6 +1555,40 @@ object MiniJs {
       case _ => VUndef
     }
 
+    /** exec/match result: [full, group1, ...] (unmatched groups → undefined)
+     * or null when no match. */
+    def regexFirstMatch(r: VRegex, s: String): V = {
+      val m = r.p.matcher(s)
+      if (!m.find()) VNull
+      else VArr(mutable.ArrayBuffer((0 to m.groupCount()).map { g =>
+        Option(m.group(g)).map(VStr).getOrElse(VUndef): V
+      }: _*))
+    }
+
+    /** replace with a regex pattern: string replacements go through the
+     * JS→Java `$`-reference translation; function replacements are called
+     * as fn(match, group1..., offset, string) per JS. */
+    def regexReplace(engine: Engine, r: VRegex, s: String, repl: V, global: Boolean): String =
+      repl match {
+        case f @ (_: VFunc | _: VNative) =>
+          val m = r.p.matcher(s)
+          val sb = new StringBuffer
+          var more = m.find()
+          while (more) {
+            val args = (0 to m.groupCount()).map(g =>
+              Option(m.group(g)).map(VStr).getOrElse(VUndef): V) ++
+              Seq(VNum(m.start()), VStr(s))
+            val res = toStr(engine.callValue(f, VUndef, args, "replace callback"))
+            m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(res))
+            more = global && m.find()
+          }
+          m.appendTail(sb)
+          sb.toString
+        case other =>
+          val j = toJavaReplacement(toStr(other))
+          if (global) r.p.matcher(s).replaceAll(j) else r.p.matcher(s).replaceFirst(j)
+      }
+
     def stringMethod(engine: Engine, s: String, name: String): V = name match {
       case "toUpperCase" => VNative(name, (_, _) => VStr(s.toUpperCase))
       case "toLowerCase" => VNative(name, (_, _) => VStr(s.toLowerCase))
@@ -1442,16 +1597,39 @@ object MiniJs {
       case "endsWith" => VNative(name, (_, args) => VBool(s.endsWith(argStr(args, 0))))
       case "indexOf" => VNative(name, (_, args) => VNum(s.indexOf(argStr(args, 0))))
       case "trim" => VNative(name, (_, _) => VStr(s.trim))
-      case "split" => VNative(name, (_, args) => {
-        val sep = argStr(args, 0)
-        val parts = if (sep.isEmpty) s.map(_.toString) else s.split(java.util.regex.Pattern.quote(sep), -1).toSeq
-        VArr(mutable.ArrayBuffer(parts.map(VStr): _*))
+      case "split" => VNative(name, (_, args) => args.headOption match {
+        case Some(r: VRegex) =>
+          VArr(mutable.ArrayBuffer(r.p.split(s, -1).toSeq.map(VStr): _*))
+        case _ =>
+          val sep = argStr(args, 0)
+          val parts = if (sep.isEmpty) s.map(_.toString) else s.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+          VArr(mutable.ArrayBuffer(parts.map(VStr): _*))
       })
-      case "replace" => VNative(name, (_, args) =>
-        VStr(s.replaceFirst(java.util.regex.Pattern.quote(argStr(args, 0)),
-          java.util.regex.Matcher.quoteReplacement(argStr(args, 1)))))
-      case "replaceAll" => VNative(name, (_, args) =>
-        VStr(s.replace(argStr(args, 0), argStr(args, 1))))
+      case "replace" => VNative(name, (_, args) => args.headOption match {
+        case Some(r: VRegex) => VStr(regexReplace(engine, r, s, args.lift(1).getOrElse(VUndef), r.global))
+        case _ => VStr(s.replaceFirst(java.util.regex.Pattern.quote(argStr(args, 0)),
+          java.util.regex.Matcher.quoteReplacement(argStr(args, 1))))
+      })
+      case "replaceAll" => VNative(name, (_, args) => args.headOption match {
+        case Some(r: VRegex) =>
+          if (!r.global) throw new JsError("js: replaceAll requires a /g regex")
+          VStr(regexReplace(engine, r, s, args.lift(1).getOrElse(VUndef), global = true))
+        case _ => VStr(s.replace(argStr(args, 0), argStr(args, 1)))
+      })
+      case "match" => VNative(name, (_, args) => args.headOption match {
+        case Some(r: VRegex) if r.global =>
+          val m = r.p.matcher(s)
+          val all = mutable.ArrayBuffer[V]()
+          while (m.find()) all += VStr(m.group())
+          if (all.isEmpty) VNull else VArr(all)
+        case Some(r: VRegex) => regexFirstMatch(r, s)
+        case _ => regexFirstMatch(compileRegex(java.util.regex.Pattern.quote(argStr(args, 0)), ""), s)
+      })
+      case "search" => VNative(name, (_, args) => args.headOption match {
+        case Some(r: VRegex) =>
+          val m = r.p.matcher(s); VNum(if (m.find()) m.start() else -1)
+        case _ => VNum(s.indexOf(argStr(args, 0)))
+      })
       case "substring" => VNative(name, (_, args) => {
         val from = math.max(0, math.min(argNum(args, 0).toInt, s.length))
         val to = args.lift(1).map(v => math.max(0, math.min(toNum(v).toInt, s.length))).getOrElse(s.length)

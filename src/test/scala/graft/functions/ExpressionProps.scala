@@ -111,6 +111,9 @@ object ExpressionProps extends Properties("graft.expressions") {
   private val piece = Gen.frequency(
     (5, word), (3, Gen.oneOf(stopwords)), (2, Gen.numStr.map(_.take(5))),
     (2, Gen.oneOf(".", ",", "!", "?", ";", ":", "..", "a.b", "x1y2", "\tq", "é")),
+    // astral (surrogate-pair) pieces: the byte-walk must count the 4-byte
+    // sequence as ONE char and ONE bpe "other", and not break tokenization
+    (1, Gen.oneOf("a💡b", "😀", "💡.💡")),
     (2, Gen.const("")))
   private val scanText: Gen[String] =
     Gen.listOf(Gen.zip(piece, Gen.choose(1, 3))).map(
@@ -139,5 +142,18 @@ object ExpressionProps extends Properties("graft.expressions") {
         .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
       val words = t.split(" +").filter(_.nonEmpty).toSeq
       got == lists.map(l => words.count(l.contains))
+    }
+
+  // cross-kernel tokenizer pin: both kernels must see the same tokens, so
+  // a stopword-hit count computed by either is identical (guards against
+  // the two byte-walks drifting apart on future edits)
+  property("TextMetricsScan.n_stop === TokenListHits([stopwords])[0]") =
+    Prop.forAll(scanText) { t =>
+      val lit = Literal(UTF8String.fromString(t), StringType)
+      val viaMetrics = TextScanOps.TextMetricsScan(lit, stopwords)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getInt(3)
+      val viaLists = TextScanOps.TokenListHits(lit, Seq(stopwords))
+        .eval(null).asInstanceOf[ArrayData].toIntArray()(0)
+      viaMetrics == viaLists
     }
 }

@@ -255,4 +255,42 @@ class MiniJsSpec extends AnyFunSuite {
         |  return JSON.stringify(o);
         |}""".stripMargin) == """{"b":2,"a":1}""")
   }
+
+  test("regex literals: test/exec, match/search/split, lexer disambiguation") {
+    assert(runS("function main() { return /\\d+/.test('abc123') + ',' + /\\d+/.test('abc'); }")
+      == "true,false")
+    assert(runS("function main() { return 'a1b22c'.match(/\\d+/g).join('|'); }") == "1|22")
+    assert(runS("function main() { const m = /(\\w+)@(\\w+)/.exec('mail bob@example now'); " +
+      "return m[1] + ':' + m[2]; }") == "bob:example")
+    assert(runS("function main() { return 'no digits'.match(/\\d/) === null ? 'null' : 'hit'; }")
+      == "null")
+    assert(runN("function main() { return 'abc def'.search(/\\s/); }") == 3)
+    assert(runS("function main() { return 'a1b,c2d;e'.split(/[,;]/).join('|'); }") == "a1b|c2d|e")
+    // `/` after a value token is DIVISION, not a regex start
+    assert(runN("function main() { const a = 10; const b = 2; return a / b / 1; }") == 5)
+    assert(runS("function main() { return /a b/.test('xa by') + ''; }") == "true")
+    assert(runS("function main() { return /[/]/.test('a/b') + ''; }") == "true")
+    assert(runS("function main() { return /AB/i.test('xaby') + ',' + /AB/.test('xaby'); }")
+      == "true,false")
+  }
+
+  test("regex replace: string and function replacements, $-references") {
+    // the reference's routing preambles lean on String.replace(/re/, ...)
+    assert(runS("function main() { return 'a1b2'.replace(/\\d/, 'X'); }") == "aXb2")
+    assert(runS("function main() { return 'a1b2'.replace(/\\d/g, 'X'); }") == "aXbX")
+    assert(runS("function main() { return 'john smith'.replace(/(\\w+) (\\w+)/, '$2 $1'); }")
+      == "smith john")
+    assert(runS("function main() { return 'ab'.replace(/b/, '[$&]'); }") == "a[b]")
+    assert(runS("function main() { return 'cost: 5$'.replace(/x?/, '$$'); }") == "$cost: 5$")
+    assert(runS("function main() { return 'a1b22'.replace(/\\d+/g, " +
+      "function(m) { return '<' + m + '>'; }); }") == "a<1>b<22>")
+    assert(runS("function main() { return 'k=v'.replace(/(\\w+)=(\\w+)/, " +
+      "(m, k, v) => k + ':' + v); }") == "k:v")
+    assert(runS("function main() { return 'aXb'.replaceAll(/x/gi, '_'); }") == "a_b")
+    // RegExp() constructor form (new-less) and dynamic patterns
+    assert(runS("function main() { const r = RegExp('c.t', 'i'); return r.test('CAT') + ''; }")
+      == "true")
+    assert(runS("function main() { return /x/g.source + '|' + /x/g.flags + '|' + /x/g.global; }")
+      == "x|g|true")
+  }
 }
