@@ -156,6 +156,27 @@ class ControlPlane(spark: SparkSession, port: Int = 0,
             case None => respond(ex, 404, s"""{"error":"table $table not sensed"}""")
           }
           case Seq("stats") => respond(ex, 200, sensor.cacheStatsJson)
+          // raw classifier evidence (reference sensing.rs evidence dump):
+          // HLL cardinality + SpaceSaving heavy hitters + reservoir sample
+          case Seq("evidence", evTail @ _*) =>
+            def evidenceJson(table: String): Option[String] =
+              sensor.evidence(table).map { case (nUnique, heavy, sampled) =>
+                val hh = heavy.map { case (f, n) =>
+                  s"""{"field":"${esc(f)}","count":$n}"""
+                }.mkString("[", ",", "]")
+                val sf = sampled.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
+                s"""{"table":"${esc(table)}","n_unique_fields":$nUnique,""" +
+                  s""""heavy_hitters":$hh,"sampled_fields":$sf}"""
+              }
+            evTail match {
+              case Seq() => respond(ex, 200,
+                sensor.evidenceTables.sorted.flatMap(evidenceJson).mkString("[", ",", "]"))
+              case Seq(table) => evidenceJson(table) match {
+                case Some(j) => respond(ex, 200, j)
+                case None => respond(ex, 404, s"""{"error":"no evidence for table $table"}""")
+              }
+              case _ => respond(ex, 404, """{"error":"not found"}""")
+            }
           case _ => respond(ex, 404, """{"error":"not found"}""")
         }
       }

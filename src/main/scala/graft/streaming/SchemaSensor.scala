@@ -259,6 +259,23 @@ class SchemaSensor(val config: SchemaSensor.Config = SchemaSensor.Config(),
     driftResults.get(table)
   def driftTables: Seq[String] = driftResults.keys.toSeq
 
+  /** Latest S-4 classifier evidence per table — the raw sketch dump the
+   * reference exposes over REST (rest-api/src/sensing.rs evidence routes;
+   * sketches from high_cardinality.rs:138-175): HLL field-name
+   * cardinality, SpaceSaving heavy hitters with counts, reservoir-sampled
+   * field names. Pushed by the pipeline's sensing stage (the output of
+   * [[SchemaSensing.observeEvidence]]). */
+  private val evidenceResults = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Seq[(String, Long)], Seq[String])]
+
+  def recordEvidence(table: String, nUniqueFields: Long,
+                     heavyHitters: Seq[(String, Long)],
+                     sampledFields: Seq[String]): Unit =
+    evidenceResults(table) = (nUniqueFields, heavyHitters, sampledFields)
+  def evidence(table: String): Option[(Long, Seq[(String, Long)], Seq[String])] =
+    evidenceResults.get(table)
+  def evidenceTables: Seq[String] = evidenceResults.keys.toSeq
+
   // ———————————————————————— JSON (REST surface) ————————————————————————
 
   private def esc(s: String): String =

@@ -145,6 +145,26 @@ class OpsSurfaceSpec extends SparkSpec {
     } finally cp.stop()
   }
 
+  test("sensing evidence REST surface: HLL + heavy hitters + reservoir dump") {
+    val sensor = new SchemaSensor()
+    // what the pipeline's sensing stage pushes: the collected row of
+    // SchemaSensing.observeEvidence (sketch outputs, driver-side k-bounded)
+    sensor.recordEvidence("events", nUniqueFields = 37L,
+      heavyHitters = Seq(("k", 1200L), ("v", 1180L), ("sess_a1b2", 3L)),
+      sampledFields = Seq("k", "v", "sess_a1b2", "sess_c3d4"))
+    val cp = new ControlPlane(spark, 0).registerSensor("p1", sensor).start()
+    val base = s"http://127.0.0.1:${cp.boundPort}/pipelines/p1"
+    try {
+      val (c1, one) = send("GET", s"$base/sensing/evidence/events")
+      assert(c1 == 200 && one.contains(""""n_unique_fields":37""") &&
+        one.contains("""{"field":"k","count":1200}""") &&
+        one.contains(""""sampled_fields":["k","v","sess_a1b2","sess_c3d4"]"""))
+      val (c2, all) = send("GET", s"$base/sensing/evidence")
+      assert(c2 == 200 && all.startsWith("""[{"table":"events""""))
+      assert(send("GET", s"$base/sensing/evidence/ghost")._1 == 404)
+    } finally cp.stop()
+  }
+
   // — metrics —
 
   test("registry scrape emits prometheus text for counters/gauges/histograms") {
