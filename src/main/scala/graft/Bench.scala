@@ -542,20 +542,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_detail":$drainDetail,"scale_probe_x10":$scaleProbe}"""
     val pw = new java.io.PrintWriter(outPath)
     try { pw.println(json) } finally { pw.close() }
-    println(json)
     spark.stop()
-    // COMPACT sentinel-prefixed FINAL stdout line, printed after
-    // spark.stop() so no Spark shutdown chatter follows it. The driver
-    // keeps only the last ~2000 chars of stdout, and the full JSON above
-    // is ~10 KB — every BENCH_r* artifact so far has parsed:null because
-    // the line's START was cut out of the tail window. The final line is
-    // therefore a compact summary (wall rounded to 3 dp, no cpu maps, no
-    // probe — those live in bench_out.json, committed per round) sized to
-    // fit the tail with its prefix intact.
+    // COMPACT FINAL stdout line, printed after spark.stop() so no Spark
+    // shutdown chatter follows it. The driver keeps only the last ~2000
+    // chars of stdout, and the full JSON above is ~10 KB — every BENCH_r*
+    // artifact so far has parsed:null because the line's START was cut out
+    // of the tail window. So the full JSON goes ONLY to bench_out.json
+    // (committed per round) and stdout carries exactly ONE bare JSON line:
+    // a compact summary (wall rounded to 3 dp, no cpu maps, no probe)
+    // sized so its opening brace stays inside the tail window even with
+    // sbt's trailing "[success]" line after it.
     val qsCompact = ok.map { case (k, w, _, _) => "\"" + k + "\":" + num3(w) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"detail":"bench_out.json"}"""
-    println(s"BENCH_JSON: $compact")
+    println(compact)
   }
 }
