@@ -44,8 +44,22 @@ import scala.collection.mutable
  * arrays carry no `index`/`input` properties, and named groups /
  * lookbehind follow Java semantics.
  *
- * Not implemented (documented): prototypes/classes,
- * generators/async, getters/setters, `new`.
+ * Classes & `new` (r9): `new F(args)` (functions get an auto-created
+ * `F.prototype`, member lookup walks the prototype chain; an explicit
+ * object return from the constructor wins), `class`/`extends`/`super(...)`
+ * /`super.m()`/`static` members/instance+static fields, `instanceof`
+ * (proto-chain walk), `f.call/apply/bind`, and an `Error`/`TypeError`/
+ * `RangeError`/`SyntaxError` hierarchy bootstrapped through the engine's
+ * own class support — `throw new Error(x)` and `e instanceof Error` (incl.
+ * engine-raised errors in catch) behave like JS. Documented divergences:
+ * a derived class's field initializers run before its constructor body
+ * (JS runs them after `super()` returns); a class constructor invoked
+ * without `new` constructs leniently instead of throwing; string
+ * conversion of objects does not consult a user `toString` (static
+ * `"[object Object]"` — call `.toString()` explicitly).
+ *
+ * Not implemented (documented): generators/async, getters/setters,
+ * `Object.create/getPrototypeOf`, `new.target`.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -71,9 +85,51 @@ object MiniJs {
     def global: Boolean = flags.contains('g')
   }
   case class VArr(items: mutable.ArrayBuffer[V]) extends V
-  case class VObj(fields: mutable.LinkedHashMap[String, V]) extends V
-  case class VFunc(params: Seq[Pat], body: Seq[Stmt], env: Env,
-                   isArrow: Boolean, thisVal: V) extends V
+  /** Plain class (not case class): JS object identity is reference identity
+   * (strictEq already used `eq`), and the prototype slot must not take part
+   * in pattern matching — `case VObj(f)` keeps working via the companion
+   * unapply and sees OWN fields only. */
+  final class VObj(val fields: mutable.LinkedHashMap[String, V]) extends V {
+    /** [[VNull]] = end of chain. Set by `new`/class evaluation only; plain
+     * object literals stay proto-less (own-key iteration, JSON.stringify,
+     * and spread all read `fields` and never see the chain). */
+    var proto: V = VNull
+  }
+  object VObj {
+    def apply(fields: mutable.LinkedHashMap[String, V]): VObj = new VObj(fields)
+    def unapply(o: VObj): Option[mutable.LinkedHashMap[String, V]] = Some(o.fields)
+  }
+  final class VFunc(val params: Seq[Pat], val body: Seq[Stmt], val env: Env,
+                    val isArrow: Boolean, val thisVal: V) extends V {
+    /** Function properties (`F.prototype`, statics). Lazy: most functions
+     * never touch them. */
+    var props: mutable.LinkedHashMap[String, V] = null
+    def propsMap: mutable.LinkedHashMap[String, V] = {
+      if (props == null) props = mutable.LinkedHashMap[String, V]()
+      props
+    }
+    /** `F.prototype`, auto-created on first access (as in JS). */
+    def prototypeObj: VObj = propsMap.getOrElseUpdate("prototype",
+      VObj(mutable.LinkedHashMap[String, V]())).asInstanceOf[VObj]
+    /** The prototype object a class METHOD was defined on (home object);
+     * `super.m` resolves through `homeProto.proto`. VNull for non-methods. */
+    var homeProto: V = VNull
+    /** Parent class function for a derived-class constructor (`super(...)`).
+     * VUndef for everything else. */
+    var superClass: V = VUndef
+    /** Instance-field initializers (name, expr) run at construction. */
+    var fieldInits: Seq[(String, Option[Expr])] = Nil
+    /** True for class constructors: `new` runs field inits; a plain call
+     * without `new` constructs leniently (covers `Error('x')`). */
+    var isClassCtor: Boolean = false
+  }
+  object VFunc {
+    def apply(params: Seq[Pat], body: Seq[Stmt], env: Env,
+              isArrow: Boolean, thisVal: V): VFunc =
+      new VFunc(params, body, env, isArrow, thisVal)
+    def unapply(f: VFunc): Option[(Seq[Pat], Seq[Stmt], Env, Boolean, V)] =
+      Some((f.params, f.body, f.env, f.isArrow, f.thisVal))
+  }
   case class VNative(name: String, fn: (V, Seq[V]) => V) extends V // (this, args)
 
   class JsError(msg: String) extends RuntimeException(msg)
@@ -117,6 +173,17 @@ object MiniJs {
   case class EMember(obj: Expr, name: String) extends Expr
   case class EIndex(obj: Expr, idx: Expr) extends Expr
   case class EDelete(target: Expr) extends Expr
+  case class ENew(callee: Expr, args: Seq[Expr]) extends Expr
+  /** `super(...)` — only valid inside a derived-class constructor. */
+  case class ESuperCall(args: Seq[Expr]) extends Expr
+  /** `super.name` — only valid inside a class method. */
+  case class ESuperMember(name: String) extends Expr
+  /** Class member: (static?, name, value-expr or field-init). */
+  case class ClassMember(static: Boolean, name: String,
+                         method: Option[(Seq[Pat], Seq[Stmt])],
+                         fieldInit: Option[Expr])
+  case class EClass(name: Option[String], parent: Option[Expr],
+                    members: Seq[ClassMember]) extends Expr
 
   sealed trait Stmt
   case class SExpr(e: Expr) extends Stmt
@@ -143,7 +210,8 @@ object MiniJs {
   private val keywords = Set("function", "return", "var", "let", "const", "if", "else",
     "while", "for", "of", "in", "break", "continue", "true", "false", "null",
     "undefined", "typeof", "delete", "this", "new", "throw", "do",
-    "try", "catch", "finally")
+    "try", "catch", "finally", "class", "extends", "super", "static",
+    "instanceof")
 
   private def tokenize(src: String): IndexedSeq[Tok] = {
     val out = mutable.ArrayBuffer[Tok]()
@@ -303,6 +371,10 @@ object MiniJs {
         val params = parseParams()
         expect("punct", "{")
         SFunc(name, params, parseStmtsUntilBrace())
+      } else if (isKw("class")) {
+        val e = parseClass()
+        val n = e.name.getOrElse(err("class declaration requires a name"))
+        SVar("let", Seq((PName(n), Some(e))))
       } else if (isKw("var") || isKw("let") || isKw("const")) {
         val kind = next().text
         val decls = Seq.newBuilder[(Pat, Option[Expr])]
@@ -597,7 +669,8 @@ object MiniJs {
     }
     private def parseRelational(): Expr = {
       var l = parseAdditive()
-      while ((peek.kind == "punct" && Set("<", "<=", ">", ">=").contains(peek.text)) || isKw("in")) {
+      while ((peek.kind == "punct" && Set("<", "<=", ">", ">=").contains(peek.text))
+        || isKw("in") || isKw("instanceof")) {
         val op = next().text; l = EBin(op, l, parseAdditive())
       }
       l
@@ -657,6 +730,45 @@ object MiniJs {
       e
     }
 
+    /** `class [Name] [extends Expr] { members }` — `class` already peeked. */
+    private def parseClass(): EClass = {
+      expectKw("class")
+      val name = if (peek.kind == "ident") Some(next().text) else None
+      val parent = if (isKw("extends")) { next(); Some(parseCallMember()) } else None
+      expect("punct", "{")
+      val members = Seq.newBuilder[ClassMember]
+      while (!isPunct("}")) {
+        if (eatPunct(";")) ()
+        else {
+          val static = isKw("static") && { next(); true }
+          val nameTok = next()
+          val mname = nameTok.kind match {
+            case "ident" | "kw" | "str" | "num" => nameTok.text
+            case _ => err("bad class member name")
+          }
+          if ((mname == "get" || mname == "set") && !isPunct("(") && !isPunct("="))
+            err("class getters/setters are not supported")
+          if (isPunct("(")) { // method
+            val params = parseParams()
+            expect("punct", "{")
+            members += ClassMember(static, mname, Some((params, parseStmtsUntilBrace())), None)
+          } else if (eatPunct("=")) { // field
+            val init = parseAssign()
+            eatPunct(";")
+            members += ClassMember(static, mname, None, Some(init))
+          } else { // bare field declaration: `x;` / `x` — initialized undefined
+            eatPunct(";")
+            members += ClassMember(static, mname, None, None)
+          }
+        }
+      }
+      expect("punct", "}")
+      EClass(name, parent, members.result())
+    }
+
+    private def expectKw(k: String): Unit =
+      if (isKw(k)) next() else err(s"expected '$k'")
+
     private def parsePrimary(): Expr = {
       val t = peek
       t.kind match {
@@ -680,6 +792,55 @@ object MiniJs {
             val params = parseParams()
             expect("punct", "{")
             EFunc(params, parseStmtsUntilBrace(), isArrow = false)
+          case "class" => parseClass()
+          case "new" =>
+            next()
+            // NewExpression: member accesses bind tighter than the ctor
+            // call (`new a.b.C(x)`); further chaining (`new C().m()`) is
+            // picked up by the enclosing parseCallMember loop.
+            var callee = parsePrimary()
+            var m = true
+            while (m) {
+              if (eatPunct(".")) {
+                val pt = next()
+                if (pt.kind != "ident" && pt.kind != "kw") err("expected property name")
+                callee = EMember(callee, pt.text)
+              } else if (isPunct("[")) {
+                next(); val idx = parseExpr(); expect("punct", "]")
+                callee = EIndex(callee, idx)
+              } else m = false
+            }
+            val args = Seq.newBuilder[Expr]
+            if (eatPunct("(")) {
+              if (!isPunct(")")) {
+                var more = true
+                while (more) {
+                  args += (if (eatPunct("...")) ESpread(parseAssign()) else parseAssign())
+                  more = eatPunct(",")
+                }
+              }
+              expect("punct", ")")
+            }
+            ENew(callee, args.result())
+          case "super" =>
+            next()
+            if (isPunct("(")) {
+              next()
+              val args = Seq.newBuilder[Expr]
+              if (!isPunct(")")) {
+                var more = true
+                while (more) {
+                  args += (if (eatPunct("...")) ESpread(parseAssign()) else parseAssign())
+                  more = eatPunct(",")
+                }
+              }
+              expect("punct", ")")
+              ESuperCall(args.result())
+            } else if (eatPunct(".")) {
+              val pt = next()
+              if (pt.kind != "ident" && pt.kind != "kw") err("expected property name")
+              ESuperMember(pt.text)
+            } else err("'super' must be called or member-accessed")
           case other => err(s"unexpected keyword '$other'")
         }
         case "punct" => t.text match {
@@ -762,6 +923,34 @@ object MiniJs {
     private var depth = 0
     val consoleLog = mutable.ArrayBuffer[String]()
     Builtins.install(global, this)
+    // Error hierarchy bootstrapped through the engine's own class support,
+    // so `throw new Error(x)`, `e instanceof TypeError`, and subclassing
+    // (`class MyErr extends Error`) all behave like JS. `Error('x')`
+    // without `new` constructs too (lenient class-ctor call).
+    eval(
+      """class Error {
+        |  constructor(message) {
+        |    this.name = 'Error';
+        |    this.message = message === undefined ? '' : String(message);
+        |    this.stack = '';
+        |  }
+        |  toString() { return this.message === '' ? this.name : this.name + ': ' + this.message; }
+        |}
+        |class TypeError extends Error { constructor(m) { super(m); this.name = 'TypeError'; } }
+        |class RangeError extends Error { constructor(m) { super(m); this.name = 'RangeError'; } }
+        |class SyntaxError extends Error { constructor(m) { super(m); this.name = 'SyntaxError'; } }
+        |""".stripMargin)
+    resetBudget()
+
+    /** Engine errors surfaced to script catch blocks as real Error
+     * instances (instanceof Error works on them). */
+    def makeError(msg: String): V =
+      if (global.has("Error")) global.get("Error") match {
+        case f: VFunc => construct(f, Seq(VStr(msg)))
+        case _ => VObj(mutable.LinkedHashMap[String, V](
+          "name" -> VStr("Error"), "message" -> VStr(msg)))
+      } else VObj(mutable.LinkedHashMap[String, V](
+        "name" -> VStr("Error"), "message" -> VStr(msg)))
 
     private def tick(): Unit = {
       steps += 1
@@ -791,6 +980,11 @@ object MiniJs {
       if (depth > maxDepth) { depth -= 1; throw new JsError("js: recursion too deep") }
       try {
         val env = new Env(f.env)
+        // `super` resolution is lexical through these hidden bindings:
+        // arrows capture the enclosing env, so super works inside arrow
+        // bodies in methods (correct JS semantics) for free.
+        if (f.superClass != VUndef) env.define("__superclass__", f.superClass)
+        if (f.homeProto != VNull) env.define("__homeproto__", f.homeProto)
         f.params.zipWithIndex.foreach {
           case (PRest(name), i) =>
             env.define(name, VArr(mutable.ArrayBuffer(args.drop(i): _*)))
@@ -802,6 +996,98 @@ object MiniJs {
         try { execBlock(f.body, env, self); VUndef }
         catch { case ReturnSignal(v) => v }
       } finally depth -= 1
+    }
+
+    /** `super.name` — method lookup starting ABOVE the defining prototype. */
+    private def superMember(env: Env, name: String): V = {
+      if (!env.has("__homeproto__"))
+        throw new JsError("js: 'super' is only valid inside a class method")
+      env.get("__homeproto__") match {
+        case home: VObj => protoLookup(home.proto, name).getOrElse(VUndef)
+        case _ => throw new JsError("js: 'super' is only valid inside a class method")
+      }
+    }
+
+    /** Walk a prototype chain for `name` (own fields at each hop). */
+    private def protoLookup(start: V, name: String): Option[V] = {
+      var cur = start
+      var hops = 0
+      while (hops < 1000) {
+        cur match {
+          case o: VObj =>
+            o.fields.get(name) match {
+              case some @ Some(_) => return some
+              case None => cur = o.proto; hops += 1
+            }
+          case _ => return None
+        }
+      }
+      None
+    }
+
+    /** `new F(args)`: fresh object wired to F.prototype, field inits +
+     * constructor body run on it; an explicit object/array return wins
+     * (as in JS). */
+    def construct(f: VFunc, args: Seq[V]): V = {
+      val obj = VObj(mutable.LinkedHashMap[String, V]())
+      obj.proto = f.prototypeObj
+      val r = constructInto(f, obj, args)
+      r match { case o: VObj => o; case a: VArr => a; case _ => obj }
+    }
+
+    /** Run `f`'s construction steps against an EXISTING `this` — the
+     * `super(...)` path (parent fields + parent ctor body on the same
+     * object). Field-init timing: this class's fields run before its ctor
+     * body (for a derived class JS runs them after super() returns; scripts
+     * whose fields read super-initialized state see a documented
+     * divergence). */
+    def constructInto(f: VFunc, obj: VObj, args: Seq[V]): V = {
+      f.fieldInits.foreach { case (n, init) =>
+        obj.fields(n) = init.map(e => evalExpr(e, f.env, obj)).getOrElse(VUndef)
+      }
+      callFunction(f, obj, args)
+    }
+
+    /** Class evaluation: prototype object holding methods (chained to the
+     * parent's), constructor function carrying statics + field inits. */
+    private def evalClass(parentE: Option[Expr], members: Seq[ClassMember],
+                          env: Env, thisVal: V): V = {
+      val parentV = parentE.map(e => evalExpr(e, env, thisVal))
+      val protoObj = VObj(mutable.LinkedHashMap[String, V]())
+      parentV.foreach {
+        case pf: VFunc => protoObj.proto = pf.prototypeObj
+        case _: VNative => () // extends a native ctor: no proto to chain
+        case other => throw new JsError(s"js: class extends ${typeOf(other)} — not a constructor")
+      }
+      val ctorM = members.find(m => !m.static && m.name == "constructor" && m.method.isDefined)
+      val ctor = ctorM.flatMap(_.method) match {
+        case Some((params, body)) => VFunc(params, body, env, isArrow = false, VUndef)
+        case None =>
+          // default ctor; derived default forwards every arg to super
+          if (parentV.isDefined)
+            VFunc(Seq(PRest("args")), Seq(SExpr(ESuperCall(Seq(ESpread(EIdent("args")))))),
+              env, isArrow = false, VUndef)
+          else VFunc(Nil, Nil, env, isArrow = false, VUndef)
+      }
+      ctor.isClassCtor = true
+      ctor.homeProto = protoObj
+      parentV.foreach(p => ctor.superClass = p)
+      ctor.propsMap("prototype") = protoObj
+      protoObj.fields("constructor") = ctor
+      ctor.fieldInits = members.collect {
+        case ClassMember(false, n, None, init) => (n, init)
+      }
+      members.foreach {
+        case ClassMember(false, "constructor", Some(_), _) => ()
+        case ClassMember(static, n, Some((params, body)), _) =>
+          val m = VFunc(params, body, env, isArrow = false, VUndef)
+          m.homeProto = protoObj
+          if (static) ctor.propsMap(n) = m else protoObj.fields(n) = m
+        case ClassMember(true, n, None, init) => // static field
+          ctor.propsMap(n) = init.map(e => evalExpr(e, env, thisVal)).getOrElse(VUndef)
+        case _ => ()
+      }
+      ctor
     }
 
     /** Evaluate an expr list expanding `...spread` items (arrays, strings). */
@@ -940,12 +1226,12 @@ object MiniJs {
                 param.foreach(henv.define(_, v))
                 execBlock(handler.get, henv, thisVal)
               case err: JsError if handler.isDefined && !err.getMessage.contains("step budget") =>
-                // engine errors surface as Error-shaped objects; the step
-                // budget is NOT catchable (a script could loop forever
-                // swallowing it — the next tick outside the try re-throws)
+                // engine errors surface as real Error instances (instanceof
+                // Error holds); the step budget is NOT catchable (a script
+                // could loop forever swallowing it — the next tick outside
+                // the try re-throws)
                 val henv = new Env(env)
-                param.foreach(p => henv.define(p, VObj(mutable.LinkedHashMap(
-                  "name" -> VStr("Error"), "message" -> VStr(err.getMessage)))))
+                param.foreach(p => henv.define(p, makeError(err.getMessage)))
                 execBlock(handler.get, henv, thisVal)
             }
           } finally finalizer.foreach(f => execBlock(f, new Env(env), thisVal))
@@ -1023,10 +1309,36 @@ object MiniJs {
           val idx = evalExpr(idxE, env, thisVal)
           val argv = spreadArgs(args, env, thisVal)
           callValue(member(obj, toPropName(idx)), obj, argv, "computed")
+        case ECall(ESuperMember(name), args) =>
+          val argv = spreadArgs(args, env, thisVal)
+          callValue(superMember(env, name), thisVal, argv, s"super.$name")
         case ECall(callee, args) =>
           val f = evalExpr(callee, env, thisVal)
           val argv = spreadArgs(args, env, thisVal)
           callValue(f, VUndef, argv, callee match { case EIdent(n) => n; case _ => "anonymous" })
+        case ENew(callee, args) =>
+          val f = evalExpr(callee, env, thisVal)
+          val argv = spreadArgs(args, env, thisVal)
+          f match {
+            case fn: VFunc => construct(fn, argv)
+            case VNative(_, nat) => nat(VUndef, argv) // new Error(...) ≡ Error(...)
+            case other => throw new JsError(s"js: ${typeOf(other)} is not a constructor")
+          }
+        case EClass(_, parentE, members) => evalClass(parentE, members, env, thisVal)
+        case ESuperCall(args) =>
+          val argv = spreadArgs(args, env, thisVal)
+          if (!env.has("__superclass__"))
+            throw new JsError("js: 'super' is only valid in a derived-class constructor")
+          env.get("__superclass__") match {
+            case parent: VFunc => thisVal match {
+              case obj: VObj => constructInto(parent, obj, argv); VUndef
+              case _ => throw new JsError("js: super() outside a construction")
+            }
+            case VNative(_, nat) => // class extends a native ctor (Error bootstrap)
+              nat(thisVal, argv); VUndef
+            case _ => throw new JsError("js: 'super' is only valid in a derived-class constructor")
+          }
+        case ESuperMember(name) => superMember(env, name)
         case EMember(objE, name) => member(evalExpr(objE, env, thisVal), name)
         case EIndex(objE, idxE) =>
           val obj = evalExpr(objE, env, thisVal)
@@ -1049,6 +1361,10 @@ object MiniJs {
     }
 
     def callValue(f: V, thisVal: V, args: Seq[V], name: String): V = f match {
+      // a class ctor invoked as a plain call constructs (lenient — real JS
+      // throws, but this keeps `Error('x')`-style usage working)
+      case fn: VFunc if fn.isClassCtor && (thisVal == VUndef || thisVal == VNull) =>
+        construct(fn, args)
       case fn: VFunc => callFunction(fn, thisVal, args)
       case VNative(_, fn) => fn(thisVal, args)
       case other => throw new JsError(s"js: $name is not a function (got ${typeOf(other)})")
@@ -1064,7 +1380,8 @@ object MiniJs {
     }
 
     private def setMember(obj: V, name: String, v: V): Unit = obj match {
-      case VObj(f) => f(name) = v
+      case VObj(f) => f(name) = v // assignment always creates an OWN property
+      case f: VFunc => f.propsMap(name) = v // statics, F.prototype = {...}
       case VArr(a) =>
         if (name == "length") {
           val n = toNum(v).toInt
@@ -1080,7 +1397,28 @@ object MiniJs {
     }
 
     def member(obj: V, name: String): V = obj match {
-      case VObj(f) => f.getOrElse(name, Builtins.objectMethod(obj, name))
+      case o: VObj =>
+        o.fields.getOrElse(name,
+          protoLookup(o.proto, name).getOrElse(Builtins.objectMethod(obj, name)))
+      case f: VFunc => name match {
+        case "prototype" => f.prototypeObj
+        case "call" => VNative("call", (_, args) =>
+          callFunction(f, args.headOption.getOrElse(VUndef), args.drop(1)))
+        case "apply" => VNative("apply", (_, args) => {
+          val argv = args.lift(1) match {
+            case Some(VArr(a)) => a.toSeq
+            case _ => Nil
+          }
+          callFunction(f, args.headOption.getOrElse(VUndef), argv)
+        })
+        case "bind" => VNative("bind", (_, args) => {
+          val boundThis = args.headOption.getOrElse(VUndef)
+          val bound = args.drop(1)
+          VNative("bound", (_, callArgs) => callFunction(f, boundThis, bound ++ callArgs))
+        })
+        case _ =>
+          if (f.props != null) f.props.getOrElse(name, VUndef) else VUndef
+      }
       case VArr(a) =>
         if (name == "length") VNum(a.length)
         else name.toIntOption match {
@@ -1254,6 +1592,24 @@ object MiniJs {
       case VObj(f) => VBool(f.contains(toStr(l)))
       case VArr(a) => VBool(toStr(l).toIntOption.exists(i => i >= 0 && i < a.length))
       case _ => throw new JsError("js: 'in' needs an object")
+    }
+    case "instanceof" => r match {
+      case f: VFunc =>
+        val target = if (f.props != null) f.props.getOrElse("prototype", VUndef) else VUndef
+        var cur: V = l match { case o: VObj => o.proto; case _ => VNull }
+        var found = false
+        var hops = 0 // proto cycles are constructible; bound the walk
+        while (!found && hops < 1000) {
+          cur match {
+            case o: VObj =>
+              if (target match { case t: VObj => t eq o; case _ => false }) found = true
+              else { cur = o.proto; hops += 1 }
+            case _ => hops = 1000
+          }
+        }
+        VBool(found)
+      case _: VNative => VBool(false) // native ctors produce primitives here
+      case _ => throw new JsError("js: right-hand side of 'instanceof' is not callable")
     }
     case other => throw new JsError(s"js: unsupported operator '$other'")
   }

@@ -293,4 +293,103 @@ class MiniJsSpec extends AnyFunSuite {
     assert(runS("function main() { return /x/g.source + '|' + /x/g.flags + '|' + /x/g.global; }")
       == "x|g|true")
   }
+
+  test("new: constructor functions, prototype methods, explicit-return override") {
+    assert(runS(
+      """function Point(x, y) { this.x = x; this.y = y; }
+        |Point.prototype.sum = function() { return this.x + this.y; };
+        |function main() { const p = new Point(3, 4); return p.x + ',' + p.sum(); }""".stripMargin)
+      == "3,7")
+    // prototype mutation AFTER construction is visible (real delegation, not a copy)
+    assert(runN(
+      """function F() {}
+        |function main() { const a = new F(); F.prototype.v = 42; return a.v; }""".stripMargin) == 42)
+    // an explicit object return from the constructor wins
+    assert(runS(
+      """function G() { return { tag: 'other' }; }
+        |function main() { return new G().tag; }""".stripMargin) == "other")
+    // own-key iteration and JSON see OWN fields only, never the chain
+    assert(runS(
+      """function H() { this.own = 1; }
+        |H.prototype.inherited = 2;
+        |function main() { return Object.keys(new H()).join(',') + '|' + JSON.stringify(new H()); }"""
+        .stripMargin) == "own|{\"own\":1}")
+  }
+
+  test("class: methods, fields, statics, getter-free instances") {
+    assert(runS(
+      """class Counter {
+        |  count = 0;
+        |  static label = 'ctr';
+        |  constructor(start) { if (start !== undefined) this.count = start; }
+        |  inc(by) { this.count += by === undefined ? 1 : by; return this; }
+        |  value() { return this.count; }
+        |  static make() { return new Counter(100); }
+        |}
+        |function main() {
+        |  const c = new Counter(5);
+        |  c.inc().inc(10);
+        |  return c.value() + '|' + Counter.label + '|' + Counter.make().value();
+        |}""".stripMargin) == "16|ctr|100")
+  }
+
+  test("class: extends, super(...) and super.m(), instanceof through the chain") {
+    assert(runS(
+      """class Animal {
+        |  constructor(name) { this.name = name; }
+        |  speak() { return this.name + ' makes a sound'; }
+        |}
+        |class Dog extends Animal {
+        |  constructor(name) { super(name); this.kind = 'dog'; }
+        |  speak() { return super.speak() + ': woof'; }
+        |}
+        |function main() {
+        |  const d = new Dog('rex');
+        |  return d.speak() + '|' + (d instanceof Dog) + (d instanceof Animal) +
+        |    (new Animal('x') instanceof Dog);
+        |}""".stripMargin) == "rex makes a sound: woof|truetruefalse")
+    // default derived constructor forwards args to super
+    assert(runS(
+      """class A { constructor(v) { this.v = v; } }
+        |class B extends A {}
+        |function main() { return new B(7).v; }""".stripMargin) == "7")
+  }
+
+  test("Error hierarchy: throw new Error, instanceof, engine errors are Errors") {
+    assert(runS(
+      """function main() {
+        |  try { throw new TypeError('bad type'); }
+        |  catch (e) {
+        |    return e.message + '|' + e.name + '|' + (e instanceof TypeError) +
+        |      (e instanceof Error) + '|' + e.toString();
+        |  }
+        |}""".stripMargin) == "bad type|TypeError|truetrue|TypeError: bad type")
+    // engine-raised errors (undefined reference) are instanceof Error too
+    assert(runS(
+      """function main() {
+        |  try { return noSuchThing; }
+        |  catch (e) { return (e instanceof Error) + ''; }
+        |}""".stripMargin) == "true")
+    // Error('x') without new constructs leniently
+    assert(runS("function main() { return Error('x').message; }") == "x")
+    // user subclass of Error
+    assert(runS(
+      """class ParseFail extends Error {
+        |  constructor(line) { super('bad line ' + line); this.name = 'ParseFail'; this.line = line; }
+        |}
+        |function main() {
+        |  try { throw new ParseFail(3); }
+        |  catch (e) { return e.name + '|' + e.line + '|' + (e instanceof Error); }
+        |}""".stripMargin) == "ParseFail|3|true")
+  }
+
+  test("call/apply/bind") {
+    assert(runS(
+      """function greet(punct) { return 'hi ' + this.name + punct; }
+        |function main() {
+        |  const bound = greet.bind({ name: 'c' }, '?');
+        |  return greet.call({ name: 'a' }, '!') + '|' +
+        |    greet.apply({ name: 'b' }, ['.']) + '|' + bound();
+        |}""".stripMargin) == "hi a!|hi b.|hi c?")
+  }
 }
