@@ -486,6 +486,45 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "ann_pq_adc" -> ((s, dir) => {
+      // Product-quantization ANN (functions/PqOps): the corpus's M=8
+      // 8-dim sub-vectors each quantize to one of ksub=16 codebook
+      // centroids; a query scores vectors through its M×ksub distance
+      // TABLE (Σ_m table[m][code_m] — pure lookups, the FAISS ADC shape).
+      // At 100 TB this is the candidate-generation tier: codes are 8 bytes
+      // (32× under float32), the table is driver-bounded, the scan is one
+      // narrow codegen'd pass with zero shuffle before the final top-k;
+      // the ADC shortlist re-ranks exactly on the float originals.
+      // Codebook = the ksub md5-first corpus vectors sliced per subspace
+      // (deterministic, oracle-reproducible; production would k-means the
+      // codebook — recall with a trained one is spec-tested, the oracle
+      // pins the ADC machinery itself).
+      import graft.functions.PqOps
+      val emb = t(s, dir, "embeddings")
+      val M = 8; val ksub = 16; val dsub = 8
+      val seeds = emb.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+        .limit(ksub).select("embedding").collect() // ksub rows — driver-bounded
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      val cb = Array.ofDim[Double](M * ksub * dsub)
+      for (m <- 0 until M; j <- 0 until ksub; i <- 0 until dsub)
+        cb((m * ksub + j) * dsub + i) = seeds(j)(m * dsub + i)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Number](0).map(_.doubleValue()).toArray // one bounded row
+      val qt = Array.ofDim[Double](M * ksub)
+      for (m <- 0 until M; j <- 0 until ksub) {
+        var s2 = 0.0; var i = 0
+        while (i < dsub) {
+          val d = qv(m * dsub + i) - cb((m * ksub + j) * dsub + i); s2 += d * d; i += 1
+        }
+        qt(m * ksub + j) = s2
+      }
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          PqOps.adc(col("embedding"), cb, qt, M, ksub, dsub).as("_adc"))
+        .orderBy(col("_adc"), col("vec_id")).limit(20)
+        .select(col("vec_id"), round(col("_adc"), 6).as("adc_dist"))
+    }),
+
     "data_split" -> ((s, dir) => {
       // deterministic hash-based train/test split — reproducible in ANY
       // engine with md5 (the sharding every training pipeline needs; no
@@ -1047,6 +1086,30 @@ object SparkEntry {
         |  round(list_cosine_similarity(v, deq), 6) AS cos_rt,
         |  round(list_max(list_transform(list_zip(v, deq), p -> abs(p[1] - p[2]))), 9) AS max_err
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // Every float op is double-typed and element-ordered on both sides:
+    // DuckDB list_sum is sequential left-to-right (probed v1.0.0), the
+    // PqAdc kernel sums in the same order; argmin ties go to the lower j
+    // on both sides (strict < vs row_number ORDER BY d, j); the ADC sum
+    // runs in subspace order via list(d ORDER BY m).
+    "ann_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |ms AS (SELECT unnest(range(8)) AS m),
+        |cb AS (SELECT ms.m, s.j, list_slice(s.v, ms.m*8+1, ms.m*8+8) AS c FROM seeds s CROSS JOIN ms),
+        |dist AS (SELECT e.vec_id, cb.m, cb.j,
+        |    list_sum(list_transform(list_zip(list_slice(e.v, cb.m*8+1, cb.m*8+8), cb.c),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        |  FROM e CROSS JOIN cb),
+        |codes AS (SELECT vec_id, m, j FROM (
+        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk FROM dist)
+        |  WHERE rk = 1),
+        |qt AS (SELECT m, j, d FROM dist WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, list_sum(list(q.d ORDER BY c.m)) AS adc_dist
+        |        FROM codes c JOIN qt q ON c.m = q.m AND c.j = q.j
+        |        WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc_dist, 6) AS adc_dist FROM adc ORDER BY adc.adc_dist, vec_id LIMIT 20""".stripMargin,
 
     "data_split" ->
       """WITH b AS (SELECT doc_id,

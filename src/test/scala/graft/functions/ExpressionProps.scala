@@ -156,4 +156,57 @@ object ExpressionProps extends Properties("graft.expressions") {
         .eval(null).asInstanceOf[ArrayData].toIntArray()(0)
       viaMetrics == viaLists
     }
+
+  // ——— product quantization (PqOps) ———
+
+  private val pqM = 4; private val pqK = 3; private val pqD = 2
+  private val pqVec = Gen.listOfN(pqM * pqD, Gen.chooseNum(-2.0f, 2.0f))
+  private val pqCb = Gen.listOfN(pqM * pqK * pqD, Gen.chooseNum(-2.0, 2.0))
+  private val pqQt = Gen.listOfN(pqM * pqK, Gen.chooseNum(0.0, 8.0))
+
+  /** Reference implementation: per-subspace sequential-sum argmin (ties →
+   * lower j), ADC = table lookups summed in subspace order. */
+  private def pqRef(v: Array[Float], cb: Array[Double], qt: Array[Double])
+      : (Seq[Int], Double) = {
+    val codes = (0 until pqM).map { m =>
+      var best = Double.PositiveInfinity; var bj = 0
+      for (j <- 0 until pqK) {
+        var s = 0.0
+        for (i <- 0 until pqD) {
+          val d = v(m * pqD + i).toDouble - cb((m * pqK + j) * pqD + i); s += d * d
+        }
+        if (s < best) { best = s; bj = j }
+      }
+      bj
+    }
+    (codes, codes.zipWithIndex.map { case (j, m) => qt(m * pqK + j) }.sum)
+  }
+
+  private def floatLit(v: Seq[Float]) =
+    Literal(new GenericArrayData(v.toArray[Float]), ArrayType(FloatType))
+
+  property("PqCodes equals sequential-argmin reference (ties to lower j)") =
+    Prop.forAll(pqVec, pqCb) { (v, cb) =>
+      val got = PqOps.PqCodes(floatLit(v), cb.toArray, pqM, pqK, pqD)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      got == pqRef(v.toArray, cb.toArray, new Array[Double](pqM * pqK))._1
+    }
+
+  property("PqAdc = Σ_m qtable[m][PqCodes[m]] exactly") =
+    Prop.forAll(pqVec, pqCb, pqQt) { (v, cb, qt) =>
+      val got = PqOps.PqAdc(floatLit(v), cb.toArray, qt.toArray, pqM, pqK, pqD)
+        .eval(null).asInstanceOf[Double]
+      // same codes (pinned by the PqCodes property) + same m-order sum →
+      // bit-equal
+      got == pqRef(v.toArray, cb.toArray, qt.toArray)._2
+    }
+
+  property("PqCodes ties break to the LOWER code index") =
+    Prop.forAll(pqVec) { v =>
+      // every centroid identical → all distances tie → code 0 everywhere
+      val cb = Array.fill(pqM * pqK * pqD)(0.25)
+      val got = PqOps.PqCodes(floatLit(v), cb, pqM, pqK, pqD)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      got == Seq.fill(pqM)(0)
+    }
 }

@@ -175,4 +175,64 @@ class DedupSimilaritySpec extends SparkSpec {
     // docs 0,1,3 are one cluster (survivor 0); 2 and 4 stand alone
     assert(survivors.toSeq == Seq(0L, 2L, 4L))
   }
+
+  test("PQ/ADC: codegen path matches interpreted eval; candidates carry real recall") {
+    import graft.functions.PqOps
+    import spark.implicits._
+    // 120 vectors in 3 tight clusters (dim 8 → M=4 subspaces of 2),
+    // deterministic jitter; query sits in cluster 0
+    def jitter(id: Long, pos: Int): Float = {
+      val h = graft.functions.ReservoirSample.priority(s"pq:$id:$pos")
+      ((h & 0xff).toFloat / 255f - 0.5f) * 0.3f
+    }
+    val dim = 8; val M = 4; val dsub = 2; val ksub = 4
+    val vecs = (0L until 120L).map { id =>
+      val axis = (id % 3).toInt
+      id -> Array.tabulate(dim)(p => (if (p == axis * 2) 4.0f else 0.5f) + jitter(id, p))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // codebook: first ksub vectors' slices (deterministic, like the query)
+    val cb = Array.ofDim[Double](M * ksub * dsub)
+    for (m <- 0 until M; j <- 0 until ksub; i <- 0 until dsub)
+      cb((m * ksub + j) * dsub + i) = vecs(j)._2(m * dsub + i).toDouble
+    val qv = vecs.head._2.map(_.toDouble)
+    val qt = Array.ofDim[Double](M * ksub)
+    for (m <- 0 until M; j <- 0 until ksub) {
+      var s = 0.0
+      for (i <- 0 until dsub) {
+        val d = qv(m * dsub + i) - cb((m * ksub + j) * dsub + i); s += d * d
+      }
+      qt(m * ksub + j) = s
+    }
+
+    // codegen (DataFrame) result == direct interpreted eval, bit-for-bit
+    val viaDf = df.select(col("vec_id"),
+        PqOps.adc(col("embedding"), cb, qt, M, ksub, dsub).as("d"),
+        PqOps.codes(col("embedding"), cb, M, ksub, dsub).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2).toList))).toMap
+    vecs.foreach { case (id, v) =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+      val d = PqOps.PqAdc(lit, cb, qt, M, ksub, dsub).eval(null).asInstanceOf[Double]
+      val c = PqOps.PqCodes(lit, cb, M, ksub, dsub).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toList
+      assert(viaDf(id) == ((d, c)), s"codegen/interpreted mismatch for vec $id")
+    }
+
+    // the plan is a pure narrow scan — no exchange before the top-k
+    val plan = df.select(col("vec_id"),
+      PqOps.adc(col("embedding"), cb, qt, M, ksub, dsub).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+
+    // recall: ADC top-20 candidates vs exact cosine top-10 — the shortlist
+    // the float re-rank would consume must contain most true neighbors
+    val exact = Similarity.topK(df, qv.toSeq, 10).select("vec_id").as[Long].collect().toSet
+    val adcTop = viaDf.toSeq.sortBy { case (id, (d, _)) => (d, id) }
+      .take(20).map(_._1).toSet
+    val recall = exact.intersect(adcTop).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ADC recall@20 too low: $recall")
+  }
 }
