@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.functions.TextHashOps
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming deduplication for a document stream — the ingest-time half of
+ * the batch dedup family ([[graft.llm.Dedup]]): suppress exact duplicates
+ * and surface NEAR-duplicate candidates while the corpus streams in, so a
+ * training-data pipeline never materializes the duplicated bytes at all.
+ *
+ * Two tiers, mirroring the batch design:
+ *
+ *  1. '''Exact''' — a normalized-text fingerprint + Structured Streaming's
+ *     `dropDuplicatesWithinWatermark`: built-in, state = one fingerprint
+ *     per doc inside the watermark, evicted by the engine. At 100 TB the
+ *     state is #docs-in-watermark × 8-byte hash — sketch-sized, not
+ *     corpus-sized.
+ *  2. '''Near-dup''' — banded MinHash with per-bucket keyed state
+ *     (`flatMapGroupsWithState`, the same surface as
+ *     [[StatefulSessionize]]): each doc's k-perm signature is banded; each
+ *     (band, bucket) group keeps a BOUNDED buffer of (docId, signature)
+ *     canonicals; an arriving doc whose signature agrees with a stored one
+ *     on ≥ threshold of the k perms emits a candidate pair. Duplicates are
+ *     NOT added to state (the canonical stays), so a burst of repeats
+ *     costs zero state growth. The emitted stream is candidate PAIRS —
+ *     the same contract as the batch `minhashCandidates` — so downstream
+ *     can verify exactly (shingle Jaccard) or act directly.
+ *
+ * Scale shape: a doc fans out to `bands` keyed groups (narrow explode +
+ * one shuffle on the bucket key — exactly the batch LSH shuffle, but
+ * incremental); state per bucket is capped at `maxPerBucket` entries and
+ * idle buckets expire via processing-time timeout. The per-perm equality
+ * fraction is the standard unbiased MinHash estimate of Jaccard.
+ */
+object StreamingDedup {
+
+  /** One (doc × band) routing record. */
+  case class BandedDoc(docId: Long, band: Int, bucket: Long, sig: Array[Long])
+  /** A bucket's bounded canonical buffer. */
+  case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+  /** Candidate near-dup pair: `docId` agreed with earlier `dupOf` on
+   * `estJaccard` (fraction of equal perms) in `band`'s bucket. */
+  case class DupCandidate(docId: Long, dupOf: Long, estJaccard: Double, band: Int)
+
+  /** Exact streaming dedup: content-fingerprint
+   * `dropDuplicatesWithinWatermark` (same raw-text hash contract as the
+   * batch `Dedup.exact`). `tsCol` must be a timestamp column; repeats
+   * arriving inside the watermark are dropped. */
+  def exactDeduped(docs: DataFrame, textCol: String = "text",
+                   tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_fp", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
+  /**
+   * Pure per-bucket update step — the unit-testable core of the stateful
+   * operator. Incoming docs are processed in docId order (deterministic
+   * under micro-batch re-grouping); each is compared against the stored
+   * canonicals, emitting at most one candidate (best estimate, tie → the
+   * EARLIEST canonical); non-duplicates join the buffer, evicting the
+   * oldest entry past `maxPerBucket`.
+   */
+  def updateBucket(state: Option[BucketState], incoming: Seq[(Long, Array[Long])],
+                   threshold: Double, maxPerBucket: Int, band: Int)
+      : (Seq[DupCandidate], Option[BucketState]) = {
+    var ids = state.map(_.ids.toVector).getOrElse(Vector.empty)
+    var sigs = state.map(_.sigs.toVector).getOrElse(Vector.empty)
+    val out = Seq.newBuilder[DupCandidate]
+    incoming.sortBy(_._1).foreach { case (id, sig) =>
+      var bestEst = -1.0
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < ids.length) {
+        if (ids(i) != id) {
+          val stored = sigs(i)
+          val k = math.min(sig.length, stored.length)
+          var eq = 0; var p = 0
+          while (p < k) { if (sig(p) == stored(p)) eq += 1; p += 1 }
+          val est = if (k == 0) 0.0 else eq.toDouble / k
+          if (est > bestEst || (est == bestEst && ids(i) < bestId)) {
+            bestEst = est; bestId = ids(i)
+          }
+        }
+        i += 1
+      }
+      if (bestEst >= threshold) {
+        out += DupCandidate(id, bestId, bestEst, band)
+        // canonical stays; the duplicate is not stored
+      } else if (!ids.contains(id)) {
+        ids :+= id; sigs :+= sig
+        if (ids.length > maxPerBucket) { ids = ids.tail; sigs = sigs.tail }
+      }
+    }
+    val newState =
+      if (ids.isEmpty) None else Some(BucketState(ids.toArray, sigs.map(identity).toArray))
+    (out.result(), newState)
+  }
+
+  /**
+   * Near-dup candidate stream. `docs` is a (streaming) DataFrame with an
+   * id column and a text column; emits [[DupCandidate]] records in Append
+   * mode. `stateTimeoutMs > 0` expires idle buckets (production mode —
+   * tests pass 0 and rely on explicit emission, like sessionize).
+   */
+  def nearDupCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7, maxPerBucket: Int = 8,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        stateTimeoutMs: Long = 3600000L): Dataset[DupCandidate] = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val sig = TextHashOps.minhashSignature(
+      TextHashOps.xxhash64Array(Dedup.shingleSet(col(textCol))), k)
+    val banded = docs
+      .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
+      .select(col("docId"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
+        }: _*)).as(Seq("band", "bucket")))
+      .as[BandedDoc]
+    val timeoutConf =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[BucketState]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case ((band, _), ds, state: GroupState[BucketState]) =>
+          val (emits, newState) = updateBucket(
+            state.getOption, ds.map(d => (d.docId, d.sig)).toSeq,
+            threshold, maxPerBucket, band)
+          newState match {
+            case Some(s) =>
+              state.update(s)
+              if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+            case None => if (state.exists) state.remove()
+          }
+          emits.iterator
+      }
+  }
+}
