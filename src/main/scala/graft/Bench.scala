@@ -281,6 +281,8 @@ object Bench {
         "inherent: full MySQL wire decode of ~1.5M events; linear (~7.5x from x1). Measured in a fresh child JVM (fresh_jvm_remeasured) — long-JVM JIT/heap phase inflated the in-JVM read 3x (r8: 489.6 vs 165 steady state)",
       "cdc_pgoutput_decode" ->
         "inherent: full pgoutput wire decode of ~1.5M events; linear",
+      "cdc_envelope" ->
+        "inherent: Debezium envelope to_json encode of the full x10 change stream (every before/after byte re-serialized); sublinear growth (~6x for 10x rows — the x1 base carries per-task fixed cost)",
       "dedup_jaccard" ->
         "inherent: posting-join pair mining over the x10 corpus; sublinear growth (~1.9x) from ~40 at x1",
       "dedup_clusters" ->
