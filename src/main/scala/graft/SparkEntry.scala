@@ -525,6 +525,57 @@ object SparkEntry {
         .select(col("vec_id"), round(col("_adc"), 6).as("adc_dist"))
     }),
 
+    "ann_ivf_pq" -> ((s, dir) => {
+      // The COMPOSED production ANN stack, oracle-checked end-to-end:
+      // coarse IVF probe (only ~1/C of the corpus survives; 127/499 rows
+      // at sf0.01) → PQ/ADC scoring of the survivors (codes + table
+      // lookups, no floats) → exact float re-rank of the top-100
+      // shortlist → top-20. At 100 TB this is the shape that works: the
+      // full corpus is touched only by the coarse assignment (narrow,
+      // broadcast centroids), ADC runs on the probed fraction against
+      // 8-byte codes, and exact math happens on 100 rows.
+      import graft.functions.PqOps
+      val emb = t(s, dir, "embeddings")
+      val M = 8; val ksub = 16; val dsub = 8; val shortlist = 100
+      // coarse tier: the fixed deterministic centroid stub (ann_ivf_topk)
+      val cents = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < 19995)
+        .select((col("vec_id") / 31).cast(LongType).as("centroid_id"),
+          col("embedding").as("vec"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_qvec"))
+      val probes = cents.crossJoin(broadcast(q))
+        .select(col("centroid_id"),
+          Similarity.cosine(col("vec"), col("_qvec")).as("_sim"))
+        .orderBy(col("_sim").desc, col("centroid_id")).limit(4).select("centroid_id")
+      // fine tier: the md5-seeded PQ codebook (ann_pq_adc)
+      val seeds = emb.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+        .limit(ksub).select("embedding").collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      val cb = Array.ofDim[Double](M * ksub * dsub)
+      for (m <- 0 until M; j <- 0 until ksub; i <- 0 until dsub)
+        cb((m * ksub + j) * dsub + i) = seeds(j)(m * dsub + i)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Number](0).map(_.doubleValue()).toArray
+      val qt = Array.ofDim[Double](M * ksub)
+      for (m <- 0 until M; j <- 0 until ksub) {
+        var s2 = 0.0; var i = 0
+        while (i < dsub) {
+          val d = qv(m * dsub + i) - cb((m * ksub + j) * dsub + i); s2 += d * d; i += 1
+        }
+        qt(m * ksub + j) = s2
+      }
+      val assigned = Similarity.ivfAssign(emb, cents)
+      val candidates = assigned.join(broadcast(probes), "centroid_id")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          PqOps.adc(col("embedding"), cb, qt, M, ksub, dsub).as("_adc"))
+        .orderBy(col("_adc"), col("vec_id")).limit(shortlist)
+      candidates.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("_qvec")).as("_cos"))
+        .orderBy(col("_cos").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), round(col("_cos"), 6).as("cos_sim"))
+    }),
+
     "data_split" -> ((s, dir) => {
       // deterministic hash-based train/test split — reproducible in ANY
       // engine with md5 (the sharding every training pipeline needs; no
@@ -1110,6 +1161,38 @@ object SparkEntry {
         |        FROM codes c JOIN qt q ON c.m = q.m AND c.j = q.j
         |        WHERE c.vec_id <> 0 GROUP BY c.vec_id)
         |SELECT vec_id, round(adc_dist, 6) AS adc_dist FROM adc ORDER BY adc.adc_dist, vec_id LIMIT 20""".stripMargin,
+
+    // composed from the ann_ivf_topk and ann_pq_adc oracle pieces; the
+    // shortlist re-rank is exact cosine (list_cosine_similarity ≡ the
+    // fused VectorOps kernel, proven by the other ANN twins)
+    "ann_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id / 31 AS BIGINT) AS centroid_id, v AS cvec FROM e WHERE vec_id % 31 = 0 AND vec_id < 19995),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT centroid_id FROM c, q
+        |           ORDER BY list_cosine_similarity(cvec, qv) DESC, centroid_id LIMIT 4),
+        |assign AS (SELECT e.vec_id, e.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS rk
+        |  FROM e CROSS JOIN c),
+        |probed AS (SELECT a.vec_id, a.v FROM assign a JOIN probes USING (centroid_id) WHERE a.rk = 1 AND a.vec_id <> 0),
+        |seeds AS (SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |ms AS (SELECT unnest(range(8)) AS m),
+        |cb AS (SELECT ms.m, s.j, list_slice(s.v, ms.m*8+1, ms.m*8+8) AS c FROM seeds s CROSS JOIN ms),
+        |pdist AS (SELECT p.vec_id, cb.m, cb.j,
+        |    list_sum(list_transform(list_zip(list_slice(p.v, cb.m*8+1, cb.m*8+8), cb.c), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+        |  FROM probed p CROSS JOIN cb),
+        |qdist AS (SELECT cb.m, cb.j,
+        |    list_sum(list_transform(list_zip(list_slice(q.qv, cb.m*8+1, cb.m*8+8), cb.c), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+        |  FROM q CROSS JOIN cb),
+        |codes AS (SELECT vec_id, m, j FROM (
+        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk FROM pdist) WHERE rk = 1),
+        |adc AS (SELECT codes.vec_id, list_sum(list(qd.d ORDER BY codes.m)) AS adc_dist
+        |        FROM codes JOIN qdist qd ON codes.m = qd.m AND codes.j = qd.j GROUP BY codes.vec_id),
+        |short AS (SELECT p.vec_id, p.v FROM probed p JOIN adc USING (vec_id) ORDER BY adc.adc_dist, p.vec_id LIMIT 100)
+        |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos_sim
+        |FROM short ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id LIMIT 20""".stripMargin,
 
     "data_split" ->
       """WITH b AS (SELECT doc_id,
