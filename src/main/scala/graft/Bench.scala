@@ -309,6 +309,8 @@ object Bench {
         "inherent: 3 k-means iterations (8 fused cosines/row via VectorSumAgg partials) + exact full-probe top-k over the x10 corpus; linear",
       "ann_ivf_topk" ->
         "inherent: fixed-645-cell assignment + 4-cell probe over the x10 corpus; linear",
+      "ann_ivf_pq" ->
+        "inherent: same fixed-cell coarse assignment as ann_ivf_topk (the dominant term) + ADC scoring of the probed ~1/C fraction + 100-row exact re-rank; linear",
       "skew_salted_join" ->
         "inherent: 8-way salted scatter-join over 6M lineitem rows at x10; linear (the oracle twin IS the plain join)")
     val scaleProbe: String =

@@ -639,6 +639,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_pii" -> ((s, dir) => {
+      // PII detection + redaction — the pretraining-pipeline scrub stage.
+      // The corpus is synthetic word-salad with zero organic PII, so
+      // deterministic PII spans (email/phone/IPv4/SSN, varying per doc_id)
+      // are synthesized IDENTICALLY on both sides first; the operator
+      // under test is the detector/redactor itself. Patterns use explicit
+      // character classes only (no \d, no \b) so Java regex and DuckDB's
+      // RE2 agree; counts + the fully redacted text are hash-compared.
+      // Pure codegen'd builtins (regexp_extract_all / regexp_replace with
+      // literal patterns = compiled once) — one narrow pass, no UDFs.
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val phoneRe = "[+]1-[0-9]{3}-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 =!= 0, concat(
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail.example.com call +1-555-"),
+          lpad(((col("doc_id") * 7) % 10000).cast(StringType), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast(StringType),
+          lit(".0.1 ssn 123-45-"),
+          lpad(((col("doc_id") * 13) % 10000).cast(StringType), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, concat(
+          lit(" cc admin"), col("doc_id").cast(StringType),
+          lit("@corp.example.org"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast(LongType).as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast(LongType).as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast(LongType).as("n_ip"),
+          size(regexp_extract_all(col("t"), lit(ssnRe), lit(0))).cast(LongType).as("n_ssn"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(ssnRe), lit("<SSN>")),
+            lit(phoneRe), lit("<PHONE>")),
+            lit(ipRe), lit("<IP>")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .select(col("doc_id"), col("media_type"), col("n_bytes"), col("content_sha"),
@@ -1257,6 +1298,30 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the synthesized-PII augmentation is derived identically here and in
+    // the Spark query; patterns are backslash-free explicit classes so
+    // Java regex and RE2 produce the same matches; redaction order is
+    // email -> ssn -> phone -> ip on both sides
+    "text_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 <> 0 THEN
+        |      ' contact user' || doc_id || '@mail.example.com call +1-555-' || lpad(CAST((doc_id*7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ssn 123-45-' || lpad(CAST((doc_id*13) % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '[+]1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |    '[+]1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,
