@@ -305,6 +305,8 @@ object Bench {
         "inherent: per-key history window over the x10 stream (keys remapped per replica, history depth constant); linear",
       "text_metrics" ->
         "inherent: tokenization + punct/stopword scans of the full x10 corpus; linear",
+      "text_pii" ->
+        "inherent: 8 regex scans + 4 global redaction passes over the full x10 corpus; linear",
       "ann_ivf_trained" ->
         "inherent: 3 k-means iterations (8 fused cosines/row via VectorSumAgg partials) + exact full-probe top-k over the x10 corpus; linear",
       "ann_ivf_topk" ->

@@ -639,6 +639,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher/C4-style repetition filters: duplicate word / 2-gram /
+      // 3-gram fractions + mean word length — the row-local quality
+      // signals that gate pretraining corpora. Distinct counts come from
+      // the native TextNgrams kernels (distinct-by-construction, one
+      // codegen'd walk each); totals from the fused metrics scan. One
+      // narrow pass, no shuffle, no HOFs.
+      import graft.functions.TextHashOps
+      val nw = TextAnalysis.metrics(col("text")).getField("n_words").cast(DoubleType)
+      val dw = size(TextHashOps.textNgrams(col("text"), 1)).cast(DoubleType)
+      val d2 = size(TextHashOps.textNgrams(col("text"), 2)).cast(DoubleType)
+      val d3 = size(TextHashOps.textNgrams(col("text"), 3)).cast(DoubleType)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nw.cast(LongType).as("n_words"),
+        round(when(nw > 0, lit(1.0) - dw / nw).otherwise(0.0), 6).as("dup_word_frac"),
+        round(when(nw > 1, lit(1.0) - d2 / (nw - 1)).otherwise(0.0), 6).as("dup_2gram_frac"),
+        round(when(nw > 2, lit(1.0) - d3 / (nw - 2)).otherwise(0.0), 6).as("dup_3gram_frac"),
+        round(when(nw > 0,
+          length(translate(col("text"), " ", "")).cast(DoubleType) / nw).otherwise(0.0), 6)
+          .as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
     "text_pii" -> ((s, dir) => {
       // PII detection + redaction — the pretraining-pipeline scrub stage.
       // The corpus is synthetic word-salad with zero organic PII, so
@@ -1298,6 +1322,26 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // duplicate-token fractions: DuckDB rebuilds the sliding n-grams with
+    // the same single-space join as the TextNgrams kernel; every division
+    // runs on identical doubles in identical order
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, text, len(ws) AS n,
+        |  len(list_distinct(ws)) AS dw,
+        |  len(list_distinct(list_transform(range(1, greatest(len(ws),1)),
+        |      i -> ws[i] || ' ' || ws[i+1]))) AS d2,
+        |  len(list_distinct(list_transform(range(1, greatest(len(ws)-1,1)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS d3
+        | FROM w)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        | round(CASE WHEN n > 0 THEN 1.0 - CAST(dw AS DOUBLE)/n ELSE 0.0 END, 6) AS dup_word_frac,
+        | round(CASE WHEN n > 1 THEN 1.0 - CAST(d2 AS DOUBLE)/(n-1) ELSE 0.0 END, 6) AS dup_2gram_frac,
+        | round(CASE WHEN n > 2 THEN 1.0 - CAST(d3 AS DOUBLE)/(n-2) ELSE 0.0 END, 6) AS dup_3gram_frac,
+        | round(CASE WHEN n > 0 THEN CAST(length(replace(text,' ','')) AS DOUBLE)/n ELSE 0.0 END, 6) AS mean_word_len
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the synthesized-PII augmentation is derived identically here and in
     // the Spark query; patterns are backslash-free explicit classes so
