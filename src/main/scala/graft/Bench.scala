@@ -307,6 +307,8 @@ object Bench {
         "inherent: tokenization + punct/stopword scans of the full x10 corpus; linear",
       "text_pii" ->
         "inherent: 8 regex scans + 4 global redaction passes over the full x10 corpus; linear",
+      "text_contamination" ->
+        "inherent: corpus 3-gram stream filtered through the broadcast benchmark set; linear in corpus grams",
       "ann_ivf_trained" ->
         "inherent: 3 k-means iterations (8 fused cosines/row via VectorSumAgg partials) + exact full-probe top-k over the x10 corpus; linear",
       "ann_ivf_topk" ->

@@ -639,6 +639,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_contamination" -> ((s, dir) => {
+      // Benchmark decontamination: flag corpus docs sharing any n-gram
+      // with a held-out "benchmark" set (docs with doc_id % 97 == 0 stand
+      // in for the eval suite). Scale shape: benchmark suites are MBs
+      // while the corpus is TBs, so the benchmark's distinct n-grams
+      // BROADCAST and the corpus n-gram stream filters through the hash
+      // join into a partial-aggregated per-doc count — the corpus never
+      // shuffles its grams. The join keys here are the gram STRINGS so
+      // the DuckDB twin is exact; production joins 64-bit xxhash64 keys
+      // (TextHashOps) to cut the broadcast and the stream width.
+      import graft.functions.TextHashOps
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextHashOps.textNgrams(col("text"), 3)).as("g"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits")) // grams are distinct per doc
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-style repetition filters: duplicate word / 2-gram /
       // 3-gram fractions + mean word length — the row-local quality
@@ -1322,6 +1342,15 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-1,1)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g FROM w),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g JOIN b USING (g) WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // duplicate-token fractions: DuckDB rebuilds the sliding n-grams with
     // the same single-space join as the TextNgrams kernel; every division

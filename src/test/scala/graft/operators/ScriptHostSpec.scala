@@ -248,6 +248,69 @@ class ScriptHostSpec extends SparkSpec {
     assert(ex.getMessage.contains("step budget"))
   }
 
+  test("JS: class-based user script — validators, throw new Error per event, instanceof") {
+    // the shape real processor scripts take once classes exist: a
+    // validator class hierarchy, per-event try/catch with typed errors,
+    // and error-tagged passthrough instead of batch failure
+    val js =
+      """class ValidationError extends Error {
+        |  constructor(field) { super('missing ' + field); this.name = 'ValidationError'; this.field = field; }
+        |}
+        |class Validator {
+        |  constructor(required) { this.required = required; }
+        |  check(img) {
+        |    for (const f of this.required) {
+        |      if (!(f in img)) throw new ValidationError(f);
+        |    }
+        |    return true;
+        |  }
+        |}
+        |class OrderValidator extends Validator {
+        |  constructor() { super(['id']); }
+        |  check(img) { super.check(img); if (img.id < 0) throw new ValidationError('id>=0'); return true; }
+        |}
+        |const v = new OrderValidator();
+        |function processBatch(events) {
+        |  const out = [];
+        |  for (const ev of events) {
+        |    if (!ev.after) { out.push(ev); continue; }
+        |    const img = ev.after; // preamble delivers parsed images
+        |    try {
+        |      v.check(img);
+        |      img.valid = true;
+        |    } catch (e) {
+        |      if (!(e instanceof ValidationError)) throw e;
+        |      img.valid = false;
+        |      img.invalid_reason = e.message;
+        |      img.invalid_field = e.field;
+        |    }
+        |    out.push(ev);
+        |  }
+        |  return out;
+        |}""".stripMargin
+    val in = Seq(
+      UdfHost.UserEvent(before = null, after = """{"id":5}""", op = "c",
+        tsMs = 1L, eventId = "e1", table = "t", db = "d"),
+      UdfHost.UserEvent(before = null, after = """{"id":-2}""", op = "u",
+        tsMs = 2L, eventId = "e2", table = "t", db = "d"),
+      UdfHost.UserEvent(before = null, after = """{"name":"x"}""", op = "u",
+        tsMs = 3L, eventId = "e3", table = "t", db = "d"),
+      UdfHost.UserEvent(before = null, after = null, op = "d",
+        tsMs = 4L, eventId = "e4", table = "t", db = "d"))
+    val t = ScriptHost.transform(js)
+    val out = t(in.iterator).toSeq
+    assert(out.length == 4)
+    assert(out(0).after.contains("\"valid\":true"))
+    // derived-class check threw AFTER super.check passed: id present, negative
+    assert(out(1).after.contains("\"valid\":false"))
+    assert(out(1).after.contains("\"invalid_field\":\"id>=0\""))
+    // base-class check threw through the super.check call: id missing
+    assert(out(2).after.contains("\"valid\":false"))
+    assert(out(2).after.contains("\"invalid_reason\":\"missing id\""))
+    assert(out(2).after.contains("\"invalid_field\":\"id\""))
+    assert(out(3).after == null) // delete passthrough
+  }
+
   test("json wire: ts_ms normalized back to i64, null images survive") {
     // engine-free check of the wire codec via a pass-through scala script
     val passThrough =
