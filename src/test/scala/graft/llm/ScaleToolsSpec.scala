@@ -166,4 +166,31 @@ class ScaleToolsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
     assert(joined.count() == 3000)
   }
+
+  test("plan shapes of the r9 text queries: broadcast benchmark join, narrow scans") {
+    // the sf0.001 tables are tiny; these assertions pin the PLAN, which is
+    // what survives the 1000x scale-up
+    val dir = "/root/testdata/sf0.001"
+    def plan(q: String): String =
+      graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+    // contamination: the benchmark gram set must BROADCAST (corpus grams
+    // never shuffle into a sort-merge join)
+    val contam = plan("text_contamination")
+    assert(contam.contains("BroadcastHashJoin"), s"expected broadcast join:\n$contam")
+    assert(!contam.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$contam")
+
+    // pii + repetition: row-local narrow passes — the only exchange is the
+    // final output sort (oracle determinism). CodegenMode renders the
+    // whole-stage spans without executing (AQE keeps the executed plan
+    // non-final until an action on the df's own QueryExecution).
+    Seq("text_pii", "text_repetition").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q should have at most the output-sort exchange:\n$p")
+      val cg = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(cg.contains("WholeStageCodegen"), s"$q fell out of codegen:\n${cg.take(2000)}")
+    }
+  }
 }
