@@ -639,6 +639,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_df_topk" -> ((s, dir) => {
+      // Corpus vocabulary statistics — the IDF-table build every retrieval
+      // /tf-idf stage needs: document frequency per token (distinct per
+      // doc via the native TextNgrams kernel, so the explode stream is
+      // pre-deduplicated per doc), hash-partitioned count with map-side
+      // partial aggregation, top-k by df. The shuffle carries one row per
+      // (doc, distinct token) — the honest distributed shape; at 100 TB
+      // the partial aggregate collapses each partition's token counts
+      // before the exchange.
+      import graft.functions.TextHashOps
+      t(s, dir, "documents")
+        .select(explode(TextHashOps.textNgrams(col("text"), 1)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+    }),
+
     "text_contamination" -> ((s, dir) => {
       // Benchmark decontamination: flag corpus docs sharing any n-gram
       // with a held-out "benchmark" set (docs with doc_id % 97 == 0 stand
@@ -1342,6 +1358,12 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_df_topk" ->
+      """WITH w AS (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS token FROM w)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df
+        |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
 
     "text_contamination" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),

@@ -40,7 +40,25 @@ object Verify {
     // a per-query _failed/<name>.txt marker, an aggregated _errors.json,
     // and a _summary.json carrying attempted/succeeded/failed COUNTS.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query hang watchdog: one pathological query must not stall the
+    // whole correctness run (the artifact would then carry NOTHING — worse
+    // than one err row). Each query runs in its own job group; a daemon
+    // timer cancels the group past the deadline and the cancellation
+    // surfaces as that query's err entry like any other failure.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_MS", "600000").toLong
+    val watchdog = new java.util.Timer("verify-watchdog", true)
     SparkEntry.queries.foreach { case (name, fn) =>
+      val sc = spark.sparkContext
+      sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+      val cancel = new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[verify] $name exceeded ${timeoutMs}ms — cancelling job group")
+          sc.cancelJobGroup(s"verify-$name")
+        }
+      }
+      // repeating: cancelJobGroup only hits CURRENTLY ACTIVE jobs, so a
+      // one-shot timer would miss a job submitted after the deadline fired
+      watchdog.scheduleAtFixedRate(cancel, timeoutMs, 5000L)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -50,6 +68,9 @@ object Verify {
         val fd = Paths.get(s"$outDir/_failed")
         Files.createDirectories(fd)
         Files.writeString(fd.resolve(s"$name.txt"), msg + "\n")
+      } finally {
+        cancel.cancel()
+        sc.clearJobGroup()
       }
     }
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
