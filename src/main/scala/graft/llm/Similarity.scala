@@ -301,4 +301,56 @@ object Similarity {
     vectors.select(col(idCol), col(vecCol),
       (-best.getField("negcid")).cast("long").as(cIdCol))
   }
+
+  /**
+   * K-means-trained product-quantization codebook (the production path
+   * behind `ann_pq_adc`'s deterministically-sampled one): per-subspace
+   * Lloyd iterations, ALL subspaces trained in ONE aggregation pass per
+   * iteration. Each pass: the fused [[graft.functions.PqOps.PqCodes]]
+   * kernel assigns every sub-vector (computed BEFORE the explode, with a
+   * repartition barrier so projection collapse can't inline the M-argmin
+   * kernel into the per-exploded-row projection — PLANS rule #1), then the
+   * per-(subspace, code) mean recompute exchanges only m×ksub×dsub partial
+   * sums via the typed [[graft.functions.VectorAgg.vectorSum]] aggregate
+   * (map-side combine; the corpus never shuffles). Init = the md5-ordered
+   * deterministic sample, so training is RNG-free and reproducible.
+   *
+   * Returns the flattened codebook `cb((mm*ksub + j)*dsub + i)`.
+   */
+  def trainPqCodebook(vectors: DataFrame, m: Int, ksub: Int, dsub: Int,
+                      iters: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Double] = {
+    require(iters >= 0)
+    val seeds = vectors
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub).select(vecCol).collect() // ksub rows — driver-bounded
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(seeds.length == ksub, s"corpus smaller than ksub=$ksub")
+    val cb = Array.ofDim[Double](m * ksub * dsub)
+    for (mm <- 0 until m; j <- 0 until ksub; i <- 0 until dsub)
+      cb((mm * ksub + j) * dsub + i) = seeds(j)(mm * dsub + i)
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    for (_ <- 1 to iters) {
+      val partial = vectors
+        .select(graft.functions.PqOps.codes(col(vecCol), cb.clone(), m, ksub, dsub)
+          .as("codes"), col(vecCol).as("v"))
+        .repartition(par) // materialization barrier: codes evaluate ONCE per row
+        .select(posexplode(col("codes")).as(Seq("m", "code")), col("v"))
+        .select(col("m"), col("code"),
+          slice(col("v"), col("m") * dsub + 1, lit(dsub)).as("sub"))
+        .groupBy("m", "code")
+        .agg(graft.functions.VectorAgg.vectorSum(col("sub")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // ≤ m×ksub rows — bounded control-plane data
+      partial.foreach { r =>
+        val mm = r.getInt(0); val j = r.getInt(1)
+        val s = r.getSeq[Double](2); val n = r.getLong(3).toDouble
+        if (n > 0) {
+          var i = 0
+          while (i < dsub) { cb((mm * ksub + j) * dsub + i) = s(i) / n; i += 1 }
+        }
+      }
+    }
+    cb
+  }
 }

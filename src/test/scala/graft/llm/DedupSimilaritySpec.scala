@@ -235,4 +235,53 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = exact.intersect(adcTop).size.toDouble / exact.size
     assert(recall >= 0.7, s"ADC recall@20 too low: $recall")
   }
+
+  test("trained PQ codebook reduces reconstruction error vs the sampled init") {
+    import graft.functions.PqOps
+    import spark.implicits._
+    def jitter(id: Long, pos: Int): Float = {
+      val h = graft.functions.ReservoirSample.priority(s"pqt:$id:$pos")
+      ((h & 0xff).toFloat / 255f - 0.5f) * 0.4f
+    }
+    val dim = 8; val M = 4; val dsub = 2; val ksub = 4
+    val vecs = (0L until 200L).map { id =>
+      val axis = (id % 4).toInt
+      id -> Array.tabulate(dim)(p => (if (p == axis * 2) 3.0f else 0.2f) + jitter(id, p))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+
+    // mean squared quantization error under a codebook
+    def mse(cb: Array[Double]): Double = {
+      val errs = vecs.map { case (_, v) =>
+        var total = 0.0
+        for (mm <- 0 until M) {
+          var best = Double.PositiveInfinity
+          for (j <- 0 until ksub) {
+            var s = 0.0
+            for (i <- 0 until dsub) {
+              val d = v(mm * dsub + i).toDouble - cb((mm * ksub + j) * dsub + i)
+              s += d * d
+            }
+            if (s < best) best = s
+          }
+          total += best
+        }
+        total
+      }
+      errs.sum / errs.size
+    }
+
+    val init = Similarity.trainPqCodebook(df, M, ksub, dsub, iters = 0)
+    val trained = Similarity.trainPqCodebook(df, M, ksub, dsub, iters = 4)
+    val (e0, e4) = (mse(init), mse(trained))
+    assert(e4 < e0, s"training should reduce quantization error: init=$e0 trained=$e4")
+    // Lloyd iterations never increase the objective: 1 iter sits between
+    val e1 = mse(Similarity.trainPqCodebook(df, M, ksub, dsub, iters = 1))
+    assert(e1 <= e0 && e4 <= e1 + 1e-12, s"monotone: $e0 -> $e1 -> $e4")
+
+    // trained codes still agree between kernel and reference loop
+    val got = df.select(PqOps.codes(col("embedding"), trained, M, ksub, dsub).as("c"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(got.forall(_.forall(j => j >= 0 && j < ksub)))
+  }
 }
