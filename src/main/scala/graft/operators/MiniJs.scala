@@ -58,8 +58,10 @@ import scala.collection.mutable
  * conversion of objects does not consult a user `toString` (static
  * `"[object Object]"` — call `.toString()` explicitly).
  *
- * Not implemented (documented): generators/async, getters/setters,
- * `Object.create/getPrototypeOf`, `new.target`.
+ * `Object.create(proto[, descriptors])` (descriptor maps contribute their
+ * plain `value` only), `Object.getPrototypeOf`/`setPrototypeOf` are
+ * supported. Not implemented (documented): generators/async,
+ * getters/setters, `new.target`.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -871,6 +873,11 @@ object MiniJs {
                     case _ => err("bad object key")
                   }
                   if (eatPunct(":")) fields += ((Some(key), parseAssign()))
+                  else if (isPunct("(")) { // method shorthand { m() {...} }
+                    val params = parseParams()
+                    expect("punct", "{")
+                    fields += ((Some(key), EFunc(params, parseStmtsUntilBrace(), isArrow = false)))
+                  }
                   else fields += ((Some(key), EIdent(key))) // shorthand {a}
                 }
                 m = eatPunct(",") && !isPunct("}")
@@ -1774,6 +1781,38 @@ object MiniJs {
             args.drop(1).foreach { case VObj(sf) => sf.foreach { case (k, v) => tf(k) = v }; case _ => () }
             t
           case other => other.getOrElse(VUndef)
+        }),
+        "create" -> VNative("Object.create", (_, args) => {
+          val o = VObj(mutable.LinkedHashMap[String, V]())
+          args.headOption match {
+            case Some(p: VObj) => o.proto = p
+            case Some(VNull) | None => ()
+            case Some(other) => throw new JsError(
+              s"js: Object.create prototype must be an object or null, got ${typeOf(other)}")
+          }
+          args.lift(1).foreach { // property-descriptor map: plain values only
+            case VObj(descs) => descs.foreach {
+              case (k, VObj(d)) => o.fields(k) = d.getOrElse("value", VUndef)
+              case (k, v) => o.fields(k) = v
+            }
+            case _ => ()
+          }
+          o
+        }),
+        "getPrototypeOf" -> VNative("Object.getPrototypeOf", (_, args) => args.headOption match {
+          case Some(o: VObj) => o.proto
+          case _ => VNull
+        }),
+        "setPrototypeOf" -> VNative("Object.setPrototypeOf", (_, args) => {
+          args.headOption match {
+            case Some(o: VObj) => args.lift(1) match {
+              case Some(p: VObj) => o.proto = p
+              case Some(VNull) => o.proto = VNull
+              case _ => ()
+            }
+            case _ => ()
+          }
+          args.headOption.getOrElse(VUndef)
         }))))
       g.define("Math", VObj(mutable.LinkedHashMap(
         "floor" -> mathFn(math.floor), "ceil" -> mathFn(math.ceil),

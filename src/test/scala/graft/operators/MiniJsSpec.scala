@@ -383,6 +383,21 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == "ParseFail|3|true")
   }
 
+  test("Object.create / getPrototypeOf / setPrototypeOf") {
+    assert(runS(
+      """function main() {
+        |  const base = { greet() { return 'hi ' + this.name; } };
+        |  const o = Object.create(base);
+        |  o.name = 'x';
+        |  const delegated = o.greet();
+        |  const sameProto = Object.getPrototypeOf(o) === base;
+        |  const own = Object.keys(o).join(',');
+        |  const p = Object.create(null); p.a = 1;
+        |  Object.setPrototypeOf(p, { b: () => 2 });
+        |  return delegated + '|' + sameProto + '|' + own + '|' + (p.a + p.b());
+        |}""".stripMargin) == "hi x|true|name|3")
+  }
+
   test("call/apply/bind") {
     assert(runS(
       """function greet(punct) { return 'hi ' + this.name + punct; }
