@@ -639,6 +639,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "zorder_locality" -> ((s, dir) => {
+      // Z-order (Morton) layout math — the multi-dimensional clustering
+      // behind OPTIMIZE ZORDER, from plain shift/and builtins (codegen'd
+      // fold, functions/ZOrder). The query proves the locality property
+      // the layout depends on: bucketing the curve (z >> 14 → ≤64
+      // buckets) bounds BOTH key dimensions per bucket, which is exactly
+      // why z-range files prune scans on either key. The pruning itself
+      // (fewer rows decoded under a 2-d predicate vs a linearly-sorted
+      // layout) is proven against real parquet row-group stats in
+      // ScaleToolsSpec.
+      import graft.functions.ZOrder
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 1024).as("a"), (col("l_partkey") % 1024).as("b"))
+        .withColumn("z", ZOrder.interleave(col("a"), col("b"), 10))
+        .groupBy(shiftright(col("z"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"))
+        .orderBy("bucket")
+    }),
+
     "text_df_topk" -> ((s, dir) => {
       // Corpus vocabulary statistics — the IDF-table build every retrieval
       // /tf-idf stage needs: document frequency per token (distinct per
@@ -1358,6 +1379,16 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the interleave arithmetic is generated from the SAME loop as the
+    // Spark fold (ZOrder.interleaveSql) — disjoint-bit terms summed, so
+    // + and | are equivalent and both engines agree exactly
+    "zorder_locality" ->
+      s"""WITH k AS (SELECT l_orderkey % 1024 AS a, l_partkey % 1024 AS b FROM lineitem),
+         |z AS (SELECT a, b, ${graft.functions.ZOrder.interleaveSql("a", "b", 10)} AS z FROM k)
+         |SELECT z >> 14 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "text_df_topk" ->
       """WITH w AS (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS ws FROM documents),

@@ -167,6 +167,46 @@ class ScaleToolsSpec extends SparkSpec {
     assert(joined.count() == 3000)
   }
 
+  test("z-order layout prunes 2-d predicates via parquet row-group stats") {
+    import graft.functions.ZOrder
+    // 200k rows, two independent pseudo-shuffled keys in [0, 1024)
+    val df = spark.range(200000).select(
+      pmod(col("id") * 2654435761L, lit(1024L)).as("a"),
+      pmod(col("id") * 40503L, lit(1024L)).as("b"),
+      col("id"))
+    val base = Files.createTempDirectory("zorder").toString
+    // linear layout: clustered by `a` only — files carry full-range b stats
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // z-ordered: every file is a contiguous z-range → tight stats on BOTH
+    ZOrder.cluster(df, col("a"), col("b"), 10, 16)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+
+    def rowsDecoded(dir: String): Long = {
+      val q = spark.read.parquet(dir).filter(col("b").between(100, 130))
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val lin = rowsDecoded(s"$base/linear")
+    val zo = rowsDecoded(s"$base/zorder")
+    // same ANSWER either way…
+    assert(spark.read.parquet(s"$base/linear").filter(col("b").between(100, 130)).count() ==
+      spark.read.parquet(s"$base/zorder").filter(col("b").between(100, 130)).count())
+    // …but the z-layout's row-group stats exclude most of the data for a
+    // predicate on the SECOND dimension, while the linear layout decodes
+    // everything (b is unclustered there)
+    assert(lin >= 190000L, s"linear layout should decode ~everything, got $lin")
+    assert(zo < lin / 2, s"z-order should decode <half of linear: z=$zo lin=$lin")
+  }
+
   test("plan shapes of the r9 text queries: broadcast benchmark join, narrow scans") {
     // the sf0.001 tables are tiny; these assertions pin the PLAN, which is
     // what survives the 1000x scale-up
