@@ -79,6 +79,33 @@ class StreamingDedupSpec extends SparkSpec {
       s"unexpected candidate pairs: ${rows.toSeq}")
   }
 
+  test("near-dup state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val dir = Files.createTempDirectory("sdedup_rs").toString
+    // the memory sink refuses checkpoint recovery — use a parquet sink
+    def start() = nearDupCandidates(ms.toDF().toDF("doc_id", "text"),
+      k = 64, bands = 16, threshold = 0.6, stateTimeoutMs = 0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/chk")
+      .format("parquet").option("path", s"$dir/out")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+
+    val q1 = start()
+    ms.addData((0L, base), (2L, other))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // NEW query, same checkpoint — state must restore
+    ms.addData((9L, near)) // near-dup of doc 0, seen only BEFORE the restart
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getAs[Long]("docId"), r.getAs[Long]("dupOf"))).toSet
+    assert(rows == Set((9L, 0L)), s"state lost across restart: $rows")
+  }
+
   test("exact streaming dedup drops watermark-window repeats") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
