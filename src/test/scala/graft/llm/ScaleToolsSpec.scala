@@ -207,6 +207,40 @@ class ScaleToolsSpec extends SparkSpec {
     assert(zo < lin / 2, s"z-order should decode <half of linear: z=$zo lin=$lin")
   }
 
+  test("parquet bloom filters prune point lookups on unsorted high-cardinality keys") {
+    // the complement of the z-order test: range stats can't prune a point
+    // predicate on an UNSORTED high-cardinality key (every row group spans
+    // ~the full domain) — a bloom filter can
+    val df = spark.range(500000).select(
+      pmod(col("id") * 2654435761L, lit(10000000L)).as("k"), col("id"))
+    val base = Files.createTempDirectory("bloom").toString
+    df.repartition(8).write
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "500000")
+      .mode("overwrite").parquet(s"$base/bloom")
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/plain")
+    // a key that exists in exactly one row → at most one row group should
+    // survive the bloom check; the plain layout decodes everything
+    val probe = df.filter(col("id") === 123456L).select("k").head().getLong(0)
+    def rowsDecoded(dir: String): Long = {
+      val q = spark.read.parquet(dir).filter(col("k") === probe)
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val plain = rowsDecoded(s"$base/plain")
+    val bloom = rowsDecoded(s"$base/bloom")
+    assert(plain >= 450000L, s"plain layout should decode ~everything, got $plain")
+    assert(bloom < plain / 4, s"bloom should skip most row groups: bloom=$bloom plain=$plain")
+  }
+
   test("plan shapes of the r9 text queries: broadcast benchmark join, narrow scans") {
     // the sf0.001 tables are tiny; these assertions pin the PLAN, which is
     // what survives the 1000x scale-up
