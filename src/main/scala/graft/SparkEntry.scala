@@ -639,6 +639,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_asof_funnel" -> ((s, dir) => {
+      // As-of join (operators/AsOfJoin): each purchase matches the same
+      // user's most recent at-or-before 'view' — the point-in-time lookup
+      // Spark lacks natively, oracled against DuckDB's NATIVE ASOF JOIN
+      // (an independent implementation of the semantics). Union + one
+      // keyed exchange + running last-non-null window; no range-join
+      // explosion. 155 of 1981 purchases have no prior view → null match
+      // (left-outer semantics on both sides).
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ms").as("p_ms"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ms").as("v_ms"), col("value").as("view_value"))
+      AsOfJoin.asOf(p, v, "user_id", "p_ms", "v_ms")
+        .select(col("purchase_id"), col("user_id"),
+          col("asof.view_id").as("view_id"),
+          (col("p_ms") - col("asof.v_ms")).as("ms_since_view"),
+          round(col("asof.view_value"), 6).as("view_value"))
+        .orderBy("purchase_id")
+    }),
+
     "zorder_locality" -> ((s, dir) => {
       // Z-order (Morton) layout math — the multi-dimensional clustering
       // behind OPTIMIZE ZORDER, from plain shift/and builtins (codegen'd
@@ -1379,6 +1401,18 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is an independent implementation of the
+    // at-or-before semantics — a stronger oracle than mirroring the
+    // union+window construction
+    "events_asof_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ms AS p_ms FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, ms AS v_ms, value AS view_value FROM e WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, v.view_id, p.p_ms - v.v_ms AS ms_since_view,
+        |  round(v.view_value, 6) AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ms >= v.v_ms
+        |ORDER BY p.purchase_id""".stripMargin,
 
     // the interleave arithmetic is generated from the SAME loop as the
     // Spark fold (ZOrder.interleaveSql) — disjoint-bit terms summed, so
