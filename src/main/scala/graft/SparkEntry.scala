@@ -639,6 +639,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_session_attrib" -> ((s, dir) => {
+      // Interval-assignment join: browsing sessions (gap-split view/click
+      // intervals) attributed to purchases — each purchase lands in at
+      // most one session (intervals are disjoint per user by
+      // construction), purchases between sessions get nulls. Shape: the
+      // interval predicate rides a keyed HASH left join on user_id (the
+      // key gives the parallelism; no range-bin explosion needed because
+      // per-user session counts are bounded) — the event→interval
+      // assignment every funnel/attribution pipeline runs.
+      val e = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val sess = e.filter(col("event_type").isin("view", "click"))
+        .withColumn("new_sess",
+          when(lag(col("ms"), 1).over(w).isNull ||
+            col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L).otherwise(0L))
+        .withColumn("sess_seq", sum(col("new_sess")).over(
+          Window.partitionBy("user_id").orderBy("ms", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id").as("s_user"), col("sess_seq"))
+        .agg(min("ms").as("sess_start"), max("ms").as("sess_end"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ms"))
+      p.join(sess, p("user_id") === sess("s_user") &&
+          p("ms").between(sess("sess_start"), sess("sess_end")), "left")
+        .select(col("purchase_id"), col("user_id"),
+          col("sess_seq"), col("sess_start"))
+        .orderBy("purchase_id")
+    }),
+
     "events_asof_funnel" -> ((s, dir) => {
       // As-of join (operators/AsOfJoin): each purchase matches the same
       // user's most recent at-or-before 'view' — the point-in-time lookup
@@ -1401,6 +1430,23 @@ object SparkEntry {
         |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
         |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "events_session_attrib" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |b AS (SELECT user_id, ms, event_id,
+        |  CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |        OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WHERE event_type IN ('view', 'click')),
+        |sq AS (SELECT user_id, ms,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM b),
+        |sess AS (SELECT user_id AS s_user, sess_seq, MIN(ms) AS sess_start, MAX(ms) AS sess_end
+        |         FROM sq GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ms FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, sess.sess_seq, sess.sess_start
+        |FROM p LEFT JOIN sess ON p.user_id = sess.s_user AND p.ms BETWEEN sess.sess_start AND sess.sess_end
+        |ORDER BY p.purchase_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is an independent implementation of the
     // at-or-before semantics — a stronger oracle than mirroring the
