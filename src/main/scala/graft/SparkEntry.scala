@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.ChangeEvent
-import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.operators._
 import graft.sources.CdcSynth
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -587,6 +587,49 @@ object SparkEntry {
         bucket.as("bucket"),
         when(bucket < 90, "train").otherwise("test").as("split"))
         .orderBy("doc_id")
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      // per-language rate sampling, RNG-free: keep iff md5-bucket(doc_id,
+      // seed) < rate(lang). One narrow scan, rate map rides as a literal;
+      // reproducible across engines/reruns/repartitionings (auditable
+      // curation — a rand() sample is neither).
+      Sampling.stratified(t(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.25, "de" -> 0.1), seed = 7)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    "sample_bottomk" -> ((s, dir) => {
+      // distributed reservoir-equivalent: exactly min(k,|stratum|) rows per
+      // language = the k smallest (hash, id) pairs. The rk<=k filter
+      // becomes a map-side WindowGroupLimit partial top-k (asserted in
+      // SamplingSpec), so shuffle cost is k·partitions per stratum, not
+      // the stratum size.
+      Sampling.bottomK(t(s, dir, "documents"), "lang", k = 10, seed = 11)
+        .select(col("doc_id"), col("lang"), col("h"), col("rk").cast(LongType).as("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    "mix_corpus" -> ((s, dir) => {
+      // resample to target domain proportions (pretraining data mixing):
+      // largest feasible corpus respecting shares {src0:.5, src1:.3,
+      // src2:.2}, each domain downsampled by hash bucket at
+      // rate p_d·n_total/count_d. One domain-count agg + one narrow
+      // broadcast-joined filter; no corpus shuffle.
+      Sampling.mixCorpus(t(s, dir, "documents"), "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 3)
+        .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"))
+        .orderBy("doc_id")
+    }),
+
+    "shuffle_global" -> ((s, dir) => {
+      // reproducible global shuffle WITHOUT a global sort: 16 hash shards,
+      // each locally sorted by a 60-bit hash → (shard, pos) is a uniform
+      // pseudorandom permutation; shards are the parallel unit at 100 TB.
+      Sampling.deterministicShuffle(t(s, dir, "documents"), shards = 16, seed = 5)
+        .select(col("doc_id"), col("shard"), col("pos").cast(LongType).as("pos"))
+        .orderBy("shard", "pos")
     }),
 
     "pack_sequences" -> ((s, dir) => {
@@ -1373,6 +1416,49 @@ object SparkEntry {
         |FROM documents)
         |SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT % 1000000 AS bucket,
+        |  CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) WHEN 'zh' THEN CAST(1.0 AS DOUBLE)
+        |            WHEN 'es' THEN CAST(0.25 AS DOUBLE) WHEN 'de' THEN CAST(0.1 AS DOUBLE) END AS rate
+        | FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE rate IS NOT NULL AND bucket < rate * 1000000.0 ORDER BY doc_id""".stripMargin,
+
+    "sample_bottomk" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |r AS (SELECT doc_id, lang, h,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM b)
+        |SELECT doc_id, lang, h, CAST(rk AS BIGINT) AS rk FROM r
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+    "mix_corpus" ->
+      """WITH c AS (SELECT source, count(*) AS c,
+        |  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE) WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |              WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS p
+        | FROM documents GROUP BY source),
+        |k AS (SELECT source,
+        |  LEAST(CAST(1.0 AS DOUBLE),
+        |        p * (SELECT MIN(CAST(c AS DOUBLE) / p) FROM c WHERE p IS NOT NULL)
+        |          / CAST(c AS DOUBLE)) AS keep_rate
+        | FROM c WHERE p IS NOT NULL),
+        |b AS (SELECT d.doc_id, d.source, k.keep_rate,
+        |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT % 1000000 AS bucket
+        | FROM documents d JOIN k USING (source))
+        |SELECT doc_id, source, bucket, keep_rate FROM b
+        |WHERE bucket < keep_rate * 1000000.0 ORDER BY doc_id""".stripMargin,
+
+    "shuffle_global" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |s AS (SELECT doc_id, h % 16 AS shard,
+        |  row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos FROM b)
+        |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM s
+        |ORDER BY shard, pos""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 128 AS shard,

@@ -47,7 +47,10 @@ object Verify {
     // surfaces as that query's err entry like any other failure.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_MS", "600000").toLong
     val watchdog = new java.util.Timer("verify-watchdog", true)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (driver never sets it): comma-separated names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
       val sc = spark.sparkContext
       sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
       val cancel = new java.util.TimerTask {
@@ -76,7 +79,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     Files.writeString(Paths.get(s"$outDir/_summary.json"),
-      s"""{"attempted": ${SparkEntry.queries.size}, "succeeded": ${SparkEntry.queries.size - errors.size}, "failed": ${errors.size}, "failed_names": ${errors.keys.map(q).mkString("[", ",", "]")}}""")
+      s"""{"attempted": ${selected.size}, "succeeded": ${selected.size - errors.size}, "failed": ${errors.size}, "failed_names": ${errors.keys.map(q).mkString("[", ",", "]")}}""")
 
     // Schema manifest (r8 verdict #7): the driver regenerates testdata
     // between rounds and has changed column physical types before (events.ts
