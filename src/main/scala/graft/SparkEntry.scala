@@ -790,6 +790,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_bm25" -> ((s, dir) => {
+      // BM25 relevance against a fixed query-term set (domain-targeting
+      // curation). Rational idf (no ln — the one non-IEEE-pinned op in
+      // classic BM25), so scores are bit-identical across engines with no
+      // rounding. tf/dl come from ONE fused byte-walk per row; corpus
+      // stats are a 1-row broadcast. Top-50 by (score desc, doc_id).
+      graft.llm.Relevance.bm25(t(s, dir, "documents"),
+          terms = Seq("spark", "vector", "customer"), k1 = 1.2, b = 0.75, k = 50)
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      // text normalization (lowercase + whitespace collapse + trim) via the
+      // fused single-byte-walk NormalizeText kernel. The corpus is already
+      // clean, so both sides first DIRTY it deterministically (leading
+      // spaces, upper-case every 3rd doc, doubled spaces every 2nd, a
+      // trailing tab) — the normalizer must reproduce the original text
+      // exactly, proving collapse/trim/lowercase against DuckDB's
+      // regexp_replace+translate spelling byte-for-byte.
+      import graft.functions.TextNormalize
+      val messy = concat(lit("  "),
+        when(pmod(col("doc_id"), lit(3)) === 0, upper(col("text")))
+          .when(pmod(col("doc_id"), lit(2)) === 0, expr("replace(text, ' ', '  ')"))
+          .otherwise(col("text")),
+        lit("\t"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextNormalize.normalizeText(messy).as("norm_text"))
+        .withColumn("n_norm", length(col("norm_text")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-style repetition filters: duplicate word / 2-gram /
       // 3-gram fractions + mean word length — the row-local quality
@@ -1574,6 +1604,48 @@ object SparkEntry {
     // duplicate-token fractions: DuckDB rebuilds the sliding n-grams with
     // the same single-space join as the TextNgrams kernel; every division
     // runs on identical doubles in identical order
+    "text_bm25" ->
+      """WITH tf AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x <> '')) AS dl,
+        |  len(list_filter(string_split(text,' '), x -> x = 'spark')) AS t0,
+        |  len(list_filter(string_split(text,' '), x -> x = 'vector')) AS t1,
+        |  len(list_filter(string_split(text,' '), x -> x = 'customer')) AS t2
+        | FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |  CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN t2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM tf)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |  CAST(t0 AS BIGINT) AS tf_spark, CAST(t1 AS BIGINT) AS tf_vector,
+        |  CAST(t2 AS BIGINT) AS tf_customer,
+        |  ((n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(t0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(t0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |  + ((n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(t1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(t1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+        |  + ((n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(t2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(t2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)) AS score
+        |FROM tf CROSS JOIN st
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  '  ' || (CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |                WHEN doc_id % 2 = 0 THEN replace(text, ' ', '  ')
+        |                ELSE text END) || chr(9) AS messy FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(translate(messy,
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS norm_text FROM m)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split(text,' '), x -> x <> '') AS ws FROM documents),
