@@ -790,6 +790,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_lm_rarity" -> ((s, dir) => {
+      // corpus-trained bigram LM rarity scoring (Gopher/CCNet-style
+      // fluency filter with no external model): P(w2|w1) from corpus
+      // counts, rare = P < 0.03 (probability cut — scale-invariant,
+      // unlike a count cut). All outputs are counts/one-division/min —
+      // order-independent, zero rounding. Bigrams via the native
+      // multiset kernel; model tables are vocab-sized aggs; one corpus
+      // join on the bigram key.
+      graft.llm.LanguageModel.bigramRarity(t(s, dir, "documents"), minP = 0.03)
+        .orderBy("doc_id")
+    }),
+
     "text_bm25" -> ((s, dir) => {
       // BM25 relevance against a fixed query-term set (domain-targeting
       // curation). Rational idf (no ln — the one non-IEEE-pinned op in
@@ -1604,6 +1616,23 @@ object SparkEntry {
     // duplicate-token fractions: DuckDB rebuilds the sliding n-grams with
     // the same single-space join as the TextNgrams kernel; every division
     // runs on identical doubles in identical order
+    "text_lm_rarity" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |c1 AS (SELECT w1 AS w, count(*) AS c1 FROM grams GROUP BY w1),
+        |model AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w),
+        |j AS (SELECT g.doc_id, m.p FROM grams g JOIN model m USING (bg))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN p < CAST(0.03 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  min(p) AS min_p,
+        |  CAST(sum(CASE WHEN p < CAST(0.03 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rare_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_bm25" ->
       """WITH tf AS (SELECT doc_id,
         |  len(list_filter(string_split(text,' '), x -> x <> '')) AS dl,

@@ -215,6 +215,50 @@ object TextHashOps {
   }
 
   /**
+   * text → ALL word n-grams (multiset, document order) in one native pass —
+   * the [[TextNgrams]] tokenize+join fused walk WITHOUT the distinct set.
+   * Needed wherever multiplicity carries signal: n-gram language-model
+   * count training and per-document rarity scoring (an LM trained on
+   * distinct n-grams would weight a once-used and a thousand-times-used
+   * bigram identically).
+   */
+  case class TextNgramsAll(child: Expression, n: Int) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "text_ngrams_all"
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val toks = new java.util.ArrayList[String]()
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        while (i < len && s.charAt(i) == ' ') i += 1
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        if (i > start) toks.add(s.substring(start, i))
+      }
+      val m = toks.size() - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](m)
+      var j = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (j < m) {
+        sb.setLength(0)
+        var q = 0
+        while (q < n) {
+          if (q > 0) sb.append(' ')
+          sb.append(toks.get(j + q)); q += 1
+        }
+        out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
    * Fused whole-array string hashing: `array<string>` → `array<long>` in one
    * tight loop per row. Replaces `transform(arr, t => xxhash64(t))` — Spark
    * higher-order functions are interpreted per ELEMENT (closure + expression
@@ -261,6 +305,8 @@ object TextHashOps {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokenHashes), k))
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
+  def textNgramsAll(text: Column, n: Int): Column =
+    GraftBridge.column(TextNgramsAll(GraftBridge.expression(text), n))
   def textNgrams(text: Column, n: Int): Column =
     GraftBridge.column(TextNgrams(GraftBridge.expression(text), n))
   /** array<string> → array<long> via xxhash64 (seed 42, = `xxhash64()`). */

@@ -40,6 +40,16 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == want
     }
 
+  property("TextNgramsAll(n) equals sliding-window reference WITH multiplicity, in order") =
+    Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val got = TextNgramsAll(Literal(UTF8String.fromString(t), StringType), n)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val toks = t.split(" +").filter(_.nonEmpty).toSeq
+      val want = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      got == want
+    }
+
   property("WordNgrams on a token array equals sliding-window reference") =
     Prop.forAll(Gen.listOf(word), Gen.choose(1, 4)) { (toks, n) =>
       val got = WordNgrams(Literal(strArray(toks), ArrayType(StringType)), n)
