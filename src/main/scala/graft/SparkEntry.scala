@@ -384,6 +384,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // embedding-cosine near-dup dedup, end to end: hyperplane-LSH
+      // bucketed candidate pairs at cos >= 0.30 become edges; connected
+      // components assign each vector the min reachable vec_id; kept =
+      // the cluster representative. Composes the two proven scale paths
+      // (banded LSH candidate gen + min-label propagation with
+      // checkpoint lineage cuts) — no all-pairs anywhere.
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosinePairs(emb, 0.30, dim = 64, bits = 6)
+      Dedup.clusters(emb.select(col("vec_id")), pairs, idCol = "vec_id")
+        .withColumn("kept", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
@@ -1341,6 +1355,22 @@ object SparkEntry {
     // generator the Spark signature uses (Similarity.hyperplaneSign), so the
     // bucketing — and therefore the emitted candidate set — is reproduced
     // exactly; the score is plain exact cosine.
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v,
+         |${(0 until 6).map(b => s"  (CASE WHEN list_dot_product(v, ${hyperplaneLit(b, 64)}) > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
+         |  AS sig FROM e0),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |      FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |      WHERE list_cosine_similarity(a.v, b.v) >= 0.30),
+         |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS vec_id, MIN(r) AS cluster_id, (id = MIN(r)) AS kept
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ann_pairs_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sig AS (SELECT vec_id, v,
