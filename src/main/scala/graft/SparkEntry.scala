@@ -603,6 +603,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stats_quantiles" -> ((s, dir) => {
+      // exact per-group order statistics (distribution profiling for data
+      // QA): p25/p50/p90 of document length per language, derived from
+      // row_number + count over a value-ordered window rather than a
+      // quantile builtin — builtins differ in interpolation/rounding
+      // semantics across engines, order statistics don't. Integer results,
+      // zero FP. One shuffle on the group key; at scale each group sorts
+      // independently (group count = parallelism).
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val cw = Window.partitionBy("lang")
+      def orderStat(p: Double): Column =
+        min(when(col("rn") >= ceil(lit(p) * col("cnt")), col("n_chars")))
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          min("n_chars").as("min_len"),
+          orderStat(0.25).as("p25"),
+          orderStat(0.50).as("p50"),
+          orderStat(0.90).as("p90"),
+          max("n_chars").as("max_len"))
+        .orderBy("lang")
+    }),
+
+    "pack_curriculum" -> ((s, dir) => {
+      // curriculum construction: quality-ranked ntile(4) stages, then
+      // token-budget packing WITHIN (shard, stage). Staging runs PER HASH
+      // SHARD (each shard's quality distribution approximates the
+      // corpus's), so no global sort / single-partition window anywhere —
+      // shards are the parallel unit at 100 TB, exactly like
+      // pack_sequences. Shard count pinned (64) because stage/pack ids
+      // are shard-local and the oracle must reproduce them.
+      val nTok = TextAnalysis.metrics(col("text")).getField("n_words").cast(LongType)
+      val base = t(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(64L)).as("shard"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        nTok.as("n_tokens"))
+      val stageW = Window.partitionBy("shard").orderBy(col("quality").desc, col("doc_id"))
+      val staged = base.withColumn("stage", ntile(4).over(stageW).cast(LongType))
+      val packW = Window.partitionBy("shard", "stage")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      staged
+        .withColumn("pack_id",
+          floor(coalesce(sum(col("n_tokens")).over(packW), lit(0L)) / 512).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // per-language rate sampling, RNG-free: keep iff md5-bucket(doc_id,
       // seed) < rate(lang). One narrow scan, rate map rides as a literal;
@@ -1488,6 +1540,42 @@ object SparkEntry {
         |FROM documents)
         |SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "stats_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS cnt
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  min(n_chars) AS min_len,
+        |  min(CASE WHEN rn >= ceil(CAST(0.25 AS DOUBLE) * cnt) THEN n_chars END) AS p25,
+        |  min(CASE WHEN rn >= ceil(CAST(0.5 AS DOUBLE) * cnt) THEN n_chars END) AS p50,
+        |  min(CASE WHEN rn >= ceil(CAST(0.9 AS DOUBLE) * cnt) THEN n_chars END) AS p90,
+        |  max(n_chars) AS max_len
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pack_curriculum" ->
+      """WITH m AS (SELECT doc_id, doc_id % 64 AS shard,
+        | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS w,
+        | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS DOUBLE) AS chars,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        | CAST(length(list_filter(string_split(text,' '),
+        |   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop
+        |FROM documents),
+        |q AS (SELECT doc_id, shard, n_tokens, floor(greatest(0.0, least(1.0,
+        |  0.5 * least(w / 20.0, 1.0)
+        |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
+        |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
+        |FROM m),
+        |st AS (SELECT doc_id, shard, quality, n_tokens,
+        |  CAST(ntile(4) OVER (PARTITION BY shard ORDER BY quality DESC, doc_id) AS BIGINT) AS stage
+        |FROM q)
+        |SELECT doc_id, shard, quality, n_tokens, stage,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, stage
+        |    ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 512) AS BIGINT) AS pack_id
+        |FROM st ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,

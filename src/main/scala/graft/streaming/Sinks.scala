@@ -81,12 +81,16 @@ class TypedLakeSink(val id: String, path: String, registry: SchemaRegistry)
       .select(col("source.table").as("t"), col("schema_sequence").as("seq"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted
+    // single-era fast path (the overwhelmingly common batch): skip the
+    // per-era filter pass entirely — one projection over the whole batch
+    val singleEra = eras.length == 1
     eras.foreach { case (table, seq) =>
       val schema = registry.getAtSequence(table, seq).getOrElse(throw new IllegalStateException(
         s"no ledger schema for table '$table' at sequence $seq"))
-      graft.operators.LakeProjection(
-        batch.filter(col("source.table") === table && col("schema_sequence") === seq),
-        schema)
+      val eraRows =
+        if (singleEra) batch
+        else batch.filter(col("source.table") === table && col("schema_sequence") === seq)
+      graft.operators.LakeProjection(eraRows, schema)
         .withColumn("_batch_id", lit(batchId))
         .write.mode("append")
         .parquet(s"$path/table=$table/schema_version=$seq")
