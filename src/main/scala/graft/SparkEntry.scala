@@ -630,6 +630,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "bpe_train" -> ((s, dir) => {
+      // BPE vocabulary training: top-8 symbol merges, greedy by weighted
+      // pair frequency with (count desc, pair asc) tie-break. ONE corpus
+      // pass builds the word counter; all 8 iterations run on the
+      // vocabulary table (the word-level-BPE scale property). Oracle =
+      // the 8 iterations unrolled as chained DuckDB CTEs — an independent
+      // end-to-end reproduction of training, not a replay.
+      graft.llm.Bpe.trainMerges(t(s, dir, "documents"), k = 8)
+    }),
+
     "pack_curriculum" -> ((s, dir) => {
       // curriculum construction: quality-ranked ntile(4) stages, then
       // token-budget packing WITHIN (shard, stage). Staging runs PER HASH
@@ -1553,6 +1563,8 @@ object SparkEntry {
         |  min(CASE WHEN rn >= ceil(CAST(0.9 AS DOUBLE) * cnt) THEN n_chars END) AS p90,
         |  max(n_chars) AS max_len
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "bpe_train" -> graft.llm.Bpe.oracleSql(8),
 
     "pack_curriculum" ->
       """WITH m AS (SELECT doc_id, doc_id % 64 AS shard,
