@@ -640,6 +640,14 @@ object SparkEntry {
       graft.llm.Bpe.trainMerges(t(s, dir, "documents"), k = 8)
     }),
 
+    "bpe_encode" -> ((s, dir) => {
+      // train-then-apply: per-document token counts under the learned
+      // 8-merge vocab. Encoding is vocab-sized (final symbol strings are
+      // the last training iterate); docs re-join their words against it.
+      graft.llm.Bpe.trainAndEncode(t(s, dir, "documents"), k = 8)
+        .orderBy("doc_id")
+    }),
+
     "pack_curriculum" -> ((s, dir) => {
       // curriculum construction: quality-ranked ntile(4) stages, then
       // token-budget packing WITHIN (shard, stage). Staging runs PER HASH
@@ -1565,6 +1573,7 @@ object SparkEntry {
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "bpe_train" -> graft.llm.Bpe.oracleSql(8),
+    "bpe_encode" -> graft.llm.Bpe.encodeOracleSql(8),
 
     "pack_curriculum" ->
       """WITH m AS (SELECT doc_id, doc_id % 64 AS shard,

@@ -42,12 +42,11 @@ object Bpe {
   private def symInit(w: org.apache.spark.sql.Column) =
     concat(regexp_replace(w, "(.)", "  $1"), lit("  "))
 
-  /**
-   * Learn `k` merges. Returns one row per merge:
-   * (merge_rank, lhs, rhs, merged, pair_count), rank-ordered.
-   */
-  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+  /** Shared training core: returns (final vocab frame [w, cnt, sym],
+   * merges in rank order). One corpus pass, k vocab-sized iterations,
+   * one 1-row argmax collect per round. */
+  private def train(docs: DataFrame, k: Int, textCol: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     // ONE corpus pass: word counts (vocabulary-sized, map-side combined)
     var vocab = docs
       .select(explode(TextHashOps.textNgramsAll(col(textCol), 1)).as("w"))
@@ -76,14 +75,45 @@ object Bpe {
       } else i = k // vocabulary fully merged — stop
       i += 1
     }
+    (vocab, merges.result())
+  }
+
+  /**
+   * Learn `k` merges. Returns one row per merge:
+   * (merge_rank, lhs, rhs, merged, pair_count), rank-ordered.
+   */
+  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val (_, merges) = train(docs, k, textCol)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.result().map(Row.fromTuple), 1),
+      spark.sparkContext.parallelize(merges.map(Row.fromTuple), 1),
       StructType(Seq(
         StructField("merge_rank", IntegerType, nullable = false),
         StructField("lhs", StringType, nullable = false),
         StructField("rhs", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /**
+   * Train merges AND encode the corpus under them: per-document BPE
+   * token counts from the FINAL vocabulary state. Encoding work is
+   * vocab-sized (each distinct word's final symbol string already
+   * exists as the last training iterate); documents re-join their
+   * words against that table — the corpus is never re-tokenized per
+   * merge.
+   */
+  def trainAndEncode(docs: DataFrame, k: Int, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val (vocab, _) = train(docs, k, textCol)
+    // tokens per distinct word under the learned vocab (sym is "  a  bc  ")
+    val wordTokens = vocab.select(col("w"),
+      size(filter(split(trim(col("sym")), " "), t => t =!= "")).cast(LongType).as("n_sub"))
+    docs
+      .select(col(idCol), explode(TextHashOps.textNgramsAll(col(textCol), 1)).as("w"))
+      .join(wordTokens, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
   /**
@@ -106,7 +136,8 @@ object Bpe {
    * argmax, and replace — independent end-to-end reproduction, not a
    * replay of the learned merges.
    */
-  def oracleSql(k: Int): String = {
+  /** The shared CTE chain v0 → v{k} (training unrolled). */
+  private def oracleCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt,
@@ -126,13 +157,31 @@ object Bpe {
         |                ' ' || replace(b$i.pair,' ','') || ' ') AS sym
         | FROM v${i - 1} CROSS JOIN b$i)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to k).map { i =>
-      s"""SELECT $i AS merge_rank, split_part(pair,' ',1) AS lhs,
-         | split_part(pair,' ',2) AS rhs, replace(pair,' ','') AS merged,
-         | CAST(pc AS BIGINT) AS pair_count FROM b$i""".stripMargin
-    }.mkString("\nUNION ALL "))
-    sb.append("\nORDER BY merge_rank")
     sb.toString
+  }
+
+  def oracleSql(k: Int): String = {
+    oracleCtes(k) + "\n" +
+      (1 to k).map { i =>
+        s"""SELECT $i AS merge_rank, split_part(pair,' ',1) AS lhs,
+           | split_part(pair,' ',2) AS rhs, replace(pair,' ','') AS merged,
+           | CAST(pc AS BIGINT) AS pair_count FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL ") +
+      "\nORDER BY merge_rank"
+  }
+
+  /** DuckDB twin of [[trainAndEncode]]: the same training chain, then
+   * per-word subtoken counts from the final vocab joined back onto the
+   * exploded corpus. */
+  def encodeOracleSql(k: Int): String = {
+    oracleCtes(k) + s""",
+      |wt AS (SELECT w,
+      |  CAST(len(list_filter(string_split(trim(sym),' '), x -> x <> '')) AS BIGINT) AS n_sub
+      | FROM v$k),
+      |dw AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+      |       FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+      |FROM dw JOIN wt USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }
