@@ -60,8 +60,14 @@ import scala.collection.mutable
  *
  * `Object.create(proto[, descriptors])` (descriptor maps contribute their
  * plain `value` only), `Object.getPrototypeOf`/`setPrototypeOf` are
- * supported. Not implemented (documented): generators/async,
- * getters/setters, `new.target`.
+ * supported. Getters/setters (r9): `get x()`/`set x(v)` in object
+ * literals and class bodies (incl. static); reads invoke the getter
+ * with the receiver as `this`, assignment routes to the setter found
+ * own-or-prototype, a get-only accessor ignores assignment
+ * (non-strict), and keys/values/entries/assign/spread/JSON.stringify
+ * perform [[Get]] so getters run during iteration. Not implemented
+ * (documented): generators/async, `new.target`,
+ * Object.defineProperty-style descriptor accessors.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -133,6 +139,14 @@ object MiniJs {
       Some((f.params, f.body, f.env, f.isArrow, f.thisVal))
   }
   case class VNative(name: String, fn: (V, Seq[V]) => V) extends V // (this, args)
+  /** Accessor property slot (getter/setter pair), stored in an object's
+   * field map. Member reads invoke the getter with the RECEIVER as
+   * `this`; assignments route to the setter, found own-or-prototype (a
+   * proto setter intercepts assignment, as in JS); a get-only accessor
+   * silently ignores assignment (non-strict JS). Iteration surfaces
+   * (Object.keys/values/entries, JSON.stringify, object spread) invoke
+   * getters like JS's [[Get]] — with `this` = the object being iterated. */
+  final case class VAccess(var getter: Option[V], var setter: Option[V]) extends V
 
   class JsError(msg: String) extends RuntimeException(msg)
 
@@ -163,6 +177,9 @@ object MiniJs {
   /** key None = `...spread` entry. */
   case class EObjLit(fields: Seq[(Option[String], Expr)]) extends Expr
   case class EFunc(params: Seq[Pat], body: Seq[Stmt], isArrow: Boolean) extends Expr
+  /** `get name() {...}` / `set name(v) {...}` in an object literal;
+   * kind is "get" or "set". */
+  case class EAccessor(kind: String, fn: EFunc) extends Expr
   /** `...e` inside array literals and call argument lists. */
   case class ESpread(e: Expr) extends Expr
   case class EUnary(op: String, e: Expr) extends Expr
@@ -183,7 +200,8 @@ object MiniJs {
   /** Class member: (static?, name, value-expr or field-init). */
   case class ClassMember(static: Boolean, name: String,
                          method: Option[(Seq[Pat], Seq[Stmt])],
-                         fieldInit: Option[Expr])
+                         fieldInit: Option[Expr],
+                         accessor: Option[String] = None) // "get" | "set"
   case class EClass(name: Option[String], parent: Option[Expr],
                     members: Seq[ClassMember]) extends Expr
 
@@ -748,9 +766,19 @@ object MiniJs {
             case "ident" | "kw" | "str" | "num" => nameTok.text
             case _ => err("bad class member name")
           }
-          if ((mname == "get" || mname == "set") && !isPunct("(") && !isPunct("="))
-            err("class getters/setters are not supported")
-          if (isPunct("(")) { // method
+          if ((mname == "get" || mname == "set") && !isPunct("(") && !isPunct("=") &&
+              !isPunct(";") && !isPunct("}")) { // accessor member
+            val nameTok = next()
+            val pname = nameTok.kind match {
+              case "ident" | "kw" | "str" | "num" => nameTok.text
+              case _ => err("bad accessor name")
+            }
+            val params = parseParams()
+            expect("punct", "{")
+            members += ClassMember(static, pname,
+              Some((params, parseStmtsUntilBrace())), None, accessor = Some(mname))
+          }
+          else if (isPunct("(")) { // method
             val params = parseParams()
             expect("punct", "{")
             members += ClassMember(static, mname, Some((params, parseStmtsUntilBrace())), None)
@@ -872,7 +900,20 @@ object MiniJs {
                     case "str" | "ident" | "kw" | "num" => keyTok.text
                     case _ => err("bad object key")
                   }
-                  if (eatPunct(":")) fields += ((Some(key), parseAssign()))
+                  if ((key == "get" || key == "set") &&
+                      !isPunct(":") && !isPunct("(") && !isPunct(",") && !isPunct("}")) {
+                    // accessor: get name() {...} / set name(v) {...}
+                    val nameTok = next()
+                    val pname = nameTok.kind match {
+                      case "str" | "ident" | "kw" | "num" => nameTok.text
+                      case _ => err("bad accessor name")
+                    }
+                    val params = parseParams()
+                    expect("punct", "{")
+                    fields += ((Some(pname),
+                      EAccessor(key, EFunc(params, parseStmtsUntilBrace(), isArrow = false))))
+                  }
+                  else if (eatPunct(":")) fields += ((Some(key), parseAssign()))
                   else if (isPunct("(")) { // method shorthand { m() {...} }
                     val params = parseParams()
                     expect("punct", "{")
@@ -1082,15 +1123,26 @@ object MiniJs {
       ctor.propsMap("prototype") = protoObj
       protoObj.fields("constructor") = ctor
       ctor.fieldInits = members.collect {
-        case ClassMember(false, n, None, init) => (n, init)
+        case ClassMember(false, n, None, init, None) => (n, init)
       }
       members.foreach {
-        case ClassMember(false, "constructor", Some(_), _) => ()
-        case ClassMember(static, n, Some((params, body)), _) =>
+        case ClassMember(false, "constructor", Some(_), _, None) => ()
+        case ClassMember(static, n, Some((params, body)), _, Some(kind)) => // accessor
+          val m = VFunc(params, body, env, isArrow = false, VUndef)
+          m.homeProto = protoObj
+          val target = if (static) ctor.propsMap else protoObj.fields
+          target.get(n) match {
+            case Some(a: VAccess) =>
+              if (kind == "get") a.getter = Some(m) else a.setter = Some(m)
+            case _ =>
+              target(n) =
+                if (kind == "get") VAccess(Some(m), None) else VAccess(None, Some(m))
+          }
+        case ClassMember(static, n, Some((params, body)), _, None) =>
           val m = VFunc(params, body, env, isArrow = false, VUndef)
           m.homeProto = protoObj
           if (static) ctor.propsMap(n) = m else protoObj.fields(n) = m
-        case ClassMember(true, n, None, init) => // static field
+        case ClassMember(true, n, None, init, None) => // static field
           ctor.propsMap(n) = init.map(e => evalExpr(e, env, thisVal)).getOrElse(VUndef)
         case _ => ()
       }
@@ -1260,16 +1312,26 @@ object MiniJs {
         case ESpread(_) => throw new JsError("js: unexpected spread")
         case EObjLit(fields) =>
           val m = mutable.LinkedHashMap[String, V]()
+          val objV = VObj(m)
           fields.foreach {
+            case (Some(k), EAccessor(kind, fn)) =>
+              val f = evalExpr(fn, env, thisVal)
+              m.get(k) match {
+                case Some(a: VAccess) =>
+                  if (kind == "get") a.getter = Some(f) else a.setter = Some(f)
+                case _ =>
+                  m(k) = if (kind == "get") VAccess(Some(f), None) else VAccess(None, Some(f))
+              }
             case (Some(k), v) => m(k) = evalExpr(v, env, thisVal)
             case (None, v) => evalExpr(v, env, thisVal) match { // {...src}
-              case VObj(src) => src.foreach { case (k, x) => m(k) = x }
+              case src: VObj => // spread invokes getters ([[Get]] per key)
+                src.fields.keys.toSeq.foreach(k => m(k) = member(src, k))
               case VArr(a) => a.zipWithIndex.foreach { case (x, i) => m(i.toString) = x }
               case VNull | VUndef => () // JS ignores nullish spreads
               case other => throw new JsError(s"js: cannot spread ${typeOf(other)} into an object")
             }
           }
-          VObj(m)
+          objV
         case EFunc(params, body, isArrow) => VFunc(params, body, env, isArrow, thisVal)
         case EUnary(op, inner) => op match {
           case "!" => VBool(!truthy(evalExpr(inner, env, thisVal)))
@@ -1387,8 +1449,19 @@ object MiniJs {
     }
 
     private def setMember(obj: V, name: String, v: V): Unit = obj match {
-      case VObj(f) => f(name) = v // assignment always creates an OWN property
-      case f: VFunc => f.propsMap(name) = v // statics, F.prototype = {...}
+      case o: VObj =>
+        // an accessor (own or prototype) intercepts assignment; a get-only
+        // accessor silently ignores it (non-strict JS). Plain data
+        // properties: assignment always creates an OWN property.
+        (o.fields.get(name) orElse protoLookup(o.proto, name)) match {
+          case Some(VAccess(_, s)) =>
+            s.foreach(callValue(_, o, Seq(v), s"set $name"))
+          case _ => o.fields(name) = v
+        }
+      case f: VFunc => f.propsMap.get(name) match { // statics, F.prototype = {...}
+        case Some(VAccess(_, s)) => s.foreach(callValue(_, f, Seq(v), s"set $name"))
+        case _ => f.propsMap(name) = v
+      }
       case VArr(a) =>
         if (name == "length") {
           val n = toNum(v).toInt
@@ -1405,8 +1478,12 @@ object MiniJs {
 
     def member(obj: V, name: String): V = obj match {
       case o: VObj =>
-        o.fields.getOrElse(name,
-          protoLookup(o.proto, name).getOrElse(Builtins.objectMethod(obj, name)))
+        (o.fields.get(name) orElse protoLookup(o.proto, name)) match {
+          case Some(VAccess(g, _)) => // getter runs with the RECEIVER as this
+            g.map(callValue(_, o, Nil, s"get $name")).getOrElse(VUndef)
+          case Some(v) => v
+          case None => Builtins.objectMethod(obj, name)
+        }
       case f: VFunc => name match {
         case "prototype" => f.prototypeObj
         case "call" => VNative("call", (_, args) =>
@@ -1424,7 +1501,12 @@ object MiniJs {
           VNative("bound", (_, callArgs) => callFunction(f, boundThis, bound ++ callArgs))
         })
         case _ =>
-          if (f.props != null) f.props.getOrElse(name, VUndef) else VUndef
+          if (f.props != null) f.props.getOrElse(name, VUndef) match {
+            case VAccess(g, _) => // static accessor: this = the class fn
+              g.map(callValue(_, f, Nil, s"get $name")).getOrElse(VUndef)
+            case v => v
+          }
+          else VUndef
       }
       case VArr(a) =>
         if (name == "length") VNum(a.length)
@@ -1462,6 +1544,7 @@ object MiniJs {
         case _ => VUndef
       }
       case VBool(_) => VUndef
+      case _: VAccess => VUndef // accessor slots never escape member()
       case _: VFunc | _: VNative => VUndef
     }
   }
@@ -1531,6 +1614,7 @@ object MiniJs {
     case VArr(a) => a.map(x => if (x == VNull || x == VUndef) "" else toStr(x)).mkString(",")
     case VObj(_) => "[object Object]"
     case r: VRegex => s"/${r.source}/${r.flags}"
+    case _: VAccess => "undefined" // accessor slots never escape member()
     case _: VFunc | _: VNative => "function"
   }
 
@@ -1623,17 +1707,32 @@ object MiniJs {
 
   // ————————————————————————— JSON —————————————————————————
 
-  def stringify(v: V): String = v match {
+  def stringify(v: V): String = stringifyWith(v, null)
+
+  /** `get` resolves accessor properties (JSON.stringify invokes getters,
+   * like JS's [[Get]]); null → accessors render as undefined (skipped) —
+   * the engine-less fallback used by error formatting. */
+  def stringifyWith(v: V, get: (VObj, String) => V): String = v match {
     case VUndef => "null" // stringify of bare undefined is undefined; inside containers → null
     case VNull => "null"
     case VBool(b) => b.toString
     case VNum(d) => if (d.isNaN || d.isInfinite) "null" else numToString(d)
     case VStr(s) => quote(s)
-    case VArr(a) => a.map(stringify).mkString("[", ",", "]")
-    case VObj(f) =>
-      f.iterator.filterNot(kv => kv._2.isInstanceOf[VFunc] || kv._2.isInstanceOf[VNative] || kv._2 == VUndef)
-        .map { case (k, x) => quote(k) + ":" + stringify(x) }.mkString("{", ",", "}")
+    case VArr(a) => a.map(stringifyWith(_, get)).mkString("[", ",", "]")
+    case o @ VObj(f) =>
+      f.keys.toSeq.iterator
+        .map { k =>
+          val x = f(k) match {
+            case a: VAccess =>
+              if (get != null && a.getter.isDefined) get(o, k) else VUndef
+            case plain => plain
+          }
+          (k, x)
+        }
+        .filterNot(kv => kv._2.isInstanceOf[VFunc] || kv._2.isInstanceOf[VNative] || kv._2 == VUndef)
+        .map { case (k, x) => quote(k) + ":" + stringifyWith(x, get) }.mkString("{", ",", "}")
     case _: VRegex => "{}" // JSON.stringify(/re/) === "{}" in JS
+    case _: VAccess => "null"
     case _: VFunc | _: VNative => "null"
   }
 
@@ -1752,7 +1851,7 @@ object MiniJs {
         "stringify" -> VNative("JSON.stringify", (_, args) =>
           args.headOption match {
             case None | Some(VUndef) => VUndef
-            case Some(v) => VStr(stringify(v))
+            case Some(v) => VStr(stringifyWith(v, (o, k) => engine.member(o, k)))
           })))
       g.define("JSON", jsonObj)
       g.define("Array", VObj(mutable.LinkedHashMap(
@@ -1772,13 +1871,18 @@ object MiniJs {
           case _ => VArr(mutable.ArrayBuffer())
         }),
         "values" -> VNative("Object.values", (_, args) => args.headOption match {
-          case Some(VObj(f)) => VArr(mutable.ArrayBuffer(f.values.toSeq: _*))
+          case Some(o @ VObj(f)) => // [[Get]] per key: getters run
+            VArr(mutable.ArrayBuffer(f.keys.toSeq.map(k => engine.member(o, k)): _*))
           case Some(VArr(a)) => VArr(a.clone())
           case _ => VArr(mutable.ArrayBuffer())
         }),
         "assign" -> VNative("Object.assign", (_, args) => args.headOption match {
           case Some(t @ VObj(tf)) =>
-            args.drop(1).foreach { case VObj(sf) => sf.foreach { case (k, v) => tf(k) = v }; case _ => () }
+            args.drop(1).foreach { // source reads are [[Get]]: getters run
+              case src @ VObj(sf) =>
+                sf.keys.toSeq.foreach(k => tf(k) = engine.member(src, k))
+              case _ => ()
+            }
             t
           case other => other.getOrElse(VUndef)
         }),

@@ -407,4 +407,53 @@ class MiniJsSpec extends AnyFunSuite {
         |    greet.apply({ name: 'b' }, ['.']) + '|' + bound();
         |}""".stripMargin) == "hi a!|hi b.|hi c?")
   }
+
+  test("object-literal getters/setters: receiver this, setter routing, get-only ignores writes") {
+    assert(runS(
+      """function main() {
+        |  const o = {
+        |    first: 'ada', last: 'l',
+        |    get full() { return this.first + ' ' + this.last; },
+        |    set full(v) { const i = v.indexOf(' ');
+        |                  this.first = v.slice(0, i); this.last = v.slice(i + 1); },
+        |    get ro() { return 42; }
+        |  };
+        |  const before = o.full;
+        |  o.full = 'grace h';
+        |  o.ro = 99; // get-only: silently ignored (non-strict)
+        |  return before + '|' + o.first + '|' + o.last + '|' + o.ro;
+        |}""".stripMargin) == "ada l|grace|h|42")
+  }
+
+  test("class accessors: instance via prototype, static on the class, inherited setter intercepts") {
+    assert(runS(
+      """class Temp {
+        |  constructor(c) { this._c = c; }
+        |  get f() { return this._c * 9 / 5 + 32; }
+        |  set f(v) { this._c = (v - 32) * 5 / 9; }
+        |  static get unit() { return 'C'; }
+        |}
+        |class Freezer extends Temp {}
+        |function main() {
+        |  const t = new Temp(100);
+        |  const boiling = t.f;
+        |  t.f = 32;            // setter found on the prototype intercepts
+        |  const fr = new Freezer(0);
+        |  fr.f = 212;          // inherited accessor through the proto chain
+        |  return boiling + '|' + t._c + '|' + fr._c + '|' + Temp.unit;
+        |}""".stripMargin) == "212|0|100|C")
+  }
+
+  test("accessors participate in [[Get]] iteration: JSON/values/assign/spread run getters") {
+    assert(runS(
+      """function main() {
+        |  const o = { a: 1, get b() { return this.a + 1; } };
+        |  const j = JSON.stringify(o);
+        |  const vals = Object.values(o).join(',');
+        |  const spread = { ...o };           // b materializes as data
+        |  spread.a = 100;                    // does NOT change spread.b
+        |  const assigned = Object.assign({}, o);
+        |  return j + '|' + vals + '|' + spread.b + '|' + assigned.b;
+        |}""".stripMargin) == """{"a":1,"b":2}|1,2|2|2""")
+  }
 }
