@@ -1845,6 +1845,16 @@ object MiniJs {
   // ————————————————————————— built-ins —————————————————————————
 
   private object Builtins {
+    /** Property descriptor → field slot: {get,set} become a VAccess,
+     * otherwise the plain `value` (enumerable/writable/configurable
+     * attributes are ignored — documented divergence). */
+    private def descToSlot(d: mutable.LinkedHashMap[String, V]): V = {
+      val g = d.get("get").filter(_ != VUndef)
+      val s = d.get("set").filter(_ != VUndef)
+      if (g.isDefined || s.isDefined) VAccess(g, s)
+      else d.getOrElse("value", VUndef)
+    }
+
     def install(g: Env, engine: Engine): Unit = {
       val jsonObj = VObj(mutable.LinkedHashMap(
         "parse" -> VNative("JSON.parse", (_, args) => parseJson(argStr(args, 0))),
@@ -1894,14 +1904,33 @@ object MiniJs {
             case Some(other) => throw new JsError(
               s"js: Object.create prototype must be an object or null, got ${typeOf(other)}")
           }
-          args.lift(1).foreach { // property-descriptor map: plain values only
+          args.lift(1).foreach { // property-descriptor map
             case VObj(descs) => descs.foreach {
-              case (k, VObj(d)) => o.fields(k) = d.getOrElse("value", VUndef)
+              case (k, VObj(d)) => o.fields(k) = descToSlot(d)
               case (k, v) => o.fields(k) = v
             }
             case _ => ()
           }
           o
+        }),
+        "entries" -> VNative("Object.entries", (_, args) => args.headOption match {
+          case Some(o @ VObj(f)) => // [[Get]] per key: getters run
+            VArr(mutable.ArrayBuffer(f.keys.toSeq.map(k =>
+              VArr(mutable.ArrayBuffer(VStr(k), engine.member(o, k)))): _*))
+          case Some(VArr(a)) =>
+            VArr(mutable.ArrayBuffer(a.toSeq.zipWithIndex.map { case (x, i) =>
+              VArr(mutable.ArrayBuffer(VStr(i.toString), x)): V }: _*))
+          case _ => VArr(mutable.ArrayBuffer())
+        }),
+        "defineProperty" -> VNative("Object.defineProperty", (_, args) => args.headOption match {
+          case Some(o: VObj) =>
+            (args.lift(1), args.lift(2)) match {
+              case (Some(kv), Some(VObj(d))) => o.fields(toStr(kv)) = descToSlot(d)
+              case _ => throw new JsError("js: Object.defineProperty needs (obj, key, descriptor)")
+            }
+            o
+          case other => throw new JsError(
+            s"js: Object.defineProperty target must be an object, got ${other.map(typeOf).getOrElse("nothing")}")
         }),
         "getPrototypeOf" -> VNative("Object.getPrototypeOf", (_, args) => args.headOption match {
           case Some(o: VObj) => o.proto

@@ -456,4 +456,21 @@ class MiniJsSpec extends AnyFunSuite {
         |  return j + '|' + vals + '|' + spread.b + '|' + assigned.b;
         |}""".stripMargin) == """{"a":1,"b":2}|1,2|2|2""")
   }
+
+  test("Object.entries and defineProperty accessor descriptors") {
+    assert(runS(
+      """function main() {
+        |  const o = { a: 1, get b() { return 2; } };
+        |  const e = Object.entries(o).map(p => p[0] + '=' + p[1]).join(',');
+        |  const t = { _v: 5 };
+        |  Object.defineProperty(t, 'v', {
+        |    get: function() { return this._v; },
+        |    set: function(x) { this._v = x * 2; }
+        |  });
+        |  t.v = 10;
+        |  Object.defineProperty(t, 'w', { value: 7 });
+        |  const ae = Object.entries([8, 9]).map(p => p.join(':')).join(',');
+        |  return e + '|' + t.v + '|' + t.w + '|' + ae;
+        |}""".stripMargin) == "a=1,b=2|20|7|0:8,1:9")
+  }
 }
