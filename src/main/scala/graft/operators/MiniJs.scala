@@ -28,10 +28,11 @@ import scala.collection.mutable
  * try/catch/finally (user `throw` values bind in the catch; engine errors
  * surface as Error-shaped objects; the step budget is never catchable),
  * destructuring (object/array patterns with nesting, renaming, defaults,
- * and rest — in declarations, parameters, and for-of), and spread (array
- * literals, call arguments, object literals, rest parameters).
- * Destructuring ASSIGNMENT expressions (`({a} = o)`, outside declarations)
- * are not supported — declare instead.
+ * and rest — in declarations, parameters, for-of, and (r9) assignment
+ * expressions: `[a, b] = arr`, `({x: p, ...rest} = o)`, with defaults
+ * via the same cover grammar JS uses — `{a = 1}` parses only as a
+ * pattern), and spread (array literals, call arguments, object
+ * literals, rest parameters).
  *
  * Regex: literals (`/re/gims`, lexed with the standard
  * cannot-follow-a-value heuristic) compile to java.util.regex — the
@@ -180,6 +181,10 @@ object MiniJs {
   /** `get name() {...}` / `set name(v) {...}` in an object literal;
    * kind is "get" or "set". */
   case class EAccessor(kind: String, fn: EFunc) extends Expr
+  /** Cover-grammar node: `{a = dflt}` inside an object literal is only
+   * meaningful as a destructuring-assignment target (`({a = 1} = o)`);
+   * evaluating it as an actual literal throws. */
+  case class EShorthandDefault(name: String, default: Expr) extends Expr
   /** `...e` inside array literals and call argument lists. */
   case class ESpread(e: Expr) extends Expr
   case class EUnary(op: String, e: Expr) extends Expr
@@ -654,6 +659,8 @@ object MiniJs {
         target match {
           case EIdent(_) | EMember(_, _) | EIndex(_, _) =>
             EAssign(op, target, parseAssign())
+          case EArr(_) | EObjLit(_) if op == "=" => // destructuring assignment
+            EAssign(op, target, parseAssign())
           case _ => err("invalid assignment target")
         }
       } else target
@@ -919,6 +926,8 @@ object MiniJs {
                     expect("punct", "{")
                     fields += ((Some(key), EFunc(params, parseStmtsUntilBrace(), isArrow = false)))
                   }
+                  else if (eatPunct("=")) // cover grammar: {a = dflt} (destructuring target only)
+                    fields += ((Some(key), EShorthandDefault(key, parseAssign())))
                   else fields += ((Some(key), EIdent(key))) // shorthand {a}
                 }
                 m = eatPunct(",") && !isPunct("}")
@@ -1322,6 +1331,8 @@ object MiniJs {
                 case _ =>
                   m(k) = if (kind == "get") VAccess(Some(f), None) else VAccess(None, Some(f))
               }
+            case (Some(_), EShorthandDefault(n, _)) => throw new JsError(
+              s"js: '$n = …' in an object literal is destructuring-only syntax")
             case (Some(k), v) => m(k) = evalExpr(v, env, thisVal)
             case (None, v) => evalExpr(v, env, thisVal) match { // {...src}
               case src: VObj => // spread invokes getters ([[Get]] per key)
@@ -1445,6 +1456,52 @@ object MiniJs {
       case EIndex(objE, idxE) =>
         val obj = evalExpr(objE, env, thisVal)
         setMember(obj, toPropName(evalExpr(idxE, env, thisVal)), v)
+      // destructuring-assignment targets (`[a, b] = arr`, `({x: p} = o)`):
+      // array/object literals reinterpreted as patterns, with nesting,
+      // renaming, defaults (cover grammar) and rest
+      case EArr(items) =>
+        val arr: Seq[V] = v match {
+          case VArr(a) => a.toSeq
+          case VStr(s) => s.map(c => VStr(c.toString))
+          case other => throw new JsError(
+            s"js: cannot array-destructure ${typeOf(other)}")
+        }
+        var i = 0
+        items.foreach {
+          case ESpread(t) =>
+            assign(t, VArr(mutable.ArrayBuffer(arr.drop(i): _*)), env, thisVal)
+            i = arr.length
+          case EAssign("=", inner, dflt) => // element default
+            val x = if (i < arr.length) arr(i) else VUndef
+            assign(inner, if (x == VUndef) evalExpr(dflt, env, thisVal) else x, env, thisVal)
+            i += 1
+          case t =>
+            assign(t, if (i < arr.length) arr(i) else VUndef, env, thisVal)
+            i += 1
+        }
+      case EObjLit(fields) =>
+        val taken = mutable.Set[String]()
+        fields.foreach {
+          case (Some(k), EShorthandDefault(name, dflt)) =>
+            taken += k
+            val x = member(v, k)
+            env.set(name, if (x == VUndef) evalExpr(dflt, env, thisVal) else x)
+          case (Some(k), EAssign("=", inner, dflt)) => // {a: t = dflt}
+            taken += k
+            val x = member(v, k)
+            assign(inner, if (x == VUndef) evalExpr(dflt, env, thisVal) else x, env, thisVal)
+          case (Some(k), t) => // shorthand, rename, nested pattern, member target
+            taken += k
+            assign(t, member(v, k), env, thisVal)
+          case (None, t) => // `...rest`: remaining own keys as a new object
+            v match {
+              case src: VObj =>
+                val m = mutable.LinkedHashMap[String, V]()
+                src.fields.keys.toSeq.filterNot(taken).foreach(k => m(k) = member(src, k))
+                assign(t, VObj(m), env, thisVal)
+              case _ => assign(t, VObj(mutable.LinkedHashMap[String, V]()), env, thisVal)
+            }
+        }
       case _ => throw new JsError("js: invalid assignment target")
     }
 

@@ -457,6 +457,22 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == """{"a":1,"b":2}|1,2|2|2""")
   }
 
+  test("destructuring assignment expressions: array, object, nesting, defaults, rest") {
+    assert(runS(
+      """function main() {
+        |  let a, b, c, rest, x, y, inner, o2;
+        |  [a, b = 99, ...rest] = [1, undefined, 3, 4];
+        |  ({ x, q: y = 7, nest: { inner }, ...o2 } = { x: 'X', nest: { inner: 'I' }, extra: 5 });
+        |  const swap1 = 'l'; const swap2 = 'r';
+        |  let l = swap1, r = swap2;
+        |  [l, r] = [r, l];
+        |  const tgt = {};
+        |  [tgt.m, c] = ['M', 'C'];
+        |  return a + '|' + b + '|' + rest.join(',') + '|' + x + '|' + y + '|' +
+        |    inner + '|' + JSON.stringify(o2) + '|' + l + r + '|' + tgt.m + c;
+        |}""".stripMargin) == """1|99|3,4|X|7|I|{"extra":5}|rl|MC""")
+  }
+
   test("Object.entries and defineProperty accessor descriptors") {
     assert(runS(
       """function main() {
