@@ -684,6 +684,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_weighted" -> ((s, dir) => {
+      // per-ROW importance sampling: keep probability = the document's
+      // quality score (vs sample_stratified's per-STRATUM rate). Same
+      // RNG-free md5-bucket decision — bucket < quality·1e6 — so higher-
+      // quality docs survive proportionally more often, deterministically.
+      // One narrow scan; quality from the fused metrics kernel.
+      val q = TextAnalysis.qualityScore(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), q.as("quality"),
+          Sampling.hashBucket(col("doc_id"), seed = 13).as("bucket"))
+        .filter(col("bucket") < col("quality") * 1000000.0)
+        .orderBy("doc_id")
+    }),
+
     "sample_bottomk" -> ((s, dir) => {
       // distributed reservoir-equivalent: exactly min(k,|stratum|) rows per
       // language = the k smallest (hash, id) pairs. The rk<=k filter
@@ -1606,6 +1620,25 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, lang, bucket FROM b
         |WHERE rate IS NOT NULL AND bucket < rate * 1000000.0 ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH m AS (SELECT doc_id,
+        | CAST(length(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS w,
+        | CAST(length(text) AS DOUBLE) AS chars,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        | CAST(length(list_filter(string_split(text,' '),
+        |   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop
+        |FROM documents),
+        |q AS (SELECT doc_id, floor(greatest(0.0, least(1.0,
+        |  0.5 * least(w / 20.0, 1.0)
+        |  + 0.3 * least((stop / greatest(w, 1.0)) * 5.0, 1.0)
+        |  + 0.2 * (1.0 - least((punct / greatest(chars, 1.0)) * 10.0, 1.0)))) * 10000) / 10000 AS quality
+        |FROM m),
+        |b AS (SELECT doc_id, quality,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 15))::BIGINT % 1000000 AS bucket
+        | FROM q)
+        |SELECT doc_id, quality, bucket FROM b
+        |WHERE bucket < quality * 1000000.0 ORDER BY doc_id""".stripMargin,
 
     "sample_bottomk" ->
       """WITH b AS (SELECT doc_id, lang,

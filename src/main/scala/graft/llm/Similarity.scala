@@ -260,6 +260,38 @@ object Similarity {
   }
 
   /**
+   * Persist an IVF index: centroid table + cell assignments as parquet,
+   * with the cells PARTITIONED BY centroid id — the on-disk analog of the
+   * in-memory cell probe. A query's nprobe cells become partition-pruned
+   * directory reads: the scan for `centroid_id IN (probes)` touches only
+   * those directories and never decodes the other ~(C−nprobe)/C of a
+   * 100 TB corpus (IvfIndexSpec asserts the pruning on the real plan).
+   */
+  def writeIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    cIdCol: String = "centroid_id", cVecCol: String = "vec"): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(vectors, centroids, idCol, vecCol, cIdCol, cVecCol)
+      .write.mode("overwrite").partitionBy(cIdCol).parquet(s"$path/cells")
+  }
+
+  /** Load a persisted IVF index → (assigned cells, centroids). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/centroids"))
+
+  /** Query a persisted index: identical semantics to [[ivfTopK]] over the
+   * in-memory frames, but the cell scan partition-prunes to the probed
+   * directories. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryVec: Seq[Double], k: Int, nprobe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {
+    val (cells, cents) = readIvfIndex(spark, path)
+    ivfTopK(cells, cents, queryVec, k, nprobe, idCol, vecCol, cIdCol, cVecCol)
+  }
+
+  /**
    * IVF coarse index: centroid assignment against a broadcast centroid table.
    * `centroids`: (centroid_id, vec). Returns vectors tagged with their nearest
    * centroid — at scale, write partitionBy("centroid_id") and probe cells.
