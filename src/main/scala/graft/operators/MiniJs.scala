@@ -66,9 +66,12 @@ import scala.collection.mutable
  * with the receiver as `this`, assignment routes to the setter found
  * own-or-prototype, a get-only accessor ignores assignment
  * (non-strict), and keys/values/entries/assign/spread/JSON.stringify
- * perform [[Get]] so getters run during iteration. Not implemented
- * (documented): generators/async, `new.target`,
- * Object.defineProperty-style descriptor accessors.
+ * perform [[Get]] so getters run during iteration; descriptor maps in
+ * `Object.defineProperty`/`Object.create` produce accessor slots when
+ * get/set are present. `new.target` (r9): the constructor being new'ed
+ * in the current frame, propagated through `super()`, undefined in
+ * plain calls, lexical through arrows. Not implemented (documented):
+ * generators/async.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -198,6 +201,9 @@ object MiniJs {
   case class EIndex(obj: Expr, idx: Expr) extends Expr
   case class EDelete(target: Expr) extends Expr
   case class ENew(callee: Expr, args: Seq[Expr]) extends Expr
+  /** `new.target`: the constructor being new'ed in the current frame
+   * (propagated through super()); undefined in plain calls. */
+  case object ENewTarget extends Expr
   /** `super(...)` — only valid inside a derived-class constructor. */
   case class ESuperCall(args: Seq[Expr]) extends Expr
   /** `super.name` — only valid inside a class method. */
@@ -832,6 +838,12 @@ object MiniJs {
           case "class" => parseClass()
           case "new" =>
             next()
+            if (isPunct(".")) { // new.target meta-property
+              next()
+              val pt = next()
+              if (pt.kind != "ident" || pt.text != "target") err("expected 'target' after 'new.'")
+              return ENewTarget
+            }
             // NewExpression: member accesses bind tighter than the ctor
             // call (`new a.b.C(x)`); further chaining (`new C().m()`) is
             // picked up by the enclosing parseCallMember loop.
@@ -1032,11 +1044,20 @@ object MiniJs {
       } catch { case JsThrown(v) => throw new JsError(s"js: uncaught ${stringify(v)}") }
     }
 
+    /** `new.target` for the frame being entered: set by [[constructInto]]
+     * immediately before the constructor's callFunction, consumed (and
+     * cleared) on entry — plain calls see VUndef. */
+    private var pendingNewTarget: V = VUndef
+
     def callFunction(f: VFunc, thisVal: V, args: Seq[V]): V = {
       depth += 1
       if (depth > maxDepth) { depth -= 1; throw new JsError("js: recursion too deep") }
       try {
         val env = new Env(f.env)
+        val nt = pendingNewTarget
+        pendingNewTarget = VUndef
+        // lexical like `this`: arrows inherit the enclosing binding
+        if (!f.isArrow) env.define("__newtarget__", nt)
         // `super` resolution is lexical through these hidden bindings:
         // arrows capture the enclosing env, so super works inside arrow
         // bodies in methods (correct JS semantics) for free.
@@ -1098,10 +1119,14 @@ object MiniJs {
      * body (for a derived class JS runs them after super() returns; scripts
      * whose fields read super-initialized state see a documented
      * divergence). */
-    def constructInto(f: VFunc, obj: VObj, args: Seq[V]): V = {
+    def constructInto(f: VFunc, obj: VObj, args: Seq[V],
+                      newTarget: V = VUndef): V = {
       f.fieldInits.foreach { case (n, init) =>
         obj.fields(n) = init.map(e => evalExpr(e, f.env, obj)).getOrElse(VUndef)
       }
+      // consumed by the callFunction below; functions invoked during the
+      // field inits above see VUndef (they are plain calls)
+      pendingNewTarget = if (newTarget == VUndef) f else newTarget
       callFunction(f, obj, args)
     }
 
@@ -1317,6 +1342,8 @@ object MiniJs {
         case EUndef => VUndef
         case EThis => thisVal
         case EIdent(name) => env.get(name)
+        case ENewTarget =>
+          if (env.has("__newtarget__")) env.get("__newtarget__") else VUndef
         case EArr(items) => VArr(mutable.ArrayBuffer(spreadArgs(items, env, thisVal): _*))
         case ESpread(_) => throw new JsError("js: unexpected spread")
         case EObjLit(fields) =>
@@ -1411,7 +1438,9 @@ object MiniJs {
             throw new JsError("js: 'super' is only valid in a derived-class constructor")
           env.get("__superclass__") match {
             case parent: VFunc => thisVal match {
-              case obj: VObj => constructInto(parent, obj, argv); VUndef
+              case obj: VObj => // new.target propagates through super()
+                val nt = if (env.has("__newtarget__")) env.get("__newtarget__") else VUndef
+                constructInto(parent, obj, argv, newTarget = nt); VUndef
               case _ => throw new JsError("js: super() outside a construction")
             }
             case VNative(_, nat) => // class extends a native ctor (Error bootstrap)

@@ -473,6 +473,21 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == """1|99|3,4|X|7|I|{"extra":5}|rl|MC""")
   }
 
+  test("new.target: set under new, undefined in plain calls, propagates through super, lexical in arrows") {
+    assert(runS(
+      """function F() { this.viaNew = new.target === F; }
+        |class A { constructor() { this.t = new.target; this.arrow = (() => new.target)(); } }
+        |class B extends A {}
+        |function plain() { return new.target === undefined; }
+        |function main() {
+        |  const f = new F();
+        |  const a = new A();
+        |  const b = new B(); // super() keeps the ORIGINAL target (B)
+        |  return f.viaNew + '|' + (a.t === A) + '|' + (a.arrow === A) + '|' +
+        |    (b.t === B) + '|' + plain();
+        |}""".stripMargin) == "true|true|true|true|true")
+  }
+
   test("Object.entries and defineProperty accessor descriptors") {
     assert(runS(
       """function main() {
