@@ -384,6 +384,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_survivors" -> ((s, dir) => {
+      // the dedup family's OUTPUT stage: one canonical row per near-dup
+      // cluster (min doc_id representative), full document columns —
+      // what actually ships to training after fuzzy dedup. Composes
+      // clusterSurvivors over the jaccard pair graph.
+      val docs = t(s, dir, "documents")
+      Dedup.clusterSurvivors(docs, Dedup.jaccardPairs(docs, 0.5, maxDf = Some(1000L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // embedding-cosine near-dup dedup, end to end: hyperplane-LSH
       // bucketed candidate pairs at cos >= 0.30 become edges; connected
@@ -1439,6 +1450,26 @@ object SparkEntry {
     // generator the Spark signature uses (Similarity.hyperplaneSign), so the
     // bucketing — and therefore the emitted candidate set — is reproduced
     // exactly; the score is plain exact cosine.
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(1, greatest(len(toks)-2, 0)),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+         |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+         |p AS (SELECT ia, ib FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |      WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5),
+         |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN cl ON d.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sig AS (SELECT vec_id, v,
