@@ -26,19 +26,42 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap request clamped against the machine: the round-9 binding bench was
+// OOM-killed (exit 137) because the environment set SPARK_DRIVER_MEM near
+// the machine's full RAM and -Xms + AlwaysPreTouch commits the entire heap
+// at JVM start — 94.6 GiB parent + a probe child left nothing for the OS.
+// Cap at MemTotal/2 so the pre-touched heap can NEVER crowd out the bench's
+// fresh-JVM probe children (which run with their own bounded ~16g heap) or
+// the kernel, regardless of what the environment requests.
+val heapClampedMb: Long = {
+  def mb(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("g")) t.dropRight(1).toLong * 1024L
+    else if (t.endsWith("m")) t.dropRight(1).toLong
+    else if (t.endsWith("k")) t.dropRight(1).toLong / 1024L
+    else t.toLong / (1024L * 1024L) // bare number = bytes
+  }
+  val requested = mb(sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+  val memTotal = try {
+    scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.split("\\s+")(1).toLong / 1024L)
+      .getOrElse(128L * 1024L)
+  } catch { case _: Throwable => 128L * 1024L }
+  math.max(4096L, math.min(requested, memTotal / 2))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with a 39-query bench needs headroom: 8g thrashes GC once
   // cached intermediates + broadcast cleanup pile up (machine has 128g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${heapClampedMb}m",
   // Pre-commit and pre-touch the whole heap at JVM start: the bench's ×10
   // probe measured the FIRST large-allocation execution of a plan shape at
   // 20× its steady-state task-CPU (3306 vs 165 s for the same query on the
   // same data in the same JVM) — first-touch page faults on freshly
   // committed heap pages are charged to the faulting task threads, so lazy
   // heap growth lands inside whichever timed window triggers it.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${heapClampedMb}m",
   "-XX:+AlwaysPreTouch",
   // ~50 queries × (x1 suite + x1-adjacent + x10 probe) × several codegen
   // stages each ≫ the 240m default; an exhausted code cache silently stops

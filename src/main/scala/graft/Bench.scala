@@ -250,6 +250,53 @@ object Bench {
     val drainDetail =
       s"""{"protocol":"orders drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max; per-rep [wall,proc_cpu,task_cpu] triples recorded","early":$drainEarlyDetail,"late":$drainLateDetail,"tpcc":$drainTpccDetail}"""
 
+    // ——— PHASE-1 artifact: suite + drains, BEFORE the ×10 scale probe ———
+    // The r9 binding bench died mid-probe (OOM, exit 137) and the WHOLE
+    // artifact was lost because the JSON was written only at the very end.
+    // Two-phase emission: everything measured so far is written to
+    // bench_out.json (and the compact line printed to stdout) right here;
+    // a probe-phase death degrades to "suite numbers present, probe null"
+    // instead of `parsed: null`. The final write below overwrites this one
+    // with the probe data filled in.
+    val ok = results.collect { case (k, Some((w, c, tc))) => (k, w, c, tc) }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, w, _, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val qsCpu = ok.map { case (k, _, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val qsTaskCpu = ok.map { case (k, _, _, tc) => "\"" + k + "\":" + tc }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    // timed-query count pinned against the full registry: BENCH and Verify
+    // both enumerate SparkEntry.queries, so a mismatch here means a filter
+    // (SPARK_GRAFT_BENCH_ONLY) was active — recorded loudly in the artifact
+    // rather than shipping a silently-shrunk suite (r9: dedup_survivors
+    // landed one commit after the final bench run; README said 73 timed).
+    val registryCount = SparkEntry.queries.size
+    val timedCount = ok.size + failed.size
+    if (timedCount != registryCount)
+      System.err.println(s"[bench] WARNING: timed $timedCount of $registryCount registered queries (SPARK_GRAFT_BENCH_ONLY active?)")
+    def fullJson(probe: String, status: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_detail":$drainDetail,"probe_status":"$status","scale_probe_x10":$probe}"""
+    def writeArtifact(json: String): Unit = {
+      // write-then-rename so a crash mid-write can't leave a truncated file
+      val tmp = new java.io.File(outPath + ".tmp")
+      val pw = new java.io.PrintWriter(tmp)
+      try { pw.println(json) } finally { pw.close() }
+      java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(outPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val qsCompact = ok.map { case (k, w, _, _) => "\"" + k + "\":" + num3(w) }
+      .mkString("{", ",", "}")
+    def compactJson(status: String): String =
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"probe_status":"$status","detail":"bench_out.json"}"""
+    writeArtifact(fullJson("null", "pending"))
+    // stdout gets the phase-1 compact line too: if the probe phase kills
+    // the JVM, the driver's stdout tail still holds a parseable line (the
+    // successful path prints the final line after spark.stop(), and that
+    // later line is the one in the tail window).
+    println(compactJson("pending"))
+    System.out.flush()
+
     // FULL-SUITE scale probe — the "sf1" datapoint for EVERY query, not
     // just the dedup family (the r6 drift_types cliff shipped precisely
     // because only dedup was probed at ×10). A ×10 copy of the sf0.1
@@ -436,9 +483,36 @@ object Bench {
           if (!sys.env.get("SPARK_GRAFT_FRESH_PROBE").contains("0")) {
             import scala.jdk.CollectionConverters._
             val javaBin = System.getProperty("java.home") + "/bin/java"
+            // Child JVM flags are constructed EXPLICITLY, not inherited
+            // verbatim: the r9 binding bench was OOM-killed (exit 137)
+            // because the ProbeOne child inherited the parent's
+            // -Xms/-Xmx/-XX:+AlwaysPreTouch — with the environment setting
+            // SPARK_DRIVER_MEM large, parent (94.6 GiB pre-touched) + child
+            // (pre-touching toward the same) cannot both fit on the box.
+            // Keep the parent's add-opens/-D/-XX flags (module access and
+            // code-cache sizing are needed), drop its memory geometry, and
+            // give the child a bounded lazy heap sized against what the
+            // machine actually has left: min(16g, MemTotal − parentRSS − 8g).
+            // No -Xms/AlwaysPreTouch in the child — ProbeOne's untimed
+            // warmup pass absorbs first-touch cost off the clock instead.
+            def procMb(path: String, key: String): Long =
+              try {
+                scala.io.Source.fromFile(path).getLines()
+                  .find(_.startsWith(key)).map(_.split("\\s+")(1).toLong / 1024L)
+                  .getOrElse(0L)
+              } catch { case _: Throwable => 0L }
+            val memTotalMb = procMb("/proc/meminfo", "MemTotal")
+            val parentRssMb = procMb("/proc/self/status", "VmRSS")
+            val childHeapMb =
+              if (memTotalMb <= 0) 16384L
+              else math.max(4096L, math.min(16384L, memTotalMb - parentRssMb - 8192L))
             val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
               .getInputArguments.asScala.toSeq
-              .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+              .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
+                a.startsWith("-Xms") || a.startsWith("-Xmx") ||
+                a == "-XX:+AlwaysPreTouch") ++
+              Seq(s"-Xmx${childHeapMb}m")
+            System.err.println(s"[bench] fresh-JVM child heap: ${childHeapMb}m (MemTotal=${memTotalMb}m parentRss=${parentRssMb}m)")
             val cp = System.getProperty("java.class.path")
             probed.foreach {
               case (name, _, Some((_, _, tc10))) if tc10 > freshThreshold =>
@@ -537,33 +611,21 @@ object Bench {
         }
       }
 
-    // failed queries are excluded from the total and listed separately —
-    // a -1 sentinel summed into "value" silently deflates the total
-    val ok = results.collect { case (k, Some((w, c, tc))) => (k, w, c, tc) }
-    val failed = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, w, _, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
-    val qsCpu = ok.map { case (k, _, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
-    val qsTaskCpu = ok.map { case (k, _, _, tc) => "\"" + k + "\":" + tc }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_detail":$drainDetail,"scale_probe_x10":$scaleProbe}"""
-    val pw = new java.io.PrintWriter(outPath)
-    try { pw.println(json) } finally { pw.close() }
+    // ——— PHASE-2 artifact: rewrite with the probe data filled in ———
+    val probeStatus =
+      if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) "skipped"
+      else if (scaleProbe == "null") "failed"
+      else "complete"
+    writeArtifact(fullJson(scaleProbe, probeStatus))
     spark.stop()
     // COMPACT FINAL stdout line, printed after spark.stop() so no Spark
     // shutdown chatter follows it. The driver keeps only the last ~2000
-    // chars of stdout, and the full JSON above is ~10 KB — every BENCH_r*
-    // artifact so far has parsed:null because the line's START was cut out
-    // of the tail window. So the full JSON goes ONLY to bench_out.json
-    // (committed per round) and stdout carries exactly ONE bare JSON line:
-    // a compact summary (wall rounded to 3 dp, no cpu maps, no probe)
-    // sized so its opening brace stays inside the tail window even with
-    // sbt's trailing "[success]" line after it.
-    val qsCompact = ok.map { case (k, w, _, _) => "\"" + k + "\":" + num3(w) }
-      .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"runs_per_query":$reps,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"detail":"bench_out.json"}"""
-    println(compact)
+    // chars of stdout, and the full JSON is ~10 KB — r1-r8 BENCH artifacts
+    // parsed:null because the big line's START was cut out of the tail
+    // window. The full JSON goes to bench_out.json (committed per round);
+    // stdout's LAST line is a compact summary (wall rounded to 3 dp, no
+    // cpu maps, no probe) sized so its opening brace stays inside the tail
+    // window even with sbt's trailing "[success]" line after it.
+    println(compactJson(probeStatus))
   }
 }
