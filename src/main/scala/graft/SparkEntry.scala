@@ -413,6 +413,33 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
 
+    "dedup_streaming_parity" -> ((s, dir) => {
+      // Ingest-time dedup pinned to the batch standard: the corpus replayed
+      // through the streaming near-dup operator's per-bucket fold
+      // (StreamingDedup.replayedCandidates — provably identical to a
+      // docId-ordered micro-batch replay, see its doc + spec) emits
+      // spanning edges; exact-Jaccard verification + connected components
+      // over those edges must reproduce the SAME clusters as the full
+      // batch pair graph (oracle = dedup_clusters' recursive-CTE CC).
+      val docs = t(s, dir, "documents")
+      val cands = graft.streaming.StreamingDedup.replayedCandidates(docs).toDF()
+        .select(least(col("docId"), col("dupOf")).as("id_a"),
+          greatest(col("docId"), col("dupOf")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      // exact verification, same contract as minhashPairs: the minhash
+      // ESTIMATE admits borderline false positives; the decision edge set
+      // is exact-Jaccard >= 0.5
+      val feats = docs.select(col("doc_id").as("id"),
+        Dedup.shingleSet(col("text")).as("feats"))
+      val verified = cands
+        .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
+        .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
+        .filter(size(array_intersect(col("feats_a"), col("feats_b"))).cast(DoubleType) /
+          size(array_union(col("feats_a"), col("feats_b"))).cast(DoubleType) >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.clusters(docs, verified).orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // md5-based token hash so the DuckDB oracle can recompute the exact
       // same fingerprints; the pigeonhole candidate join is recall-complete
@@ -1139,6 +1166,27 @@ object SparkEntry {
 
   /** Exact n-gram-Jaccard pair SQL — oracle for dedup_jaccard AND (recall
    * being complete at test scale) dedup_minhash. */
+  /** Connected components over the exact n-gram-Jaccard pair graph —
+   * oracle for dedup_clusters AND dedup_streaming_parity (the streaming
+   * replay's spanning edges must cluster identically to the full batch
+   * pair graph). */
+  private val clustersCcSql =
+    s"""WITH RECURSIVE l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, greatest(len(toks)-2, 0)),
+       |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+       |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+       |p AS (SELECT ia, ib FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+       |      WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5),
+       |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val jaccardExactSql =
     """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1393,22 +1441,15 @@ object SparkEntry {
 
     // connected components via recursive CTE over the exact pair graph:
     // reach(id, r) closes over edges, min(r) per id = cluster id.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |         generate_series(1, greatest(len(toks)-2, 0)),
-         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
-         |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
-         |p AS (SELECT ia, ib FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-         |      WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5),
-         |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_clusters" -> clustersCcSql,
+
+    // Same oracle as dedup_clusters ON PURPOSE: the streaming replay emits
+    // spanning edges of the near-dup graph (each arriving dup links to its
+    // bucket's stored canonical, not to every clustermate), so pair sets
+    // differ from the batch miner but the connected components — the
+    // decision dedup actually acts on — must be IDENTICAL to the exact
+    // batch pair graph's.
+    "dedup_streaming_parity" -> clustersCcSql,
 
     // LSH recall at test scale is complete (spec-pinned: candidates from
     // 32 bands of r=2 miss a J>=0.5 pair with p<=0.75^32~1e-4, and the

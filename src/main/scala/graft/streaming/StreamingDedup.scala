@@ -103,6 +103,48 @@ object StreamingDedup {
   }
 
   /**
+   * Batch-parity replay of the streaming near-dup path: runs the SAME
+   * per-bucket fold the streaming operator applies ([[updateBucket]]) over
+   * the full corpus in ONE distributed pass. `updateBucket` is a left fold
+   * over docId-ordered arrivals, so feeding each (band, bucket) group its
+   * complete doc list in one call produces EXACTLY the candidate set a
+   * docId-ordered micro-batch replay emits — splitting a fold's input into
+   * batches cannot change the fold (`StreamingDedupSpec` pins the
+   * equivalence against a live `flatMapGroupsWithState` query). This is
+   * what makes the streaming operator oracle-checkable: the replay is a
+   * plain batch query whose result is SQL-expressible, while the streaming
+   * mechanics (state store, watermarks) stay covered by the spec.
+   *
+   * Scale shape: identical to [[nearDupCandidates]] — narrow signature
+   * pass, band explode, ONE shuffle on the bucket key; each bucket's fold
+   * runs where the bucket lives. No driver collect anywhere.
+   */
+  def replayedCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, maxPerBucket: Int = 64,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : Dataset[DupCandidate] = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val sig = TextHashOps.minhashSignature(
+      TextHashOps.xxhash64Array(Dedup.shingleSet(col(textCol))), k)
+    docs
+      .repartition(spark.sparkContext.defaultParallelism) // single-file scans stay 1-task otherwise
+      .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
+      .select(col("docId"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
+        }: _*)).as(Seq("band", "bucket")))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroups { (key: (Int, Long), ds: Iterator[BandedDoc]) =>
+        updateBucket(None, ds.map(d => (d.docId, d.sig)).toSeq,
+          threshold, maxPerBucket, key._1)._1.iterator
+      }
+  }
+
+  /**
    * Near-dup candidate stream. `docs` is a (streaming) DataFrame with an
    * id column and a text column; emits [[DupCandidate]] records in Append
    * mode. `stateTimeoutMs > 0` expires idle buckets (production mode —

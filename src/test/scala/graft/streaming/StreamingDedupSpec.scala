@@ -125,4 +125,44 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
     assert(ids.toSeq == Seq(1L, 2L))
   }
+
+  test("batch replay fold == live micro-batch replay (dedup_streaming_parity contract)") {
+    // The oracle-checked dedup_streaming_parity query runs the per-bucket
+    // fold ONCE over docId-ordered input (replayedCandidates); this pins
+    // that a REAL flatMapGroupsWithState query fed the same corpus in
+    // docId-ordered micro-batches emits the identical candidate set —
+    // updateBucket is a left fold, so batch splits cannot change it.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> base, 1L -> other, 2L -> near,
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      4L -> base, // exact repeat of 0
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      6L -> "totally unrelated text about clickhouse rowbinary encodings and sinks",
+      7L -> near) // near-dup of 0/2/4
+    val batchPairs = StreamingDedup
+      .replayedCandidates(corpus.toDF("doc_id", "text"),
+        k = 64, bands = 16, threshold = 0.6)
+      .collect().map(c => (c.docId, c.dupOf)).toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val dir = Files.createTempDirectory("sdedup_parity").toString
+    val q = nearDupCandidates(ms.toDF().toDF("doc_id", "text"),
+      k = 64, bands = 16, threshold = 0.6, stateTimeoutMs = 0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/chk")
+      .format("memory").queryName("sdedup_parity")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    corpus.sortBy(_._1).grouped(3).foreach { b => // docId-ordered micro-batches
+      ms.addData(b: _*)
+      q.processAllAvailable()
+    }
+    val streamPairs = spark.table("sdedup_parity")
+      .collect().map(r => (r.getAs[Long]("docId"), r.getAs[Long]("dupOf"))).toSet
+    q.stop()
+    assert(streamPairs == batchPairs,
+      s"fold/micro-batch divergence: stream=$streamPairs batch=$batchPairs")
+    assert(batchPairs.nonEmpty) // the corpus plants real near-dups
+  }
 }
