@@ -136,7 +136,10 @@ object Bpe {
    * argmax, and replace — independent end-to-end reproduction, not a
    * replay of the learned merges.
    */
-  /** The shared CTE chain v0 → v{k} (training unrolled). */
+  /** The shared CTE chain v0 → v{k} (training unrolled). Exhaustion-stable:
+   * when no mergeable pair remains, p$i (and so b$i) is empty — the LEFT
+   * JOIN ON true + CASE keeps v$i = v$(i-1), matching trainAndEncode's
+   * stop-early-keep-last-vocab behavior instead of emptying the chain. */
   private def oracleCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -153,9 +156,10 @@ object Bpe {
         | GROUP BY 1),
         |b$i AS (SELECT pair, pc FROM p$i ORDER BY pc DESC, pair LIMIT 1),
         |v$i AS (SELECT w, cnt,
-        |  replace(sym, ' ' || split_part(b$i.pair,' ',1) || '  ' || split_part(b$i.pair,' ',2) || ' ',
-        |                ' ' || replace(b$i.pair,' ','') || ' ') AS sym
-        | FROM v${i - 1} CROSS JOIN b$i)""".stripMargin)
+        |  CASE WHEN b$i.pair IS NULL THEN sym ELSE
+        |   replace(sym, ' ' || split_part(b$i.pair,' ',1) || '  ' || split_part(b$i.pair,' ',2) || ' ',
+        |                 ' ' || replace(b$i.pair,' ','') || ' ') END AS sym
+        | FROM v${i - 1} LEFT JOIN b$i ON true)""".stripMargin)
     }
     sb.toString
   }

@@ -920,7 +920,9 @@ object MiniJs {
                     case _ => err("bad object key")
                   }
                   if ((key == "get" || key == "set") &&
-                      !isPunct(":") && !isPunct("(") && !isPunct(",") && !isPunct("}")) {
+                      !isPunct(":") && !isPunct("(") && !isPunct(",") && !isPunct("}") &&
+                      !isPunct("=")) { // `= ` is shorthand-with-default ({get = 1} = o), not an accessor
+
                     // accessor: get name() {...} / set name(v) {...}
                     val nameTok = next()
                     val pname = nameTok.kind match {
@@ -1050,12 +1052,15 @@ object MiniJs {
     private var pendingNewTarget: V = VUndef
 
     def callFunction(f: VFunc, thisVal: V, args: Seq[V]): V = {
+      // consume new.target BEFORE the depth guard can throw: a 'recursion
+      // too deep' raised under `new` must not leave a stale pending value
+      // for the next plain call to observe
+      val nt = pendingNewTarget
+      pendingNewTarget = VUndef
       depth += 1
       if (depth > maxDepth) { depth -= 1; throw new JsError("js: recursion too deep") }
       try {
         val env = new Env(f.env)
-        val nt = pendingNewTarget
-        pendingNewTarget = VUndef
         // lexical like `this`: arrows inherit the enclosing binding
         if (!f.isArrow) env.define("__newtarget__", nt)
         // `super` resolution is lexical through these hidden bindings:
@@ -1534,7 +1539,7 @@ object MiniJs {
       case _ => throw new JsError("js: invalid assignment target")
     }
 
-    private def setMember(obj: V, name: String, v: V): Unit = obj match {
+    def setMember(obj: V, name: String, v: V): Unit = obj match {
       case o: VObj =>
         // an accessor (own or prototype) intercepts assignment; a get-only
         // accessor silently ignores it (non-strict JS). Plain data
@@ -1973,10 +1978,10 @@ object MiniJs {
           case _ => VArr(mutable.ArrayBuffer())
         }),
         "assign" -> VNative("Object.assign", (_, args) => args.headOption match {
-          case Some(t @ VObj(tf)) =>
-            args.drop(1).foreach { // source reads are [[Get]]: getters run
-              case src @ VObj(sf) =>
-                sf.keys.toSeq.foreach(k => tf(k) = engine.member(src, k))
+          case Some(t: VObj) =>
+            args.drop(1).foreach { // source reads are [[Get]], target writes
+              case src @ VObj(sf) => // are [[Set]]: accessors run on BOTH sides
+                sf.keys.toSeq.foreach(k => engine.setMember(t, k, engine.member(src, k)))
               case _ => ()
             }
             t

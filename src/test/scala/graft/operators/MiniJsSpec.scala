@@ -488,6 +488,41 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == "true|true|true|true|true")
   }
 
+  test("new.target does not leak through a depth-guard throw under new") {
+    // a 'recursion too deep' raised while constructing must not leave a
+    // stale pending new.target for the NEXT plain call to observe
+    assert(runS(
+      """function deep() { return deep(); }
+        |function Probe() { this.nt = new.target; }
+        |function plainProbe() { return new.target === undefined; }
+        |function main() {
+        |  let threw = false;
+        |  try { new deep(); } catch (e) { threw = true; }
+        |  return threw + '|' + plainProbe();
+        |}""".stripMargin) == "true|true")
+  }
+
+  test("cover grammar: {get = d} / {set = d} parse as shorthand-with-default") {
+    assert(runS(
+      """function main() {
+        |  let get, set;
+        |  ({get = 1} = {});
+        |  ({set = 2} = {set: 9});
+        |  const {get: g = 3} = {};
+        |  return get + '|' + set + '|' + g;
+        |}""".stripMargin) == "1|9|3")
+  }
+
+  test("Object.assign performs [[Set]] on the target: setters intercept") {
+    assert(runS(
+      """function main() {
+        |  const log = [];
+        |  const t = { set a(v) { log.push('a=' + v); }, get a() { return 'A'; } };
+        |  const out = Object.assign(t, { a: 1, b: 2 }, { get c() { return 3; } });
+        |  return log.join(',') + '|' + out.a + '|' + out.b + '|' + out.c;
+        |}""".stripMargin) == "a=1|A|2|3")
+  }
+
   test("Object.entries and defineProperty accessor descriptors") {
     assert(runS(
       """function main() {
