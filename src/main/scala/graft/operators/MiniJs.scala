@@ -70,8 +70,18 @@ import scala.collection.mutable
  * `Object.defineProperty`/`Object.create` produce accessor slots when
  * get/set are present. `new.target` (r9): the constructor being new'ed
  * in the current frame, propagated through `super()`, undefined in
- * plain calls, lexical through arrows. Not implemented (documented):
- * generators/async.
+ * plain calls, lexical through arrows. Generators (r10): `function*`,
+ * `yield`/`yield*`, generator methods, next/return/throw, for-of/
+ * spread/Array.from over any object with a callable `next` — bodies run
+ * on a per-instance daemon thread with strict SynchronousQueue handoff
+ * (abandoned instances self-expire). Async (r10): `async function`/
+ * methods/arrows, `await`, `Promise` (executor, then/catch/finally,
+ * resolve/reject/all/race/allSettled) under a SYNCHRONOUS microtask
+ * queue — `await` drains reactions to settlement, so ordering relative
+ * to a real event loop differs but data flow and error routing match;
+ * a promise nothing can settle fails loudly at `await`. Documented
+ * divergences: no async generators; `yield*` does not forward
+ * next(v)/throw/return into the delegate.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -101,7 +111,7 @@ object MiniJs {
    * (strictEq already used `eq`), and the prototype slot must not take part
    * in pattern matching — `case VObj(f)` keeps working via the companion
    * unapply and sees OWN fields only. */
-  final class VObj(val fields: mutable.LinkedHashMap[String, V]) extends V {
+  class VObj(val fields: mutable.LinkedHashMap[String, V]) extends V { // open: VPromise subclasses it
     /** [[VNull]] = end of chain. Set by `new`/class evaluation only; plain
      * object literals stay proto-less (own-key iteration, JSON.stringify,
      * and spread all read `fields` and never see the chain). */
@@ -134,6 +144,10 @@ object MiniJs {
     /** True for class constructors: `new` runs field inits; a plain call
      * without `new` constructs leniently (covers `Error('x')`). */
     var isClassCtor: Boolean = false
+    /** `function*` — calling returns a generator object instead of running. */
+    var isGenerator: Boolean = false
+    /** `async function` — calling returns a promise of the body's result. */
+    var isAsync: Boolean = false
   }
   object VFunc {
     def apply(params: Seq[Pat], body: Seq[Stmt], env: Env,
@@ -142,7 +156,29 @@ object MiniJs {
     def unapply(f: VFunc): Option[(Seq[Pat], Seq[Stmt], Env, Boolean, V)] =
       Some((f.params, f.body, f.env, f.isArrow, f.thisVal))
   }
-  case class VNative(name: String, fn: (V, Seq[V]) => V) extends V // (this, args)
+  case class VNative(name: String, fn: (V, Seq[V]) => V) extends V { // (this, args)
+    /** Static properties (`Promise.resolve` & co). Lazy: most natives never
+     * carry any. */
+    var props: mutable.LinkedHashMap[String, V] = null
+  }
+  /**
+   * A promise. Subclasses [[VObj]] so every object surface (member access,
+   * `case VObj(f)` matches, typeof = object) applies unchanged — but the
+   * state lives OUTSIDE the fields map, so `Object.keys(p)` is `[]` and
+   * `JSON.stringify(p)` is `{}`, exactly as in JS. `then/catch/finally`
+   * resolve through the shared promise prototype. The engine's microtask
+   * queue is SYNCHRONOUS: reactions run when `await` or end-of-call drains
+   * the queue (the host contract is synchronous; a promise that nothing in
+   * the queue can ever settle fails loudly at `await`).
+   */
+  final class VPromise extends VObj(mutable.LinkedHashMap[String, V]()) {
+    var state: Int = 0 // 0 pending, 1 fulfilled, 2 rejected
+    var result: V = VUndef
+    val reactions = mutable.ArrayBuffer[PromiseReaction]()
+  }
+  /** A `then` registration: handlers (None = pass-through) + the promise
+   * the handler's result settles. */
+  final case class PromiseReaction(onF: Option[V], onR: Option[V], downstream: VPromise)
   /** Accessor property slot (getter/setter pair), stored in an object's
    * field map. Member reads invoke the getter with the RECEIVER as
    * `this`; assignments route to the setter, found own-or-prototype (a
@@ -153,6 +189,8 @@ object MiniJs {
   final case class VAccess(var getter: Option[V], var setter: Option[V]) extends V
 
   class JsError(msg: String) extends RuntimeException(msg)
+  // (generator/promise runtime classes live inside Engine — see the
+  // "generators (thread bridge)" and "promises" sections there)
 
   // ————————————————————————— AST —————————————————————————
 
@@ -180,7 +218,12 @@ object MiniJs {
   case class EArr(items: Seq[Expr]) extends Expr
   /** key None = `...spread` entry. */
   case class EObjLit(fields: Seq[(Option[String], Expr)]) extends Expr
-  case class EFunc(params: Seq[Pat], body: Seq[Stmt], isArrow: Boolean) extends Expr
+  case class EFunc(params: Seq[Pat], body: Seq[Stmt], isArrow: Boolean,
+                   isGenerator: Boolean = false, isAsync: Boolean = false) extends Expr
+  /** `yield x` / `yield* xs` — only parsed inside generator bodies. */
+  case class EYield(arg: Option[Expr], delegate: Boolean) extends Expr
+  /** `await x` — only parsed inside async bodies. */
+  case class EAwait(e: Expr) extends Expr
   /** `get name() {...}` / `set name(v) {...}` in an object literal;
    * kind is "get" or "set". */
   case class EAccessor(kind: String, fn: EFunc) extends Expr
@@ -212,14 +255,16 @@ object MiniJs {
   case class ClassMember(static: Boolean, name: String,
                          method: Option[(Seq[Pat], Seq[Stmt])],
                          fieldInit: Option[Expr],
-                         accessor: Option[String] = None) // "get" | "set"
+                         accessor: Option[String] = None, // "get" | "set"
+                         isGenerator: Boolean = false, isAsync: Boolean = false)
   case class EClass(name: Option[String], parent: Option[Expr],
                     members: Seq[ClassMember]) extends Expr
 
   sealed trait Stmt
   case class SExpr(e: Expr) extends Stmt
   case class SVar(kind: String, decls: Seq[(Pat, Option[Expr])]) extends Stmt
-  case class SFunc(name: String, params: Seq[Pat], body: Seq[Stmt]) extends Stmt
+  case class SFunc(name: String, params: Seq[Pat], body: Seq[Stmt],
+                   isGenerator: Boolean = false, isAsync: Boolean = false) extends Stmt
   case class SIf(c: Expr, t: Stmt, f: Option[Stmt]) extends Stmt
   case class SWhile(c: Expr, body: Stmt) extends Stmt
   case class SFor(init: Option[Stmt], cond: Option[Expr], update: Option[Expr], body: Stmt) extends Stmt
@@ -374,6 +419,28 @@ object MiniJs {
     private var pos = 0
     private def peek: Tok = toks(pos)
     private def peek2: Tok = toks(math.min(pos + 1, toks.length - 1))
+    private def peekAt(n: Int): Tok = toks(math.min(pos + n, toks.length - 1))
+
+    /** Contextual reserved words, as in JS: `yield` is an expression only
+     * inside generator bodies, `await` only inside async bodies — outside
+     * those contexts both stay ordinary identifiers. Arrows inherit the
+     * enclosing context (they cannot be generators themselves); plain
+     * function/method bodies reset it. */
+    private var inGenerator = false
+    private var inAsync = false
+    /** Parse a `{...}` function body under the given yield/await context. */
+    private def fnBody(gen: Boolean, async: Boolean): Seq[Stmt] = {
+      val (sg, sa) = (inGenerator, inAsync)
+      inGenerator = gen; inAsync = async
+      try { expect("punct", "{"); parseStmtsUntilBrace() }
+      finally { inGenerator = sg; inAsync = sa }
+    }
+    /** Arrow body with `await` enabled (async arrows). */
+    private def asyncArrowBody(): Seq[Stmt] = {
+      val (sg, sa) = (inGenerator, inAsync)
+      inGenerator = false; inAsync = true
+      try parseArrowBody() finally { inGenerator = sg; inAsync = sa }
+    }
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
     private def err(m: String): Nothing =
       throw new JsError(s"js syntax: $m near '${peek.text}' (offset ${peek.pos})")
@@ -398,10 +465,17 @@ object MiniJs {
       else if (isPunct(";")) { next(); SEmpty }
       else if (isKw("function")) {
         next()
+        val isGen = eatPunct("*")
         val name = expect("ident").text
         val params = parseParams()
-        expect("punct", "{")
-        SFunc(name, params, parseStmtsUntilBrace())
+        SFunc(name, params, fnBody(isGen, async = false), isGenerator = isGen)
+      } else if (peek.kind == "ident" && peek.text == "async" &&
+                 peek2.kind == "kw" && peek2.text == "function") {
+        next(); next()
+        if (eatPunct("*")) err("async generators are not supported")
+        val name = expect("ident").text
+        val params = parseParams()
+        SFunc(name, params, fnBody(gen = false, async = true), isAsync = true)
       } else if (isKw("class")) {
         val e = parseClass()
         val n = e.name.getOrElse(err("class declaration requires a name"))
@@ -638,6 +712,49 @@ object MiniJs {
     }
 
     private def parseAssign(): Expr = {
+      // `yield [*] expr?` — contextual: an expression only inside generators
+      if (inGenerator && peek.kind == "ident" && peek.text == "yield") {
+        next()
+        val delegate = eatPunct("*")
+        val arg =
+          if (delegate) Some(parseAssign())
+          else if (peek.kind == "eof" ||
+            (peek.kind == "punct" &&
+              Set(";", ")", "]", "}", ",", ":").contains(peek.text))) None
+          else Some(parseAssign())
+        return EYield(arg, delegate)
+      }
+      // async function expressions and async arrows
+      if (peek.kind == "ident" && peek.text == "async") {
+        if (peek2.kind == "kw" && peek2.text == "function") {
+          next(); next()
+          if (eatPunct("*")) err("async generators are not supported")
+          if (peek.kind == "ident") next() // named async fn expr: ignore name
+          val params = parseParams()
+          return EFunc(params, fnBody(gen = false, async = true),
+            isArrow = false, isAsync = true)
+        }
+        if (peek2.kind == "ident" && peekAt(2).kind == "punct" && peekAt(2).text == "=>") {
+          next(); val p = next().text; next()
+          return EFunc(Seq(PName(p)), asyncArrowBody(), isArrow = true, isAsync = true)
+        }
+        if (peek2.kind == "punct" && peek2.text == "(") {
+          val save = pos
+          next(); next()
+          val attempt =
+            try {
+              val params = parseParamsTail()
+              if (isPunct(")") && peek2.kind == "punct" && peek2.text == "=>") Some(params)
+              else None
+            } catch { case _: JsError => None }
+          attempt match {
+            case Some(params) =>
+              next(); next()
+              return EFunc(params, asyncArrowBody(), isArrow = true, isAsync = true)
+            case None => pos = save
+          }
+        }
+      }
       // arrow functions: ident => ... | (a, {b}, ...rest) => ...
       if (peek.kind == "ident" && peek2.kind == "punct" && peek2.text == "=>") {
         val p = next().text; next()
@@ -726,6 +843,11 @@ object MiniJs {
       else if (isPunct("--")) { next(); EUnary("--", parseUnary()) }
       else if (isKw("typeof")) { next(); EUnary("typeof", parseUnary()) }
       else if (isKw("delete")) { next(); EDelete(parseUnary()) }
+      else if (inAsync && peek.kind == "ident" && peek.text == "await" &&
+               !(peek2.kind == "punct" &&
+                 Set(";", ")", "]", "}", ",", ":", "=", "=>").contains(peek2.text))) {
+        next(); EAwait(parseUnary()) // contextual: `await` binds like unary
+      }
       else parsePostfix()
     }
     private def parsePostfix(): Expr = {
@@ -774,28 +896,34 @@ object MiniJs {
         if (eatPunct(";")) ()
         else {
           val static = isKw("static") && { next(); true }
+          val isAsyncM = (peek.kind == "ident" && peek.text == "async" &&
+            !(peek2.kind == "punct" &&
+              Set("(", "=", ";", "}").contains(peek2.text))) && { next(); true }
+          val isGenM = isPunct("*") && { next(); true }
+          if (isAsyncM && isGenM) err("async generators are not supported")
           val nameTok = next()
           val mname = nameTok.kind match {
             case "ident" | "kw" | "str" | "num" => nameTok.text
             case _ => err("bad class member name")
           }
-          if ((mname == "get" || mname == "set") && !isPunct("(") && !isPunct("=") &&
-              !isPunct(";") && !isPunct("}")) { // accessor member
+          if ((mname == "get" || mname == "set") && !isGenM && !isAsyncM &&
+              !isPunct("(") && !isPunct("=") && !isPunct(";") && !isPunct("}")) { // accessor member
             val nameTok = next()
             val pname = nameTok.kind match {
               case "ident" | "kw" | "str" | "num" => nameTok.text
               case _ => err("bad accessor name")
             }
             val params = parseParams()
-            expect("punct", "{")
             members += ClassMember(static, pname,
-              Some((params, parseStmtsUntilBrace())), None, accessor = Some(mname))
+              Some((params, fnBody(gen = false, async = false))), None, accessor = Some(mname))
           }
-          else if (isPunct("(")) { // method
+          else if (isPunct("(")) { // method (incl. *gen() and async m())
             val params = parseParams()
-            expect("punct", "{")
-            members += ClassMember(static, mname, Some((params, parseStmtsUntilBrace())), None)
-          } else if (eatPunct("=")) { // field
+            members += ClassMember(static, mname,
+              Some((params, fnBody(isGenM, isAsyncM))), None,
+              isGenerator = isGenM, isAsync = isAsyncM)
+          } else if (isGenM || isAsyncM) err("expected a method body")
+          else if (eatPunct("=")) { // field
             val init = parseAssign()
             eatPunct(";")
             members += ClassMember(static, mname, None, Some(init))
@@ -831,10 +959,10 @@ object MiniJs {
           case "this" => next(); EThis
           case "function" =>
             next()
+            val isGen = eatPunct("*")
             if (peek.kind == "ident") next() // named function expression: ignore name
             val params = parseParams()
-            expect("punct", "{")
-            EFunc(params, parseStmtsUntilBrace(), isArrow = false)
+            EFunc(params, fnBody(isGen, async = false), isArrow = false, isGenerator = isGen)
           case "class" => parseClass()
           case "new" =>
             next()
@@ -914,12 +1042,17 @@ object MiniJs {
               while (m) {
                 if (eatPunct("...")) fields += ((None, parseAssign()))
                 else {
+                  val isAsyncM = (peek.kind == "ident" && peek.text == "async" &&
+                    !(peek2.kind == "punct" &&
+                      Set(":", "(", ",", "}", "=").contains(peek2.text))) && { next(); true }
+                  val isGenM = isPunct("*") && { next(); true }
+                  if (isAsyncM && isGenM) err("async generators are not supported")
                   val keyTok = next()
                   val key = keyTok.kind match {
                     case "str" | "ident" | "kw" | "num" => keyTok.text
                     case _ => err("bad object key")
                   }
-                  if ((key == "get" || key == "set") &&
+                  if ((key == "get" || key == "set") && !isGenM && !isAsyncM &&
                       !isPunct(":") && !isPunct("(") && !isPunct(",") && !isPunct("}") &&
                       !isPunct("=")) { // `= ` is shorthand-with-default ({get = 1} = o), not an accessor
 
@@ -930,15 +1063,15 @@ object MiniJs {
                       case _ => err("bad accessor name")
                     }
                     val params = parseParams()
-                    expect("punct", "{")
                     fields += ((Some(pname),
-                      EAccessor(key, EFunc(params, parseStmtsUntilBrace(), isArrow = false))))
+                      EAccessor(key, EFunc(params, fnBody(gen = false, async = false), isArrow = false))))
                   }
+                  else if ((isGenM || isAsyncM) && !isPunct("(")) err("expected a method body")
                   else if (eatPunct(":")) fields += ((Some(key), parseAssign()))
-                  else if (isPunct("(")) { // method shorthand { m() {...} }
+                  else if (isPunct("(")) { // method shorthand: m(), *gen(), async m()
                     val params = parseParams()
-                    expect("punct", "{")
-                    fields += ((Some(key), EFunc(params, parseStmtsUntilBrace(), isArrow = false)))
+                    fields += ((Some(key), EFunc(params, fnBody(isGenM, isAsyncM),
+                      isArrow = false, isGenerator = isGenM, isAsync = isAsyncM)))
                   }
                   else if (eatPunct("=")) // cover grammar: {a = dflt} (destructuring target only)
                     fields += ((Some(key), EShorthandDefault(key, parseAssign())))
@@ -1032,17 +1165,28 @@ object MiniJs {
 
     def eval(src: String): V = {
       val prog = new Parser(tokenize(src)).parseProgram()
-      try execBlock(prog, global, VUndef)
+      try { execBlock(prog, global, VUndef); drainMicrotasks() }
       catch { case JsThrown(v) => throw new JsError(s"js: uncaught ${stringify(v)}") }
       VUndef
     }
 
-    /** Call a global function by name. */
+    /** Call a global function by name. Pending promise reactions run to
+     * quiescence before the result is returned (synchronous event loop). */
     def call(name: String, args: Seq[V]): V = {
-      try global.get(name) match {
-        case f: VFunc => callFunction(f, VUndef, args)
-        case n: VNative => n.fn(VUndef, args)
-        case other => throw new JsError(s"js: '$name' is not a function ($other)")
+      try {
+        val r = global.get(name) match {
+          case f: VFunc => callFunction(f, VUndef, args)
+          case n: VNative => n.fn(VUndef, args)
+          case other => throw new JsError(s"js: '$name' is not a function ($other)")
+        }
+        drainMicrotasks()
+        r match {
+          // a host calling an async entrypoint wants the settled value,
+          // not the promise shell (the queue is already quiescent)
+          case p: VPromise if p.state == 1 => p.result
+          case p: VPromise if p.state == 2 => throw JsThrown(p.result)
+          case v => v
+        }
       } catch { case JsThrown(v) => throw new JsError(s"js: uncaught ${stringify(v)}") }
     }
 
@@ -1057,6 +1201,13 @@ object MiniJs {
       // for the next plain call to observe
       val nt = pendingNewTarget
       pendingNewTarget = VUndef
+      if (f.isGenerator) return makeGeneratorObject(f, thisVal, args)
+      if (f.isAsync) return runAsync(f, thisVal, args, nt)
+      invokePlain(f, thisVal, args, nt)
+    }
+
+    /** The plain-call core: bind params, run the body, unwrap `return`. */
+    private def invokePlain(f: VFunc, thisVal: V, args: Seq[V], nt: V): V = {
       depth += 1
       if (depth > maxDepth) { depth -= 1; throw new JsError("js: recursion too deep") }
       try {
@@ -1079,6 +1230,268 @@ object MiniJs {
         try { execBlock(f.body, env, self); VUndef }
         catch { case ReturnSignal(v) => v }
       } finally depth -= 1
+    }
+
+    // ———————————————————— generators (thread bridge) ————————————————————
+    // A generator body runs on its own daemon thread; control strictly
+    // alternates with the caller through a pair of SynchronousQueues, so
+    // exactly ONE thread executes engine code at any moment (the queue
+    // handoff publishes all engine state — steps, depth — between them).
+    // This keeps the tree-walking evaluator untouched: `yield` simply parks
+    // the body mid-expression. Cost model: one thread per LIVE generator
+    // instance; an abandoned generator (never drained, never returned)
+    // self-terminates after `genIdleTimeoutSec` of no resume, so threads
+    // cannot leak across host invocations. Reference JS contract hosts
+    // arbitrary V8 scripts (crates/processors/src/js.rs:74-130); this
+    // covers function*/yield/yield*/next/return/throw + for-of/spread.
+    private case class GMResume(v: V); private case class GMThrow(v: V)
+    private case class GMReturn(v: V)
+    private case class GOYield(v: V); private case class GODone(v: V)
+    private case class GOFail(t: Throwable)
+    /** `gen.return(v)` unwind: runs finally blocks, skips catch (distinct
+     * from JsThrown so script catch handlers never see it). */
+    private case class GenReturnSig(v: V) extends RuntimeException
+    /** Abandonment unwind after the idle timeout: the thread exits without
+     * reporting (nobody is listening). */
+    private object GenAbandoned extends RuntimeException
+    private val genIdleTimeoutSec: Long =
+      sys.env.getOrElse("SPARK_GRAFT_JS_GEN_IDLE_SEC", "600").toLong
+
+    private final class GenBridge {
+      val toGen = new java.util.concurrent.SynchronousQueue[AnyRef]()
+      val fromGen = new java.util.concurrent.SynchronousQueue[AnyRef]()
+      @volatile var started = false
+      @volatile var done = false
+      var callerDepth = 0
+      var genDepth = 0
+    }
+    private val currentBridge = new ThreadLocal[GenBridge]
+
+    private def iterResult(v: V, d: Boolean): VObj =
+      VObj(mutable.LinkedHashMap[String, V]("value" -> v, "done" -> VBool(d)))
+
+    /** Calling a `function*`: package the body as a suspended coroutine. */
+    private def makeGeneratorObject(f: VFunc, thisVal: V, args: Seq[V]): VObj = {
+      val bridge = new GenBridge
+      val starter = () => {
+        val t = new Thread(() => {
+          currentBridge.set(bridge)
+          val out: AnyRef =
+            try GODone(invokePlain(f, thisVal, args, VUndef))
+            catch {
+              case GenReturnSig(v) => GODone(v)
+              case GenAbandoned => null // idle-expired: exit silently
+              case t: Throwable => GOFail(t)
+            }
+          if (out != null) bridge.fromGen.put(out)
+        }, "minijs-generator")
+        t.setDaemon(true)
+        t.start()
+      }
+      def step(msg: AnyRef): V = {
+        bridge.callerDepth = depth
+        if (!bridge.started) {
+          bridge.started = true
+          msg match {
+            case GMReturn(v) => bridge.done = true; return iterResult(v, d = true)
+            case GMThrow(v) => bridge.done = true; throw JsThrown(v)
+            case _ => starter() // first next(): resume value is discarded (JS)
+          }
+        } else bridge.toGen.put(msg)
+        val out = bridge.fromGen.poll(genIdleTimeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS)
+        out match {
+          case GOYield(v) => iterResult(v, d = false)
+          case GODone(v) => bridge.done = true; iterResult(v, d = true)
+          case GOFail(t) => bridge.done = true; throw t
+          case _ =>
+            bridge.done = true
+            throw new JsError("js: generator step timed out")
+        }
+      }
+      val obj = VObj(mutable.LinkedHashMap[String, V]())
+      obj.fields("next") = VNative("next", (_, a) =>
+        if (bridge.done) iterResult(VUndef, d = true)
+        else step(GMResume(a.headOption.getOrElse(VUndef))))
+      obj.fields("return") = VNative("return", (_, a) => {
+        val v = a.headOption.getOrElse(VUndef)
+        if (bridge.done) iterResult(v, d = true) else step(GMReturn(v))
+      })
+      obj.fields("throw") = VNative("throw", (_, a) => {
+        val v = a.headOption.getOrElse(VUndef)
+        if (bridge.done) throw JsThrown(v) else step(GMThrow(v))
+      })
+      obj
+    }
+
+    /** One `yield`: park the body, hand the value to the caller, return the
+     * resume value (or unwind on injected throw/return/abandonment). */
+    private def yieldOnce(bridge: GenBridge, v: V): V = {
+      bridge.genDepth = depth
+      depth = bridge.callerDepth // caller resumes at ITS depth
+      bridge.fromGen.put(GOYield(v))
+      val msg = bridge.toGen.poll(genIdleTimeoutSec,
+        java.util.concurrent.TimeUnit.SECONDS)
+      depth = bridge.genDepth
+      msg match {
+        case GMResume(rv) => rv
+        case GMThrow(tv) => throw JsThrown(tv)
+        case GMReturn(rv) => throw GenReturnSig(rv)
+        case _ => bridge.done = true; throw GenAbandoned
+      }
+    }
+
+    private def isCallableV(v: V): Boolean = v match {
+      case _: VFunc | _: VNative => true
+      case _ => false
+    }
+
+    /** JS iteration protocol: arrays and strings directly; any object with
+     * a callable `next` (generator objects, user iterators) via the
+     * next()/{value,done} pull protocol — LAZILY, so `for (x of infinite())
+     * { break; }` terminates. */
+    def iteratorOf(v: V): Iterator[V] = v match {
+      case VArr(a) => a.iterator
+      case VStr(s) => s.iterator.map(c => VStr(c.toString))
+      case o: VObj =>
+        protoLookup(o, "next") match {
+          case Some(nf) if isCallableV(nf) => new Iterator[V] {
+            private var buf: V = VUndef
+            private var ended = false
+            private var loaded = false
+            private def load(): Unit = if (!loaded && !ended) {
+              callValue(nf, o, Nil, "next") match {
+                case r: VObj =>
+                  if (truthy(member(r, "done"))) ended = true
+                  else buf = member(r, "value")
+                case _ => throw new JsError("js: iterator next() must return an object")
+              }
+              loaded = true
+            }
+            def hasNext: Boolean = { load(); !ended }
+            def next(): V = { load(); loaded = false; buf }
+          }
+          case _ => throw new JsError("js: object is not iterable (no callable 'next')")
+        }
+      case other => throw new JsError(s"js: ${typeOf(other)} is not iterable")
+    }
+
+    // ———————————————— promises (synchronous microtasks) ————————————————
+    // lazy: the Engine constructor's Error-bootstrap eval() drains before
+    // later-declared vals would initialize
+    private lazy val microtasks = new java.util.ArrayDeque[() => Unit]()
+    private def enqueueMicro(t: () => Unit): Unit = microtasks.addLast(t)
+    /** Run queued reactions to quiescence. Called at `await` points and at
+     * the end of every host `call`/`eval`. */
+    def drainMicrotasks(): Unit =
+      while (!microtasks.isEmpty) { tick(); microtasks.pollFirst()() }
+
+    /** Shared prototype: then/catch/finally. Own fields of a promise stay
+     * empty (Object.keys → [], JSON.stringify → {}, as in JS). */
+    private lazy val promiseProto: VObj = {
+      def asPromise(t: V): VPromise = t match {
+        case p: VPromise => p
+        case _ => throw new JsError("js: Promise method on a non-promise")
+      }
+      val o = VObj(mutable.LinkedHashMap[String, V]())
+      o.fields("then") = VNative("then", (t, a) =>
+        promiseThen(asPromise(t), a.headOption.filter(isCallableV),
+          a.lift(1).filter(isCallableV)))
+      o.fields("catch") = VNative("catch", (t, a) =>
+        promiseThen(asPromise(t), None, a.headOption.filter(isCallableV)))
+      o.fields("finally") = VNative("finally", (t, a) => {
+        val p = asPromise(t)
+        a.headOption.filter(isCallableV) match {
+          case None => promiseThen(p, None, None)
+          case Some(cb) => promiseThen(p,
+            Some(VNative("", (_, vs) => {
+              callValue(cb, VUndef, Nil, "finally")
+              vs.headOption.getOrElse(VUndef)
+            })),
+            Some(VNative("", (_, vs) => {
+              callValue(cb, VUndef, Nil, "finally")
+              throw JsThrown(vs.headOption.getOrElse(VUndef))
+            })))
+        }
+      })
+      o
+    }
+
+    def newPromise(): VPromise = {
+      val p = new VPromise
+      p.proto = promiseProto
+      p
+    }
+
+    /** Settle: fulfilling WITH a promise adopts its state (then-chaining). */
+    def settlePromise(p: VPromise, st: Int, v: V): Unit = if (p.state == 0) {
+      if (st == 1) v match {
+        case inner: VPromise =>
+          inner.state match {
+            case 0 => inner.reactions += PromiseReaction(None, None, p)
+            case s => p.state = s; p.result = inner.result; flushReactions(p)
+          }
+          return
+        case _ => ()
+      }
+      p.state = st
+      p.result = v
+      flushReactions(p)
+    }
+
+    private def flushReactions(p: VPromise): Unit = {
+      val rs = p.reactions.toList
+      p.reactions.clear()
+      rs.foreach(r => enqueueMicro(() => runReaction(p, r)))
+    }
+
+    private def runReaction(p: VPromise, r: PromiseReaction): Unit = {
+      val handler = if (p.state == 1) r.onF else r.onR
+      handler match {
+        case Some(h) =>
+          try settlePromise(r.downstream, 1, callValue(h, VUndef, Seq(p.result), "then"))
+          catch {
+            case JsThrown(v) => settlePromise(r.downstream, 2, v)
+            case e: JsError if !e.getMessage.contains("step budget") =>
+              settlePromise(r.downstream, 2, makeError(e.getMessage))
+          }
+        case None => settlePromise(r.downstream, p.state, p.result) // pass through
+      }
+    }
+
+    def promiseThen(p: VPromise, onF: Option[V], onR: Option[V]): VPromise = {
+      val d = newPromise()
+      val r = PromiseReaction(onF, onR, d)
+      if (p.state == 0) p.reactions += r
+      else enqueueMicro(() => runReaction(p, r))
+      d
+    }
+
+    /** `await p`: drain microtasks until settled. A promise still pending
+     * with an empty queue can NEVER settle in this synchronous host —
+     * loud error instead of a silent undefined. */
+    def awaitSettle(p: VPromise): V = {
+      while (p.state == 0 && !microtasks.isEmpty) { tick(); microtasks.pollFirst()() }
+      p.state match {
+        case 1 => p.result
+        case 2 => throw JsThrown(p.result)
+        case _ => throw new JsError(
+          "js: await on a promise that never settles (no pending reactions)")
+      }
+    }
+
+    /** Async call: body runs synchronously (await = drain-to-settle), the
+     * result/throw lands in a promise — caller ordering differs from a real
+     * event loop, but data flow and error routing match. */
+    private def runAsync(f: VFunc, thisVal: V, args: Seq[V], nt: V): V = {
+      val p = newPromise()
+      try settlePromise(p, 1, invokePlain(f, thisVal, args, nt))
+      catch {
+        case JsThrown(v) => settlePromise(p, 2, v)
+        case e: JsError if !e.getMessage.contains("step budget") =>
+          settlePromise(p, 2, makeError(e.getMessage))
+      }
+      p
     }
 
     /** `super.name` — method lookup starting ABOVE the defining prototype. */
@@ -1162,11 +1575,11 @@ object MiniJs {
       ctor.propsMap("prototype") = protoObj
       protoObj.fields("constructor") = ctor
       ctor.fieldInits = members.collect {
-        case ClassMember(false, n, None, init, None) => (n, init)
+        case ClassMember(false, n, None, init, None, _, _) => (n, init)
       }
       members.foreach {
-        case ClassMember(false, "constructor", Some(_), _, None) => ()
-        case ClassMember(static, n, Some((params, body)), _, Some(kind)) => // accessor
+        case ClassMember(false, "constructor", Some(_), _, None, _, _) => ()
+        case ClassMember(static, n, Some((params, body)), _, Some(kind), _, _) => // accessor
           val m = VFunc(params, body, env, isArrow = false, VUndef)
           m.homeProto = protoObj
           val target = if (static) ctor.propsMap else protoObj.fields
@@ -1177,23 +1590,27 @@ object MiniJs {
               target(n) =
                 if (kind == "get") VAccess(Some(m), None) else VAccess(None, Some(m))
           }
-        case ClassMember(static, n, Some((params, body)), _, None) =>
+        case ClassMember(static, n, Some((params, body)), _, None, isGen, isAsync) =>
           val m = VFunc(params, body, env, isArrow = false, VUndef)
           m.homeProto = protoObj
+          m.isGenerator = isGen
+          m.isAsync = isAsync
           if (static) ctor.propsMap(n) = m else protoObj.fields(n) = m
-        case ClassMember(true, n, None, init, None) => // static field
+        case ClassMember(true, n, None, init, None, _, _) => // static field
           ctor.propsMap(n) = init.map(e => evalExpr(e, env, thisVal)).getOrElse(VUndef)
         case _ => ()
       }
       ctor
     }
 
-    /** Evaluate an expr list expanding `...spread` items (arrays, strings). */
+    /** Evaluate an expr list expanding `...spread` items (arrays, strings,
+     * generators/iterators via the next() protocol). */
     private def spreadArgs(items: Seq[Expr], env: Env, thisVal: V): Seq[V] =
       items.flatMap {
         case ESpread(e) => evalExpr(e, env, thisVal) match {
           case VArr(a) => a.toSeq
           case VStr(s) => s.map(c => VStr(c.toString))
+          case o: VObj => iteratorOf(o).toSeq
           case other => throw new JsError(s"js: ${typeOf(other)} is not iterable (spread)")
         }
         case e => Seq(evalExpr(e, env, thisVal))
@@ -1238,7 +1655,11 @@ object MiniJs {
     private def execBlock(stmts: Seq[Stmt], env: Env, thisVal: V): Unit = {
       // hoist function declarations
       stmts.foreach {
-        case SFunc(name, params, body) => env.define(name, VFunc(params, body, env, isArrow = false, VUndef))
+        case SFunc(name, params, body, isGen, isAsync) =>
+          val vf = VFunc(params, body, env, isArrow = false, VUndef)
+          vf.isGenerator = isGen
+          vf.isAsync = isAsync
+          env.define(name, vf)
         case _ => ()
       }
       stmts.foreach(s => exec(s, env, thisVal))
@@ -1252,7 +1673,7 @@ object MiniJs {
           decls.foreach { case (pat, init) =>
             bindPattern(pat, init.map(evalExpr(_, env, thisVal)).getOrElse(VUndef), env, thisVal)
           }
-        case SFunc(_, _, _) => () // hoisted
+        case _: SFunc => () // hoisted
         case SIf(c, t, f) =>
           if (truthy(evalExpr(c, env, thisVal))) exec(t, env, thisVal)
           else f.foreach(exec(_, env, thisVal))
@@ -1278,13 +1699,13 @@ object MiniJs {
             update.foreach(evalExpr(_, loopEnv, thisVal))
           }
         case SForOf(pat, iterable, body) =>
-          val items: Seq[V] = evalExpr(iterable, env, thisVal) match {
-            case VArr(a) => a.toSeq
-            case VStr(str) => str.map(c => VStr(c.toString)).toSeq
-            case other => throw new JsError(s"js: ${typeOf(other)} is not iterable")
-          }
-          items.foreach { item =>
+          // LAZY protocol pull (iteratorOf): generators and user iterators
+          // advance one step per turn, so `break` out of an infinite
+          // generator terminates
+          val it = iteratorOf(evalExpr(iterable, env, thisVal))
+          while (it.hasNext) {
             tick()
+            val item = it.next()
             val loopEnv = new Env(env)
             bindPattern(pat, item, loopEnv, thisVal)
             try exec(body, loopEnv, thisVal)
@@ -1375,7 +1796,47 @@ object MiniJs {
             }
           }
           objV
-        case EFunc(params, body, isArrow) => VFunc(params, body, env, isArrow, thisVal)
+        case EFunc(params, body, isArrow, isGen, isAsync) =>
+          val vf = VFunc(params, body, env, isArrow, thisVal)
+          vf.isGenerator = isGen
+          vf.isAsync = isAsync
+          vf
+        case EYield(argE, delegate) =>
+          val bridge = currentBridge.get()
+          if (bridge == null) throw new JsError("js: yield outside a generator")
+          if (delegate) {
+            // yield*: forward each value; the expression's result is the
+            // delegate's COMPLETION value ({done:true}.value for iterators,
+            // undefined for arrays/strings). Divergence (documented):
+            // next(v)/throw/return are not forwarded into the delegate.
+            evalExpr(argE.getOrElse(EUndef), env, thisVal) match {
+              case o: VObj => protoLookup(o, "next") match {
+                case Some(nf) if isCallableV(nf) =>
+                  var result: V = VUndef
+                  var going = true
+                  while (going) {
+                    tick()
+                    callValue(nf, o, Nil, "next") match {
+                      case r: VObj =>
+                        if (truthy(member(r, "done"))) { result = member(r, "value"); going = false }
+                        else yieldOnce(bridge, member(r, "value"))
+                      case _ => throw new JsError("js: iterator next() must return an object")
+                    }
+                  }
+                  result
+                case _ => throw new JsError("js: object is not iterable (no callable 'next')")
+              }
+              case other =>
+                val it = iteratorOf(other)
+                while (it.hasNext) { tick(); yieldOnce(bridge, it.next()) }
+                VUndef
+            }
+          } else
+            yieldOnce(bridge, argE.map(evalExpr(_, env, thisVal)).getOrElse(VUndef))
+        case EAwait(inner) => evalExpr(inner, env, thisVal) match {
+          case p: VPromise => awaitSettle(p)
+          case v => v // await non-promise = the value itself
+        }
         case EUnary(op, inner) => op match {
           case "!" => VBool(!truthy(evalExpr(inner, env, thisVal)))
           case "-" => VNum(-toNum(evalExpr(inner, env, thisVal)))
@@ -1636,7 +2097,9 @@ object MiniJs {
       }
       case VBool(_) => VUndef
       case _: VAccess => VUndef // accessor slots never escape member()
-      case _: VFunc | _: VNative => VUndef
+      case n: VNative => // statics (Promise.resolve & co)
+        if (n.props != null) n.props.getOrElse(name, VUndef) else VUndef
+      case _: VFunc => VUndef
     }
   }
 
@@ -1957,7 +2420,123 @@ object MiniJs {
       g.define("JSON", jsonObj)
       g.define("Array", VObj(mutable.LinkedHashMap(
         "isArray" -> VNative("Array.isArray", (_, args) =>
-          VBool(args.headOption.exists(_.isInstanceOf[VArr]))))))
+          VBool(args.headOption.exists(_.isInstanceOf[VArr]))),
+        "from" -> VNative("Array.from", (_, args) => {
+          val seq: Seq[V] = args.headOption.getOrElse(VUndef) match {
+            case VArr(a) => a.toSeq
+            case VStr(s) => s.map(c => VStr(c.toString))
+            case o: VObj => engine.iteratorOf(o).toSeq // generators/iterators
+            case _ => Nil
+          }
+          val mapped = args.lift(1) match {
+            case Some(f @ (_: VFunc | _: VNative)) => seq.zipWithIndex.map {
+              case (v, i) => engine.callValue(f, VUndef, Seq(v, VNum(i)), "Array.from")
+            }
+            case _ => seq
+          }
+          VArr(mutable.ArrayBuffer(mapped: _*))
+        }))))
+      // Promise: constructible native (`new Promise(exec)` routes through
+      // the VNative new-path); statics live on the native's props map.
+      // Synchronous microtask model — see VPromise's doc.
+      val promiseCtor = VNative("Promise", (_, args) => {
+        val p = engine.newPromise()
+        args.headOption match {
+          case Some(exec @ (_: VFunc | _: VNative)) =>
+            val res = VNative("resolve", (_, a) => {
+              engine.settlePromise(p, 1, a.headOption.getOrElse(VUndef)); VUndef
+            })
+            val rej = VNative("reject", (_, a) => {
+              engine.settlePromise(p, 2, a.headOption.getOrElse(VUndef)); VUndef
+            })
+            try engine.callValue(exec, VUndef, Seq(res, rej), "Promise executor")
+            catch { case JsThrown(v) => engine.settlePromise(p, 2, v) }
+          case _ => throw new JsError("js: Promise executor must be a function")
+        }
+        p
+      })
+      def wrapResolved(v: V): VPromise = v match {
+        case p: VPromise => p
+        case other =>
+          val p = engine.newPromise(); engine.settlePromise(p, 1, other); p
+      }
+      def iterableArg(a: Seq[V], who: String): Seq[V] = a.headOption match {
+        case Some(VArr(arr)) => arr.toSeq
+        case Some(o: VObj) => engine.iteratorOf(o).toSeq
+        case _ => throw new JsError(s"js: $who expects an iterable")
+      }
+      promiseCtor.props = mutable.LinkedHashMap(
+        "resolve" -> VNative("Promise.resolve", (_, a) =>
+          wrapResolved(a.headOption.getOrElse(VUndef))),
+        "reject" -> VNative("Promise.reject", (_, a) => {
+          val p = engine.newPromise()
+          engine.settlePromise(p, 2, a.headOption.getOrElse(VUndef))
+          p
+        }),
+        "all" -> VNative("Promise.all", (_, a) => {
+          val items = iterableArg(a, "Promise.all")
+          val out = engine.newPromise()
+          val results = mutable.ArrayBuffer.fill[V](items.length)(VUndef)
+          var remaining = items.length
+          if (remaining == 0) engine.settlePromise(out, 1, VArr(mutable.ArrayBuffer()))
+          else items.zipWithIndex.foreach { case (item, i) =>
+            engine.promiseThen(wrapResolved(item),
+              Some(VNative("", (_, vs) => {
+                results(i) = vs.headOption.getOrElse(VUndef)
+                remaining -= 1
+                if (remaining == 0) engine.settlePromise(out, 1, VArr(results))
+                VUndef
+              })),
+              Some(VNative("", (_, vs) => {
+                engine.settlePromise(out, 2, vs.headOption.getOrElse(VUndef)); VUndef
+              })))
+          }
+          out
+        }),
+        "race" -> VNative("Promise.race", (_, a) => {
+          val items = iterableArg(a, "Promise.race")
+          val out = engine.newPromise() // first settle wins (state guard)
+          items.foreach { item =>
+            engine.promiseThen(wrapResolved(item),
+              Some(VNative("", (_, vs) => {
+                engine.settlePromise(out, 1, vs.headOption.getOrElse(VUndef)); VUndef
+              })),
+              Some(VNative("", (_, vs) => {
+                engine.settlePromise(out, 2, vs.headOption.getOrElse(VUndef)); VUndef
+              })))
+          }
+          out
+        }),
+        "allSettled" -> VNative("Promise.allSettled", (_, a) => {
+          val items = iterableArg(a, "Promise.allSettled")
+          val out = engine.newPromise()
+          val results = mutable.ArrayBuffer.fill[V](items.length)(VUndef)
+          var remaining = items.length
+          if (remaining == 0) engine.settlePromise(out, 1, VArr(mutable.ArrayBuffer()))
+          else items.zipWithIndex.foreach { case (item, i) =>
+            def record(status: String, key: String): (V, Seq[V]) => V = (_, vs) => {
+              results(i) = VObj(mutable.LinkedHashMap[String, V](
+                "status" -> VStr(status), key -> vs.headOption.getOrElse(VUndef)))
+              remaining -= 1
+              if (remaining == 0) engine.settlePromise(out, 1, VArr(results))
+              VUndef
+            }
+            engine.promiseThen(wrapResolved(item),
+              Some(VNative("", record("fulfilled", "value"))),
+              Some(VNative("", record("rejected", "reason"))))
+          }
+          out
+        }))
+      g.define("Promise", promiseCtor)
+      // host bridge: synchronously settle a promise (identity on
+      // non-promises). The ScriptHost preamble routes processBatch's
+      // result through this so ASYNC processBatch works on the built-in
+      // engine; external JSR-223 engines fall back to identity.
+      g.define("__await", VNative("__await", (_, a) =>
+        a.headOption.getOrElse(VUndef) match {
+          case p: VPromise => engine.awaitSettle(p)
+          case v => v
+        }))
       // callable without `new` (as in JS); RegExp(/re/) re-wraps the source
       g.define("RegExp", VNative("RegExp", (_, args) => args.headOption match {
         case Some(r: VRegex) =>

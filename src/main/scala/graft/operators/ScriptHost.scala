@@ -54,13 +54,16 @@ object ScriptHost {
     engineName = "graal.js",
     preamble =
       """function route(ev, opts) { ev.__routing = opts; }
+        |var __awaitFn = (typeof __await !== 'undefined') ? __await : function(x) { return x; };
         |function __graft_process(json) {
         |  var events = JSON.parse(json);
         |  for (var i = 0; i < events.length; i++) {
         |    var ev = events[i];
         |    ev.route = function(opts) { this.__routing = opts; };
         |  }
-        |  var out = processBatch(events);
+        |  // async processBatch: settle the promise (built-in engine bridge;
+        |  // identity for sync scripts and external engines)
+        |  var out = __awaitFn(processBatch(events));
         |  if (out === null || out === undefined) out = events;
         |  if (!Array.isArray(out)) out = [out];
         |  for (var j = 0; j < out.length; j++) {

@@ -72,7 +72,18 @@ class ParquetLakeSink(val id: String, path: String,
  *
  * Scale shape: the distinct (table, sequence) era list is a bounded
  * driver-side collect (schema changes are rare control events, not
- * data-sized); each era writes with one pruned pass over the batch.
+ * data-sized). Single era (the overwhelmingly common batch): one
+ * projection over the whole batch, no filter pass. Multi era (a DDL
+ * landed mid-batch, or a replay across evolutions): the batch is split
+ * into era directories by ONE partitioned write of the raw rows, and each
+ * era's projection then reads ONLY its own directory (path-pruned) — the
+ * total work is two passes over the batch REGARDLESS of era count,
+ * instead of the old one-full-batch-filter-scan PER era (O(eras × batch)).
+ * A single projected write is not semantically available: each era's
+ * parquet schema is intentionally different (that era's ledger columns),
+ * and one DataFrame write cannot emit per-directory schemas — a
+ * union-schema write would pollute every era's files with null columns
+ * from every other era, breaking the stable-flat-schema contract above.
  */
 class TypedLakeSink(val id: String, path: String, registry: SchemaRegistry)
     extends EventSink {
@@ -81,19 +92,37 @@ class TypedLakeSink(val id: String, path: String, registry: SchemaRegistry)
       .select(col("source.table").as("t"), col("schema_sequence").as("seq"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted
-    // single-era fast path (the overwhelmingly common batch): skip the
-    // per-era filter pass entirely — one projection over the whole batch
-    val singleEra = eras.length == 1
-    eras.foreach { case (table, seq) =>
+
+    def writeEra(rows: DataFrame, table: String, seq: Long): Unit = {
       val schema = registry.getAtSequence(table, seq).getOrElse(throw new IllegalStateException(
         s"no ledger schema for table '$table' at sequence $seq"))
-      val eraRows =
-        if (singleEra) batch
-        else batch.filter(col("source.table") === table && col("schema_sequence") === seq)
-      graft.operators.LakeProjection(eraRows, schema)
+      graft.operators.LakeProjection(rows, schema)
         .withColumn("_batch_id", lit(batchId))
         .write.mode("append")
         .parquet(s"$path/table=$table/schema_version=$seq")
+    }
+
+    if (eras.length == 1) {
+      val (table, seq) = eras.head
+      writeEra(batch, table, seq)
+    } else if (eras.nonEmpty) {
+      val spark = batch.sparkSession
+      // leading underscore: Spark/Hive readers scanning `path` ignore it
+      val staging = s"$path/_staging_batch_$batchId"
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // one pass splits the batch; __t/__seq are COPIES moved into the
+      // directory structure — the original source.table/schema_sequence
+      // data columns survive the round-trip untouched
+      batch
+        .withColumn("__t", col("source.table"))
+        .withColumn("__seq", col("schema_sequence"))
+        .write.mode("overwrite").partitionBy("__t", "__seq").parquet(staging)
+      try {
+        eras.foreach { case (table, seq) =>
+          writeEra(spark.read.parquet(s"$staging/__t=$table/__seq=$seq"), table, seq)
+        }
+      } finally fs.delete(stagingPath, true)
     }
   }
 }

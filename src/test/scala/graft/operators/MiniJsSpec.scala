@@ -523,6 +523,113 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == "a=1|A|2|3")
   }
 
+  test("generators: yield sequence, two-way next(v), return value, done protocol") {
+    assert(runS(
+      """function* counter(start) {
+        |  const doubled = yield start;     // receives next(v)'s argument
+        |  yield doubled * 2;
+        |  return 'end';
+        |}
+        |function main() {
+        |  const g = counter(5);
+        |  const a = g.next();        // {value: 5, done: false}
+        |  const b = g.next(10);      // doubled = 10 → {value: 20, done: false}
+        |  const c = g.next();        // {value: 'end', done: true}
+        |  const d = g.next();        // exhausted → {value: undefined, done: true}
+        |  return a.value + '|' + a.done + '|' + b.value + '|' + c.value + '|' +
+        |    c.done + '|' + (d.value === undefined) + d.done;
+        |}""".stripMargin) == "5|false|20|end|true|truetrue")
+  }
+
+  test("generators: for-of drives the protocol lazily; break exits an infinite generator") {
+    assert(runS(
+      """function* naturals() { let i = 0; while (true) yield i++; }
+        |function* take(n, it) { for (const x of it) { if (n-- <= 0) return; yield x; } }
+        |function main() {
+        |  const got = [];
+        |  for (const x of naturals()) { if (x > 4) break; got.push(x); }
+        |  const t = [...take(3, naturals())];        // spread drains a generator
+        |  const f = Array.from(take(2, naturals()), v => v * 10);
+        |  return got.join(',') + '|' + t.join(',') + '|' + f.join(',');
+        |}""".stripMargin) == "0,1,2,3,4|0,1,2|0,10")
+  }
+
+  test("generators: yield* delegation, gen.return runs finally, gen.throw is catchable") {
+    assert(runS(
+      """function* inner() { yield 1; yield 2; return 'IR'; }
+        |function* outer() { const r = yield* inner(); yield r; yield* [7, 8]; }
+        |function* guarded(log) {
+        |  try { yield 'a'; yield 'b'; }
+        |  catch (e) { log.push('caught:' + e); yield 'afterThrow'; }
+        |  finally { log.push('fin'); }
+        |}
+        |function main() {
+        |  const o = [...outer()];
+        |  const log = [];
+        |  const g1 = guarded(log);
+        |  g1.next();
+        |  const r1 = g1.return('early');  // runs finally, skips catch
+        |  const g2 = guarded(log);
+        |  g2.next();
+        |  const t = g2.throw('boom');     // caught inside, keeps yielding
+        |  return o.join(',') + '|' + r1.value + r1.done + '|' + t.value + '|' + log.join(',');
+        |}""".stripMargin) == "1,2,IR,7,8|earlytrue|afterThrow|fin,caught:boom")
+  }
+
+  test("generator methods in classes and object literals") {
+    assert(runS(
+      """class Range {
+        |  constructor(n) { this.n = n; }
+        |  *values() { for (let i = 0; i < this.n; i++) yield i * i; }
+        |}
+        |function main() {
+        |  const lit = { *pair() { yield 'x'; yield 'y'; } };
+        |  return [...new Range(4).values()].join(',') + '|' + [...lit.pair()].join('');
+        |}""".stripMargin) == "0,1,4,9|xy")
+  }
+
+  test("async/await: values, rejection via try/catch, async composition") {
+    assert(runS(
+      """async function one() { return 1; }
+        |async function two() { const a = await one(); return a + (await Promise.resolve(10)); }
+        |async function boom() { throw new Error('nope'); }
+        |async function safe() {
+        |  try { await boom(); return 'unreachable'; }
+        |  catch (e) { return 'caught:' + e.message; }
+        |}
+        |async function main() {
+        |  const r = await two();           // 11
+        |  const s = await safe();
+        |  const plain = await 42;          // await non-promise = value
+        |  return r + '|' + s + '|' + plain;
+        |}""".stripMargin) == "11|caught:nope|42")
+  }
+
+  test("Promise: executor, then-chaining, all/race/allSettled, async arrows") {
+    assert(runS(
+      """async function main() {
+        |  const p = new Promise((resolve, reject) => resolve(3));
+        |  const chained = await p.then(v => v + 1).then(v => v * 2);   // 8
+        |  const all = await Promise.all([1, Promise.resolve(2), (async () => 3)()]);
+        |  const raced = await Promise.race([Promise.resolve('fast'), new Promise(() => {})]);
+        |  const settled = await Promise.allSettled([Promise.resolve(1), Promise.reject('no')]);
+        |  const kinds = settled.map(s => s.status).join(',');
+        |  const caught = await Promise.reject('r').catch(e => 'c:' + e);
+        |  const af = async x => x * 7;
+        |  return chained + '|' + all.join(',') + '|' + raced + '|' + kinds + '|' +
+        |    caught + '|' + (await af(6)) + '|' + Object.keys(p).length;
+        |}""".stripMargin) == "8|1,2,3|fast|fulfilled,rejected|c:r|42|0")
+  }
+
+  test("yield/await stay ordinary identifiers outside generator/async bodies") {
+    assert(runN(
+      """function main() {
+        |  const yield = 4;    // contextual: legal outside generators
+        |  let await = 5;
+        |  return yield + await;
+        |}""".stripMargin) == 9)
+  }
+
   test("Object.entries and defineProperty accessor descriptors") {
     assert(runS(
       """function main() {

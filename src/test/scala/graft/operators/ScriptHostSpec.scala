@@ -214,6 +214,39 @@ class ScriptHostSpec extends SparkSpec {
     assert(out(1).getAs[String]("after").contains("\"verb\":\"u\""))
   }
 
+  test("JS: generator + async/await in a routing script (r10 ES-subset closure)") {
+    // a user routing script that fans out via a generator and enriches
+    // through an async helper — the last documented MiniJs gaps vs the
+    // reference's V8 host (js.rs:74-130), exercised through the real host
+    val js =
+      """function* withAudits(events) {
+        |  for (const ev of events) {
+        |    if (ev.op === "d") continue;
+        |    yield ev;
+        |    if (ev.op === "c") yield {...ev, event_id: null, after: ev.after};
+        |  }
+        |}
+        |async function route(ev) {
+        |  const topic = await Promise.resolve(`cdc.${ev.source.db}.${ev.source.table}`);
+        |  return topic;
+        |}
+        |async function processBatch(events) {
+        |  const out = [];
+        |  for (const ev of withAudits(events)) {
+        |    ev.topic = await route(ev);
+        |    out.push(ev);
+        |  }
+        |  return out;
+        |}""".stripMargin
+    val out = ScriptHost.processor("jsgen", js)(events()).orderBy("ts_ms").collect()
+    assert(out.length == 3) // c + its audit clone + u; delete dropped
+    assert(out.count(_.getAs[String]("event_id") == null) == 1) // audit fan-out
+    assert(out.forall { r => // script-set ev.topic surfaces in the routing struct
+      val rt = r.getAs[org.apache.spark.sql.Row]("routing")
+      rt != null && rt.getAs[String]("topic") == "cdc.shop.orders"
+    })
+  }
+
   test("JS: i64 envelope fields re-normalize through f64 (js.rs:205-213)") {
     // 1700000000000 > 2^32 but < 2^53: survives the double round-trip and
     // must come back as a LONG in ts_ms, not 1.7e12

@@ -351,6 +351,45 @@ class SinksAndRegistrySpec extends SparkSpec {
     // both eras carry the flat meta columns with the right provenance
     assert(era0.select("source_table").distinct().head().getString(0) == "orders")
     assert(era0.filter(col("_batch_id") === 1L).count() == 1) // the straggler
+    // the multi-era split's staging directory is cleaned up after the write
+    assert(!new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("_staging")))
+    // era files carry ONLY their own era's columns (the split must not
+    // union-pollute era-0 files with era-1's email column)
+    assert(!era0.columns.contains("after_email"))
+  }
+
+  test("typed lake sink: multi-TABLE multi-era batch splits once, each era exact") {
+    import graft.streaming.{CdcPipeline, SinkLedger}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lake-multi").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    reg.register("orders", StructType(Seq(StructField("id", LongType))), atMs = 1000L)
+    reg.register("users", StructType(Seq(StructField("uid", LongType),
+      StructField("email", StringType))), atMs = 1000L)
+
+    val evs = ChangeEvent.conform(
+      Seq(
+        ("orders", 0L, """{"id":1}""", "e1"),
+        ("orders", 0L, """{"id":2}""", "e2"),
+        ("users", 0L, """{"uid":7,"email":"u@x"}""", "e3"))
+        .toDF("t", "schema_sequence", "after", "event_id")
+        .withColumn("op", lit("c"))
+        .withColumn("ts_ms", lit(1500L))
+        .withColumn("tx_end", lit(true))
+        .withColumn("source", struct(lit("db").as("db"), col("t").as("table")))
+        .drop("t"))
+
+    val sink = new TypedLakeSink("lake", s"$dir/out", reg)
+    val cfg = CdcPipeline.Config(Seq(sink), ledgerDir = s"$dir/led")
+    CdcPipeline.processBatch(cfg, new SinkLedger(s"$dir/led"))(evs, 0L)
+
+    val orders = spark.read.parquet(s"$dir/out/table=orders/schema_version=0")
+    val users = spark.read.parquet(s"$dir/out/table=users/schema_version=0")
+    assert(orders.count() == 2 && users.count() == 1)
+    assert(orders.columns.contains("after_id") && !orders.columns.contains("after_email"))
+    assert(users.columns.contains("after_uid") && users.columns.contains("after_email"))
+    assert(users.select("after_email").head().getString(0) == "u@x")
+    assert(!new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("_staging")))
   }
 
   test("clickhouse DDL: upsert vs changelog engines + meta columns (ddl.rs:17-67)") {
