@@ -332,8 +332,14 @@ object Bench {
         "inherent: Debezium envelope to_json encode of the full x10 change stream (every before/after byte re-serialized); sublinear growth (~6x for 10x rows — the x1 base carries per-task fixed cost)",
       "dedup_jaccard" ->
         "inherent: posting-join pair mining over the x10 corpus; sublinear growth (~1.9x) from ~40 at x1",
+      "dedup_containment" ->
+        "inherent: same posting-join pair mining as dedup_jaccard with the containment prune; same family, same growth",
+      "dedup_streaming_parity" ->
+        "inherent: minhash signatures + banded bucket fold (dedup_minhash's shuffle shape) + exact-Jaccard edge verification + CC rounds over the x10 corpus; composition of attributed families",
       "dedup_clusters" ->
         "inherent: pair mining + diameter-bound CC rounds at x10; growth ~1.9x",
+      "dedup_survivors" ->
+        "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters",
       "dedup_simhash" ->
         "inherent: pigeonhole chunk join at x10; growth ~1.5x",
       "dedup_minhash" ->
@@ -491,10 +497,15 @@ object Bench {
             // (pre-touching toward the same) cannot both fit on the box.
             // Keep the parent's add-opens/-D/-XX flags (module access and
             // code-cache sizing are needed), drop its memory geometry, and
-            // give the child a bounded lazy heap sized against what the
-            // machine actually has left: min(16g, MemTotal − parentRSS − 8g).
-            // No -Xms/AlwaysPreTouch in the child — ProbeOne's untimed
-            // warmup pass absorbs first-touch cost off the clock instead.
+            // give the child a BOUNDED heap sized against what the machine
+            // actually has left: min(16g, MemTotal − parentRSS − 8g).
+            // The bounded heap is pre-touched (-Xms=-Xmx + AlwaysPreTouch):
+            // a lazy child heap charges first-touch page faults to task
+            // threads and poisoned the first r10 run (cdc_binlog_decode x1
+            // read 468 task-CPU-s in the child vs 155 at x10 — impossible
+            // except as commit-fault accounting). The r9 OOM came from
+            // inheriting the PARENT-SIZED heap, not from pre-touch: a 16g
+            // pre-touched child + a MemTotal/2-clamped parent always fit.
             def procMb(path: String, key: String): Long =
               try {
                 scala.io.Source.fromFile(path).getLines()
@@ -511,7 +522,7 @@ object Bench {
               .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
                 a.startsWith("-Xms") || a.startsWith("-Xmx") ||
                 a == "-XX:+AlwaysPreTouch") ++
-              Seq(s"-Xmx${childHeapMb}m")
+              Seq(s"-Xms${childHeapMb}m", s"-Xmx${childHeapMb}m", "-XX:+AlwaysPreTouch")
             System.err.println(s"[bench] fresh-JVM child heap: ${childHeapMb}m (MemTotal=${memTotalMb}m parentRss=${parentRssMb}m)")
             val cp = System.getProperty("java.class.path")
             probed.foreach {

@@ -374,6 +374,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // subset-duplicate mining: |A∩B| / min(|A|,|B|) — a short doc
+      // embedded verbatim in a longer one scores high containment with LOW
+      // Jaccard, so this is the decontamination metric the jaccard query
+      // cannot express. Same posting-join scale path, containment-specific
+      // exact-safe prune under the same stop-feature cap.
+      Dedup.containmentPairs(t(s, dir, "documents"), 0.9, maxDf = Some(1000L))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // connected components over the near-dup pair graph: every doc gets
       // the min doc_id reachable through J>=0.5 pairs as its cluster id
@@ -1438,6 +1448,19 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_jaccard" -> jaccardExactSql,
+
+    "dedup_containment" ->
+      """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(toks)-2, 0)),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+        |      FROM sh a JOIN sh b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT ia AS id_a, ib AS id_b,
+        | round(nc*1.0/least(sa.n, sb.n), 4) AS containment
+        |FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE nc*1.0/least(sa.n, sb.n) >= 0.9 ORDER BY 1, 2""".stripMargin,
 
     // connected components via recursive CTE over the exact pair graph:
     // reach(id, r) closes over edges, min(r) per id = cluster id.

@@ -73,8 +73,59 @@ object Dedup {
       idCol: String = "doc_id",
       features: Column = null,
       maxDf: Option[Long] = None): DataFrame = {
-    val feat = Option(features).getOrElse(shingleSet(col("text")))
     val t = threshold
+    val jac = col("nc").cast("double") /
+      (col("sa") + col("sb") - col("nc")).cast("double")
+    // exact-safe prune bound for J ≥ t: J ≥ t ⟺ nc·(1+t) ≥ t·(|A|+|B|)
+    minedPairCounts(docs, idCol, features, maxDf,
+      (ncU, sa, sb) => ncU.cast("double") * (1.0 + t) >= lit(t) * (sa + sb) - 1e-9,
+      scored => scored.filter(jac >= t)
+        .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard")))
+  }
+
+  /**
+   * N-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold —
+   * the subset-duplicate metric Jaccard misses (a short doc embedded
+   * verbatim in a much longer one has high containment but low Jaccard;
+   * the standard C4/RefinedWeb-style decontamination check). Same
+   * inverted-index posting-join scale shape as [[jaccardPairs]], same
+   * exact-safe `maxDf` stop-feature guard with the containment-specific
+   * prune bound: C ≥ t ⟺ nc ≥ t·min(|A|,|B|), and
+   * true_nc ≤ nc_capped + min(hot_a, hot_b).
+   */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      features: Column = null,
+      maxDf: Option[Long] = None): DataFrame = {
+    val t = threshold
+    val cont = col("nc").cast("double") / least(col("sa"), col("sb")).cast("double")
+    minedPairCounts(docs, idCol, features, maxDf,
+      (ncU, sa, sb) => ncU.cast("double") >= lit(t) * least(sa, sb) - 1e-9,
+      scored => scored.filter(cont >= t)
+        .select(col("id_a"), col("id_b"), round(cont, 4).as("containment")))
+  }
+
+  /**
+   * Shared pair-mining core for the n-gram set-similarity family:
+   * inverted-index posting self-join → per-pair common counts `nc` with
+   * both set sizes (`sa`, `sb`) attached. `pruneKeep(ncUpper, sa, sb)` is
+   * the metric's exact-safe survivor bound under the `maxDf` stop-feature
+   * cap, where `ncUpper = nc_capped + min(hot_a, hot_b)` upper-bounds the
+   * true common count (so pruning can never drop a qualifying pair; the
+   * survivors' true counts are recomputed from the full posting lists).
+   * Returns (id_a, id_b, nc, sa, sb) with id_a < id_b; caller applies the
+   * final score + threshold and cuts lineage.
+   */
+  private def minedPairCounts(
+      docs: DataFrame,
+      idCol: String,
+      features: Column,
+      maxDf: Option[Long],
+      pruneKeep: (Column, Column, Column) => Column,
+      finish: DataFrame => DataFrame): DataFrame = {
+    val feat = Option(features).getOrElse(shingleSet(col("text")))
     // Two rules learned from the physical plan:
     // 1. repartition first — single-file inputs scan as ONE task;
     // 2. materialize before exploding — otherwise projection-collapse
@@ -98,8 +149,6 @@ object Dedup {
         .join(p.select(col("id").as("id_b"), col("h")), "h")
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as(cnt))
-    val jac = col("nc").cast("double") /
-      (col("sa") + col("sb") - col("nc")).cast("double")
     var hotCache: Option[DataFrame] = None
     var survCache: Option[DataFrame] = None
     val scored = maxDf match {
@@ -125,8 +174,8 @@ object Dedup {
           .groupBy("id").agg(count(lit(1)).as("hot"))
         def hc(side: String, as: String) =
           hot.select(col("id").as(side), col("hot").as(as))
-        // exact-safe prune: J ≥ t ⟺ nc·(1+t) ≥ t·(|A|+|B|), and
-        // true_nc ≤ ncc + min(hot_a, hot_b); small epsilon guards fp rounding
+        // exact-safe prune via the metric's own bound (pruneKeep), with
+        // true_nc ≤ ncc + min(hot_a, hot_b) as the upper bound
         // persisted: survivors are read three times below (survIds, the
         // trueNc probe join, and the final score join) — without the cache
         // each consumer re-runs the whole pairCounts self-join pipeline
@@ -135,8 +184,8 @@ object Dedup {
           .join(hc("id_a", "hot_a"), Seq("id_a"), "left")
           .join(hc("id_b", "hot_b"), Seq("id_b"), "left")
           .na.fill(0L, Seq("hot_a", "hot_b"))
-          .filter((col("ncc") + least(col("hot_a"), col("hot_b"))).cast("double") * (1.0 + t)
-            >= lit(t) * (col("sa") + col("sb")) - 1e-9)
+          .filter(pruneKeep(col("ncc") + least(col("hot_a"), col("hot_b")),
+            col("sa"), col("sb")))
           .select("id_a", "id_b", "sa", "sb")
           .persist(StorageLevel.MEMORY_AND_DISK)
         // true common counts for survivors only (|surv| × |feats_a| bounded);
@@ -153,14 +202,14 @@ object Dedup {
         survCache = Some(surv)
         surv.join(trueNc, Seq("id_a", "id_b"))
     }
-    // Materialize the (small) result with a hard lineage cut, then release
-    // the multi-referenced intermediates. Unpersisting lazily-returned
-    // frames would silently disable the caches mid-plan; unpersisting
-    // nothing leaks executor storage into every later query in the session
-    // (measured: dedup_exact regressed 5.7× under the leaked blocks).
-    val result = scored.filter(jac >= t)
-      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
-      .localCheckpoint(true)
+    // Materialize the (small) finished result with a hard lineage cut, then
+    // release the multi-referenced intermediates. Unpersisting
+    // lazily-returned frames would silently disable the caches mid-plan;
+    // unpersisting nothing leaks executor storage into every later query in
+    // the session (measured: dedup_exact regressed 5.7× under the leaked
+    // blocks). The metric's filter/select runs INSIDE the cut (before
+    // unpersist) so the threshold prunes before materialization.
+    val result = finish(scored).localCheckpoint(true)
     posts.unpersist(false)
     hotCache.foreach(_.unpersist(false))
     survCache.foreach(_.unpersist(false))

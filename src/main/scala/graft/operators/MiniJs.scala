@@ -1289,6 +1289,11 @@ object MiniJs {
         t.start()
       }
       def step(msg: AnyRef): V = {
+        // re-entrant resume from the generator's own body would deadlock
+        // the handoff (nobody is parked at toGen) — JS throws TypeError
+        // "Generator is already running"; fail fast the same way
+        if (currentBridge.get() eq bridge)
+          throw new JsError("js: generator is already running")
         bridge.callerDepth = depth
         if (!bridge.started) {
           bridge.started = true

@@ -31,6 +31,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!ids.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("containment catches a subset-dup that jaccard misses; capped == uncapped") {
+    import spark.implicits._
+    val subsetDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // fully contained in 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi " +
+        "omicron pi rho sigma tau upsilon phi chi psi omega one two three four five six"),
+      (2L, "entirely different words about spark catalyst plans and exchanges here now")
+    ).toDF("doc_id", "text")
+    // jaccard is LOW (small ∩ vs big ∪) — the pair is invisible at 0.5
+    assert(Dedup.jaccardPairs(subsetDocs, 0.5).collect().isEmpty)
+    // containment is 1.0: every shingle of doc 0 appears in doc 1
+    val cont = Dedup.containmentPairs(subsetDocs, 0.9).collect()
+    assert(cont.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((0L, 1L)))
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    // the stop-feature cap path is score-exact (same pairs, same scores)
+    val capped = Dedup.containmentPairs(subsetDocs, 0.9, maxDf = Some(2L)).collect()
+    assert(capped.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Double]("containment"))).toSet ==
+      cont.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSet)
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on this corpus (recall check)") {
     val exact = Dedup.jaccardPairs(docs, 0.5).select("id_a", "id_b").collect().toSet
     val lsh = Dedup.minhashPairs(docs, 0.5).select("id_a", "id_b").collect().toSet

@@ -621,6 +621,19 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == "8|1,2,3|fast|fulfilled,rejected|c:r|42|0")
   }
 
+  test("re-entrant gen.next() from inside the generator body throws, not deadlocks") {
+    assert(runS(
+      """function* g() { yield self.next(); }
+        |let self;
+        |function main() {
+        |  self = g();
+        |  // the body's re-entrant self.next() throws inside the generator,
+        |  // which surfaces at THIS resume
+        |  try { self.next(); return 'no-throw'; }
+        |  catch (e) { return 'threw:' + (e.message.indexOf('already running') >= 0); }
+        |}""".stripMargin) == "threw:true")
+  }
+
   test("yield/await stay ordinary identifiers outside generator/async bodies") {
     assert(runN(
       """function main() {
