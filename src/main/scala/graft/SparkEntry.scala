@@ -1071,6 +1071,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "events_streaming_sessions" -> ((s, dir) => {
+      // the stateful streaming sessionizer pinned to the batch standard:
+      // each user's full ts-ordered history through the EXACT
+      // flatMapGroupsWithState fold (StatefulSessionize.foldEvents is a
+      // left fold, so one pass ≡ any ts-ordered micro-batch replay),
+      // emitting every session incl. the final open one. Oracle = the
+      // gap-boundary window SQL computing the same session list.
+      import graft.streaming.StatefulSessionize
+      val spark = s
+      import spark.implicits._
+      val evs = events(s, dir)
+        .select(col("user_id").cast(LongType).as("userId"), col("ms").as("tsMs"))
+        .as[StatefulSessionize.Event]
+      StatefulSessionize.replayedSessions(evs, 1800000L).toDF()
+        .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("nEvents").as("n_events"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     "sensing_stats" -> ((s, dir) => {
       events(s, dir)
         .select(nullif(regexp_extract(col("props"), "\"k\": (-?\\d+)", 1), lit(""))
@@ -2004,6 +2023,18 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS ns FROM e)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id, ms,
+        |  CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |        OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |       THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (SELECT user_id, ms,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
 
     "sensing_stats" ->
       """SELECT 'k' AS field, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS n_distinct,

@@ -23,6 +23,49 @@ object StatefulSessionize {
   case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
   /**
+   * The pure per-user update step: fold ts-sorted events into the open
+   * session, closing (emitting) whenever the gap is crossed. A LEFT FOLD —
+   * so feeding a user's history in one call produces exactly what any
+   * ts-ordered micro-batch sequence produces (split-invariance; the same
+   * argument that makes [[StreamingDedup.replayedCandidates]]
+   * oracle-checkable). Returns (closed sessions in order, open state).
+   */
+  def foldEvents(state: Option[SessionState], sorted: Seq[Event], gapMs: Long)
+      : (List[Session], Option[SessionState]) = {
+    var closed = List.empty[Session]
+    var cur = state
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.tsMs - s.end <= gapMs =>
+          cur = Some(s.copy(end = e.tsMs, n = s.n + 1))
+        case Some(s) =>
+          closed ::= Session(e.userId, s.start, s.end, s.n)
+          cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+        case None =>
+          cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
+  /**
+   * Batch-parity replay of the streaming sessionizer: each user's complete
+   * ts-ordered history through the SAME fold in one distributed pass,
+   * emitting closed sessions plus the final still-open one (streaming
+   * emits it at timeout/stream-end). One shuffle on the user key; per-user
+   * state is O(1), the group iterator streams. This is what pins the
+   * stateful operator to a SQL-expressible oracle.
+   */
+  def replayedSessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId).flatMapGroups { (userId: Long, evs: Iterator[Event]) =>
+      val (closed, open) = foldEvents(None, evs.toSeq.sortBy(_.tsMs), gapMs)
+      (closed ++ open.map(s => Session(userId, s.start, s.end, s.n))).iterator
+    }
+  }
+
+  /**
    * `stateTimeoutMs > 0` enables processing-time timeouts that flush idle
    * sessions (production mode — note the engine then runs timeout batches
    * continuously, so tests that wait for quiescence should pass 0 = NoTimeout
@@ -44,23 +87,11 @@ object StatefulSessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = evs.toSeq.sortBy(_.tsMs)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.tsMs - s.end <= gapMs =>
-                  cur = Some(s.copy(end = e.tsMs, n = s.n + 1))
-                case Some(s) =>
-                  closed ::= Session(userId, s.start, s.end, s.n)
-                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-                case None =>
-                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-              }
-            }
+            // shared pure fold — identical semantics to the batch replay
+            val (closed, cur) = foldEvents(state.getOption, evs.toSeq.sortBy(_.tsMs), gapMs)
             cur.foreach(state.update)
             if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
-            closed.reverseIterator
+            closed.iterator
           }
       }
   }

@@ -76,4 +76,40 @@ class NewOpsSpec extends SparkSpec {
     assert(closed.length == 1)
     assert(closed.head.nEvents == 2 && closed.head.startMs == t0 && closed.head.endMs == t0 + 30000)
   }
+
+  test("batch session replay == streaming micro-batch replay + open state (parity contract)") {
+    // pins events_streaming_sessions' premise: foldEvents is a left fold,
+    // so the one-pass batch replay equals a live flatMapGroupsWithState
+    // query fed the same events in ts-ordered micro-batches (closed
+    // sessions) plus the per-user still-open state at stream end
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    val evs = Seq( // 2 users, gaps crossing and not
+      StatefulSessionize.Event(1L, t0), StatefulSessionize.Event(1L, t0 + 30000),
+      StatefulSessionize.Event(2L, t0 + 10000),
+      StatefulSessionize.Event(1L, t0 + 630000), // 10-min gap: closes u1 s1
+      StatefulSessionize.Event(2L, t0 + 40000),
+      StatefulSessionize.Event(1L, t0 + 640000),
+      StatefulSessionize.Event(2L, t0 + 800000)) // closes u2 s1
+    val batch = StatefulSessionize.replayedSessions(evs.toDS(), gapMs = 60000L)
+      .collect().map(s => (s.userId, s.startMs, s.endMs, s.nEvents)).toSet
+
+    val ms = MemoryStream[StatefulSessionize.Event]
+    val dir = Files.createTempDirectory("fmgws_parity").toString
+    val q = StatefulSessionize.sessionize(ms.toDS(), gapMs = 60000L, stateTimeoutMs = 0L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/chk")
+      .format("memory").queryName("sessions_parity")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    evs.sortBy(_.tsMs).grouped(3).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    val closedS = spark.table("sessions_parity").as[StatefulSessionize.Session]
+      .collect().map(s => (s.userId, s.startMs, s.endMs, s.nEvents)).toSet
+    q.stop()
+    // streaming emitted the CLOSED sessions; the final open session per
+    // user is exactly the batch replay's remainder
+    val open = Seq((1L, t0 + 630000, t0 + 640000, 2L), (2L, t0 + 800000, t0 + 800000, 1L)).toSet
+    assert(closedS == batch -- open, s"closed mismatch: $closedS vs ${batch -- open}")
+    assert(batch == closedS ++ open)
+  }
 }
