@@ -336,6 +336,8 @@ object Bench {
         "inherent: same posting-join pair mining as dedup_jaccard with the containment prune; same family, same growth",
       "dedup_streaming_parity" ->
         "inherent: minhash signatures + banded bucket fold (dedup_minhash's shuffle shape) + exact-Jaccard edge verification + CC rounds over the x10 corpus; composition of attributed families",
+      "dedup_cross" ->
+        "inherent: minhash signatures over both corpus splits + broadcast banded cross-join + exact-Jaccard verification; same family as dedup_minhash, train side streams once",
       "dedup_clusters" ->
         "inherent: pair mining + diameter-bound CC rounds at x10; growth ~1.9x",
       "dedup_survivors" ->

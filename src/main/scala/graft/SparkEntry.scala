@@ -423,6 +423,19 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
 
+    "dedup_cross" -> ((s, dir) => {
+      // doc-level decontamination: which train docs (doc_id % 37 != 0) are
+      // near-dups (J >= 0.5) of ANY benchmark doc (doc_id % 37 == 0)? Run
+      // as a CROSS-corpus banded-MinHash join — benchmark buckets
+      // broadcast, the train corpus streams through once, no self-join —
+      // the eval-suite overlap check at its real scale shape.
+      val docs = t(s, dir, "documents")
+      Dedup.crossMinhashPairs(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0), 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_streaming_parity" -> ((s, dir) => {
       // Ingest-time dedup pinned to the batch standard: the corpus replayed
       // through the streaming near-dup operator's per-bucket fold
@@ -1498,6 +1511,22 @@ object SparkEntry {
     // emitted set equals the exact set at sf<=0.1), so the exact-Jaccard
     // oracle applies verbatim.
     "dedup_minhash" -> jaccardExactSql,
+
+    // cross-corpus variant: exact Jaccard restricted to (train, benchmark)
+    // pairs — same recall-completeness argument as dedup_minhash
+    "dedup_cross" ->
+      """WITH l AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(toks)-2, 0)),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS f FROM l),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+        |      FROM sh a JOIN sh b USING (f)
+        |      WHERE a.doc_id % 37 <> 0 AND b.doc_id % 37 = 0 GROUP BY 1,2)
+        |SELECT ia AS id_a, ib AS id_b,
+        | round(nc*1.0/(sa.n+sb.n-nc), 4) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE nc*1.0/(sa.n+sb.n-nc) >= 0.5 ORDER BY 1, 2""".stripMargin,
 
     "dedup_simhash" ->
       """WITH l AS (SELECT doc_id, list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS toks

@@ -268,6 +268,52 @@ object Dedup {
     result
   }
 
+  /**
+   * CROSS-corpus near-dup pairs (decontamination shape): every left
+   * ("train") doc whose Jaccard with ANY right ("benchmark") doc clears
+   * the threshold. Unlike the self-join family this joins BETWEEN two
+   * sets — banded MinHash buckets on both sides, candidates from the
+   * (band, hash) equi-join, exact-Jaccard verification on the candidate
+   * pairs only. At 100 TB the benchmark side is typically small (eval
+   * suites): its banded buckets broadcast, and the train corpus streams
+   * through map-side — one pass, no train-side self-join ever exists.
+   * Output: (id_a = left id, id_b = right id, jaccard), score-exact.
+   */
+  def crossMinhashPairs(left: DataFrame, right: DataFrame, threshold: Double,
+                        k: Int = 64, bands: Int = 32,
+                        idCol: String = "doc_id", features: Column = null): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    def banded(docs: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val sig = minhashSignatures(docs, k, idCol, features)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val b = sig.select(
+        col("id").as(s"id_$side"),
+        posexplode(array((0 until bands).map { bi =>
+          xxhash64(slice(col("sig"), bi * r + 1, r), lit(bi))
+        }: _*)).as(Seq("band", "band_hash")))
+      (b, sig)
+    }
+    val (ba, sigA) = banded(left, "a")
+    val (bb, sigB) = banded(right, "b")
+    // benchmark buckets broadcast (eval suites are small by construction);
+    // Spark falls back to shuffle automatically if the side outgrows the
+    // broadcast threshold — the plan shape stays correct either way
+    val cands = ba.join(broadcast(bb), Seq("band", "band_hash"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val jac = size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
+      size(array_union(col("feats_a"), col("feats_b"))).cast("double")
+    val result = cands
+      .join(sigA.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
+      .join(sigB.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .localCheckpoint(true)
+    sigA.unpersist(false)
+    sigB.unpersist(false)
+    result
+  }
+
   /** LSH candidates verified with exact Jaccard ≥ threshold. */
   def minhashPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
                    idCol: String = "doc_id", features: Column = null): DataFrame = {

@@ -53,6 +53,20 @@ class DedupSimilaritySpec extends SparkSpec {
         r.getAs[Double]("containment"))).toSet)
   }
 
+  test("cross-corpus minhash pairs: only train×benchmark edges, broadcast benchmark side") {
+    // docs 0/1/3 are mutual near-dups; put 1 in the "benchmark" set and the
+    // rest in "train": cross pairs must link 0 and 3 to benchmark doc 1 and
+    // must NOT contain any train×train pair (0,3) even though it qualifies
+    val bench = docs.filter(col("doc_id") === 1L)
+    val train = docs.filter(col("doc_id") =!= 1L)
+    val pairs = Dedup.crossMinhashPairs(train, bench, 0.5)
+    val ids = pairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ids == Set((0L, 1L), (3L, 1L)), s"got $ids")
+    // (the benchmark side carries an explicit broadcast() hint in
+    // crossMinhashPairs — the result frame is checkpointed, so the join
+    // plan is asserted by reading the code, not the cut lineage)
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on this corpus (recall check)") {
     val exact = Dedup.jaccardPairs(docs, 0.5).select("id_a", "id_b").collect().toSet
     val lsh = Dedup.minhashPairs(docs, 0.5).select("id_a", "id_b").collect().toSet
