@@ -774,9 +774,20 @@ class ChaosSpec extends SparkSpec {
       val cfg = Config(Seq(sink), ledgerDir = dir)
       val ledger = new SinkLedger(dir)
 
-      def chRows(): Long = accepted.toArray(Array.empty[(String, Array[Byte])])
-        .filterNot(_._1.isEmpty)
-        .map(c => RowBinary.decode(c._2, wireSchema(userSchema)).length.toLong).sum
+      // Count rows the way a real ClickHouse would: repeated inserts with
+      // the same insert_deduplication_token collapse to one. This matters
+      // because Spark cancels a FAILED job's remaining tasks
+      // asynchronously — a zombie task from the outage attempt can land
+      // its (identical, same-token) insert after `down` lifts, and raw
+      // request-counting then overshoots (observed 23 vs 20 under load).
+      def chRows(): Long = {
+        val inserts = accepted.toArray(Array.empty[(String, Array[Byte])])
+          .filterNot(_._1.isEmpty)
+        val (tokened, raw) = inserts.partition(_._1.contains("insert_deduplication_token"))
+        val uniq = tokened.groupBy(_._1).values.map(_.head)
+        (uniq ++ raw)
+          .map(c => RowBinary.decode(c._2, wireSchema(userSchema)).length.toLong).sum
+      }
 
       // warmup (ref step 1): rows land
       processBatch(cfg, ledger)(events(10), 0L)
@@ -797,11 +808,16 @@ class ChaosSpec extends SparkSpec {
       processBatch(cfg, ledger)(events(10), 1L)
       assert(chRows() == warm + 10)
       assert(ledger.committed("ch") == 1L)
-      // replay-stable dedup tokens: a real ClickHouse would collapse any
-      // crash-retry duplicates (insert_deduplication_token per partition)
-      val tokens = accepted.toArray(Array.empty[(String, Array[Byte])])
-        .map(_._1).filter(_.contains("insert_deduplication_token"))
-      assert(tokens.length == tokens.distinct.length)
+      // replay-stable dedup tokens: every request sharing a token carries
+      // IDENTICAL bytes — the property that makes ClickHouse's
+      // insert_deduplication_token collapse crash-retry (and zombie-task)
+      // duplicates into exactly-once rows
+      val byToken = accepted.toArray(Array.empty[(String, Array[Byte])])
+        .filter(_._1.contains("insert_deduplication_token"))
+        .groupBy(_._1)
+      assert(byToken.nonEmpty)
+      assert(byToken.values.forall(g => g.map(_._2.toSeq).distinct.length == 1),
+        "same dedup token must always carry the same payload")
     } finally server.stop(0)
   }
 }
