@@ -79,9 +79,10 @@ import scala.collection.mutable
  * resolve/reject/all/race/allSettled) under a SYNCHRONOUS microtask
  * queue — `await` drains reactions to settlement, so ordering relative
  * to a real event loop differs but data flow and error routing match;
- * a promise nothing can settle fails loudly at `await`. Documented
- * divergences: no async generators; `yield*` does not forward
- * next(v)/throw/return into the delegate.
+ * a promise nothing can settle fails loudly at `await`. `yield*` runs
+ * the full delegation protocol (resume values, throw, return all
+ * forward into the delegate). Documented divergence: no async
+ * generators.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -1810,21 +1811,46 @@ object MiniJs {
           val bridge = currentBridge.get()
           if (bridge == null) throw new JsError("js: yield outside a generator")
           if (delegate) {
-            // yield*: forward each value; the expression's result is the
-            // delegate's COMPLETION value ({done:true}.value for iterators,
-            // undefined for arrays/strings). Divergence (documented):
-            // next(v)/throw/return are not forwarded into the delegate.
+            // yield*: full delegation protocol — resume values forward into
+            // the delegate's next(v), an injected gen.throw(v) forwards to
+            // the delegate's throw (catchable by the INNER generator; if it
+            // has no throw, the exception surfaces here), and an injected
+            // gen.return(v) calls the delegate's return (inner finally
+            // blocks run) before unwinding. The expression's result is the
+            // delegate's COMPLETION value ({done:true}.value; undefined for
+            // arrays/strings, whose resume values are necessarily dropped).
             evalExpr(argE.getOrElse(EUndef), env, thisVal) match {
               case o: VObj => protoLookup(o, "next") match {
                 case Some(nf) if isCallableV(nf) =>
                   var result: V = VUndef
                   var going = true
+                  var sendArgs: Seq[V] = Nil // first next() carries no resume value
+                  var throwPending = false
+                  var injectVal: V = VUndef
                   while (going) {
                     tick()
-                    callValue(nf, o, Nil, "next") match {
+                    val stepRes =
+                      if (!throwPending) callValue(nf, o, sendArgs, "next")
+                      else {
+                        throwPending = false
+                        protoLookup(o, "throw").filter(isCallableV) match {
+                          case Some(tf) => callValue(tf, o, Seq(injectVal), "throw")
+                          case None => throw JsThrown(injectVal)
+                        }
+                      }
+                    stepRes match {
                       case r: VObj =>
                         if (truthy(member(r, "done"))) { result = member(r, "value"); going = false }
-                        else yieldOnce(bridge, member(r, "value"))
+                        else {
+                          try sendArgs = Seq(yieldOnce(bridge, member(r, "value")))
+                          catch {
+                            case JsThrown(v) => throwPending = true; injectVal = v
+                            case grs: GenReturnSig =>
+                              protoLookup(o, "return").filter(isCallableV)
+                                .foreach(rf => callValue(rf, o, Seq(grs.v), "return"))
+                              throw grs
+                          }
+                        }
                       case _ => throw new JsError("js: iterator next() must return an object")
                     }
                   }

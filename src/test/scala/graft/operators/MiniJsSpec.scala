@@ -621,6 +621,34 @@ class MiniJsSpec extends AnyFunSuite {
         |}""".stripMargin) == "8|1,2,3|fast|fulfilled,rejected|c:r|42|0")
   }
 
+  test("yield* full delegation: resume values, throw into inner catch, return runs inner finally") {
+    assert(runS(
+      """function* inner(log) {
+        |  try {
+        |    const a = yield 'i1';       // receives the OUTER caller's next(v)
+        |    log.push('got:' + a);
+        |    yield 'i2';
+        |  } catch (e) { log.push('inner-caught:' + e); yield 'recovered'; }
+        |  finally { log.push('inner-fin'); }
+        |  return 'IDONE';
+        |}
+        |function* outer(log) { const r = yield* inner(log); yield 'after:' + r; }
+        |function main() {
+        |  const log = [];
+        |  const g = outer(log);
+        |  g.next();                     // i1
+        |  g.next('X');                  // resume forwards into inner → i2
+        |  const t = g.throw('B');       // inner catch handles → 'recovered'
+        |  g.next();                     // inner completes → after:IDONE
+        |  const log2 = [];
+        |  const h = outer(log2);
+        |  h.next();
+        |  const r = h.return('early');  // inner finally runs
+        |  return t.value + '|' + log.join(',') + '|' + r.value + r.done + '|' + log2.join(',');
+        |}""".stripMargin) ==
+      "recovered|got:X,inner-caught:B,inner-fin|earlytrue|inner-fin")
+  }
+
   test("re-entrant gen.next() from inside the generator body throws, not deadlocks") {
     assert(runS(
       """function* g() { yield self.next(); }
