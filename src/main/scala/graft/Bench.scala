@@ -500,7 +500,11 @@ object Bench {
             // Keep the parent's add-opens/-D/-XX flags (module access and
             // code-cache sizing are needed), drop its memory geometry, and
             // give the child a BOUNDED heap sized against what the machine
-            // actually has left: min(16g, MemTotal − parentRSS − 8g).
+            // actually has left: min(24g, MemTotal − parentRSS − 8g) —
+            // 24g matches the parent's own default sizing (build.sbt: "8g
+            // thrashes GC once cached intermediates pile up"); the first
+            // 16g cap spilled dedup_clusters' checkpoint blocks + posting
+            // caches at ×10 and read 2.3× the in-JVM task-CPU.
             // The bounded heap is pre-touched (-Xms=-Xmx + AlwaysPreTouch):
             // a lazy child heap charges first-touch page faults to task
             // threads and poisoned the first r10 run (cdc_binlog_decode x1
@@ -517,8 +521,8 @@ object Bench {
             val memTotalMb = procMb("/proc/meminfo", "MemTotal")
             val parentRssMb = procMb("/proc/self/status", "VmRSS")
             val childHeapMb =
-              if (memTotalMb <= 0) 16384L
-              else math.max(4096L, math.min(16384L, memTotalMb - parentRssMb - 8192L))
+              if (memTotalMb <= 0) 24576L
+              else math.max(4096L, math.min(24576L, memTotalMb - parentRssMb - 8192L))
             val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
               .getInputArguments.asScala.toSeq
               .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
