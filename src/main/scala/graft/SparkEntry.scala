@@ -445,22 +445,30 @@ object SparkEntry {
       // over those edges must reproduce the SAME clusters as the full
       // batch pair graph (oracle = dedup_clusters' recursive-CTE CC).
       val docs = t(s, dir, "documents")
-      val cands = graft.streaming.StreamingDedup.replayedCandidates(docs).toDF()
+      // stream threshold = the DECISION threshold (0.5): the oracle
+      // clusters the exact J>=0.5 pair graph, so the streaming gate must
+      // not drop estimate-[0.5,0.7) candidates the decision would keep
+      val cands = graft.streaming.StreamingDedup
+        .replayedCandidates(docs, threshold = 0.5).toDF()
         .select(least(col("docId"), col("dupOf")).as("id_a"),
-          greatest(col("docId"), col("dupOf")).as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      // exact verification, same contract as minhashPairs: the minhash
-      // ESTIMATE admits borderline false positives; the decision edge set
-      // is exact-Jaccard >= 0.5
+          greatest(col("docId"), col("dupOf")).as("id_b"), col("estJaccard"))
+        .groupBy("id_a", "id_b").agg(max("estJaccard").as("est"))
+      // Band-restricted exact verification (the jaccardPairs
+      // survivor-restriction pattern): the 64-perm estimate decides far
+      // from the boundary — P(est>=0.9 | true J<0.5) <= P(Binom(64,.5)>=58)
+      // ~ 1e-11 — so only the band the estimate CANNOT decide ([0.5,0.9))
+      // pays the exact shingle re-join; est>=0.9 edges are accepted.
+      val sure = cands.filter(col("est") >= 0.9).select("id_a", "id_b")
+      val border = cands.filter(col("est") < 0.9).select("id_a", "id_b")
       val feats = docs.select(col("doc_id").as("id"),
         Dedup.shingleSet(col("text")).as("feats"))
-      val verified = cands
+      val verified = border
         .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
         .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
         .filter(size(array_intersect(col("feats_a"), col("feats_b"))).cast(DoubleType) /
           size(array_union(col("feats_a"), col("feats_b"))).cast(DoubleType) >= 0.5)
         .select("id_a", "id_b")
-      Dedup.clusters(docs, verified).orderBy("doc_id")
+      Dedup.clusters(docs, sure.unionByName(verified)).orderBy("doc_id")
     }),
 
     "dedup_simhash" -> ((s, dir) => {

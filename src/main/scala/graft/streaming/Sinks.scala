@@ -96,10 +96,13 @@ class TypedLakeSink(val id: String, path: String, registry: SchemaRegistry)
     def writeEra(rows: DataFrame, table: String, seq: Long): Unit = {
       val schema = registry.getAtSequence(table, seq).getOrElse(throw new IllegalStateException(
         s"no ledger schema for table '$table' at sequence $seq"))
+      // escape the directory value exactly as Spark's own partitioned writes
+      // do, so partition discovery over `path` unescapes back to the table name
+      val t = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(table)
       graft.operators.LakeProjection(rows, schema)
         .withColumn("_batch_id", lit(batchId))
         .write.mode("append")
-        .parquet(s"$path/table=$table/schema_version=$seq")
+        .parquet(s"$path/table=$t/schema_version=$seq")
     }
 
     if (eras.length == 1) {
@@ -119,8 +122,18 @@ class TypedLakeSink(val id: String, path: String, registry: SchemaRegistry)
         .withColumn("__seq", col("schema_sequence"))
         .write.mode("overwrite").partitionBy("__t", "__seq").parquet(staging)
       try {
+        // Read back via partition-column FILTERS, not interpolated paths:
+        // Spark escapes special characters (`=`, `%`, space) in partition
+        // directory names on write (escapePathName) and spells nulls as
+        // __HIVE_DEFAULT_PARTITION__, so a hand-built "$staging/__t=$table"
+        // path can miss its directory. Filters on partition columns are
+        // partition-pruned to the same single-directory read.
+        val staged = spark.read.parquet(staging)
         eras.foreach { case (table, seq) =>
-          writeEra(spark.read.parquet(s"$staging/__t=$table/__seq=$seq"), table, seq)
+          val era = staged
+            .filter(col("__t") <=> lit(table) && col("__seq") <=> lit(seq))
+            .drop("__t", "__seq")
+          writeEra(era, table, seq)
         }
       } finally fs.delete(stagingPath, true)
     }

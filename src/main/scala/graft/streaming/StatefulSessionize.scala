@@ -52,17 +52,47 @@ object StatefulSessionize {
    * Batch-parity replay of the streaming sessionizer: each user's complete
    * ts-ordered history through the SAME fold in one distributed pass,
    * emitting closed sessions plus the final still-open one (streaming
-   * emits it at timeout/stream-end). One shuffle on the user key; per-user
-   * state is O(1), the group iterator streams. This is what pins the
+   * emits it at timeout/stream-end). One shuffle on the user key; the
+   * ts ordering comes from a SECONDARY SORT (`sortWithinPartitions(userId,
+   * tsMs)` — external, spillable) and the partition then streams through
+   * [[foldEvents]] ONE EVENT AT A TIME (a left fold applied per element is
+   * the same fold), so even a degenerate bot user with millions of events
+   * costs O(1) task memory, never O(group). This is what pins the
    * stateful operator to a SQL-expressible oracle.
    */
   def replayedSessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.userId).flatMapGroups { (userId: Long, evs: Iterator[Event]) =>
-      val (closed, open) = foldEvents(None, evs.toSeq.sortBy(_.tsMs), gapMs)
-      (closed ++ open.map(s => Session(userId, s.start, s.end, s.n))).iterator
-    }
+    events
+      .repartition(org.apache.spark.sql.functions.col("userId"))
+      .sortWithinPartitions("userId", "tsMs")
+      .mapPartitions { rows =>
+        new Iterator[Session] {
+          private var pending: List[Session] = Nil
+          private var cur: Option[SessionState] = None
+          private var curUser = 0L
+          private def flushOpen(): Unit = {
+            pending = cur.map(s => Session(curUser, s.start, s.end, s.n)).toList
+            cur = None
+          }
+          private def advance(): Unit =
+            while (pending.isEmpty && (rows.hasNext || cur.isDefined)) {
+              if (!rows.hasNext) flushOpen()
+              else {
+                val e = rows.next()
+                if (cur.isDefined && e.userId != curUser) flushOpen()
+                val (closed, next) = foldEvents(cur, Seq(e), gapMs)
+                pending = closed ++ pending
+                cur = next
+                curUser = e.userId
+              }
+            }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): Session = {
+            advance(); val s = pending.head; pending = pending.tail; s
+          }
+        }
+      }
   }
 
   /**

@@ -392,6 +392,46 @@ class SinksAndRegistrySpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("_staging")))
   }
 
+  test("typed lake sink: multi-era split survives table names Spark escapes in partition paths") {
+    // Spark's partitioned write escapes '=', '%', and space in directory
+    // names (escapePathName) — a hand-interpolated "$staging/__t=$table"
+    // read path would miss the escaped directory entirely. The staging
+    // read-back must go through partition-column filters instead.
+    import graft.streaming.{CdcPipeline, SinkLedger}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lake-esc").toString
+    val reg = new SchemaRegistry(spark, s"$dir/ledger")
+    val odd = "od d%x" // space + percent: both escaped on write
+    val v0 = StructType(Seq(StructField("id", LongType)))
+    reg.register(odd, v0, atMs = 1000L)
+
+    def batchOf(rows: Seq[(Long, String, String)]) = ChangeEvent.conform(
+      rows.toDF("schema_sequence", "after", "event_id")
+        .withColumn("op", lit("c"))
+        .withColumn("ts_ms", lit(1500L))
+        .withColumn("tx_end", lit(true))
+        .withColumn("source", struct(lit("db").as("db"), lit(odd).as("table"))))
+
+    reg.register(odd, StructType(v0.fields :+ StructField("note", StringType)), atMs = 2000L)
+
+    val sink = new TypedLakeSink("lake", s"$dir/out", reg)
+    val cfg = CdcPipeline.Config(Seq(sink), ledgerDir = s"$dir/led")
+    // two eras in ONE batch forces the staging split + read-back path
+    CdcPipeline.processBatch(cfg, new SinkLedger(s"$dir/led"))(batchOf(Seq(
+      (0L, """{"id":1}""", "e1"),
+      (1L, """{"id":2,"note":"n"}""", "e2"))), 0L)
+
+    // the final layout uses the same escaping as Spark's partitioned writes
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(odd)
+    assert(esc != odd) // the fixture really exercises escaping
+    val era0 = spark.read.parquet(s"$dir/out/table=$esc/schema_version=0")
+    val era1 = spark.read.parquet(s"$dir/out/table=$esc/schema_version=1")
+    assert(era0.count() == 1 && era1.count() == 1)
+    assert(era1.select("after_note").head().getString(0) == "n")
+    assert(era0.select("source_table").head().getString(0) == odd)
+    assert(!new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("_staging")))
+  }
+
   test("clickhouse DDL: upsert vs changelog engines + meta columns (ddl.rs:17-67)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),

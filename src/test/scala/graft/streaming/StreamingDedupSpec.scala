@@ -53,6 +53,39 @@ class StreamingDedupSpec extends SparkSpec {
     assert(st.get.ids.toSeq == Seq(7L))
   }
 
+  test("foldBucket streams a 100×-cap hot bucket without materializing the group") {
+    // the r10 verdict's hot-bucket term: a mass-duplicated bucket must
+    // cost O(maxPerBucket), never O(group). Feed 100× the cap through the
+    // lazy fold and assert (a) it emits while the input is still being
+    // pulled (no upfront .toSeq), (b) state stays at one canonical.
+    val cap = 8
+    val n = 100 * cap
+    var pulled = 0
+    val dupSig = sig(1, 2, 3, 4)
+    val incoming = Iterator.tabulate(n) { i => pulled += 1; (i.toLong, dupSig) }
+    var fin: Option[BucketState] = None
+    val out = foldBucket(None, incoming, 0.9, cap, band = 0)(fin = _)
+    val first = out.next() // one pull chain: doc 0 stored, doc 1 flagged
+    assert(first == DupCandidate(1L, 0L, 1.0, 0))
+    assert(pulled <= 3, s"fold materialized the group: pulled $pulled of $n upfront")
+    val rest = out.toList
+    assert(rest.size == n - 2) // every later doc flags against canonical 0
+    assert(rest.forall(c => c.dupOf == 0L && c.estJaccard == 1.0))
+    assert(fin.get.ids.toSeq == Seq(0L)) // state: ONE canonical, not the flood
+  }
+
+  test("replayedCandidates: mass-duplicated corpus stays bounded and exact") {
+    import spark.implicits._
+    val n = 400
+    val corpus = (0L until n).map(i => (i, base)) // every doc identical
+    val pairs = StreamingDedup
+      .replayedCandidates(corpus.toDF("doc_id", "text"),
+        k = 64, bands = 16, threshold = 0.6, maxPerBucket = 4)
+      .collect().map(c => (c.docId, c.dupOf)).toSet
+    // each doc i>0 flags against canonical 0 (in every band — pair set dedups)
+    assert(pairs == (1L until n).map(i => (i, 0L)).toSet)
+  }
+
   // ——— streaming e2e ———
 
   test("near-dup candidates surface across micro-batches; state persists") {
