@@ -59,8 +59,10 @@ object Dedup {
    * features: true_nc ≤ nc_capped + min(hot_a, hot_b), so any pair the
    * bound keeps has its true count recomputed from the full posting lists
    * (restricted to survivors — bounded work), and emitted scores are
-   * cap-independent. A true pair is missed only if every one of its shared
-   * shingles has df > cap, i.e. the docs overlap solely in boilerplate.
+   * cap-independent. Pairs whose ENTIRE intersection is hot (the capped
+   * join emits no row for them — the boilerplate-in-boilerplate case) are
+   * recovered through the hot-dominated-doc path (see [[minedPairCounts]]),
+   * so the capped result equals the uncapped result for both metrics.
    * API default is None (complete recall); pass a cap explicitly at scale.
    *
    * 64-bit feature hashing is score-exact up to xxhash64 collisions
@@ -77,8 +79,11 @@ object Dedup {
     val jac = col("nc").cast("double") /
       (col("sa") + col("sb") - col("nc")).cast("double")
     // exact-safe prune bound for J ≥ t: J ≥ t ⟺ nc·(1+t) ≥ t·(|A|+|B|)
+    // hot-dominated bound: for a hot-only pair, nc·(1+t) ≥ t·(sa+sb) with
+    // sb ≥ nc gives nc ≥ t·sa, and nc ≤ hot_a — so hot ≥ t·sz on BOTH sides
     minedPairCounts(docs, idCol, features, maxDf,
       (ncU, sa, sb) => ncU.cast("double") * (1.0 + t) >= lit(t) * (sa + sb) - 1e-9,
+      (hot, sz) => hot.cast("double") >= lit(t) * sz - 1e-9,
       scored => scored.filter(jac >= t)
         .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard")))
   }
@@ -101,8 +106,11 @@ object Dedup {
       maxDf: Option[Long] = None): DataFrame = {
     val t = threshold
     val cont = col("nc").cast("double") / least(col("sa"), col("sb")).cast("double")
+    // hot-dominated bound: a hot-only pair has nc ≥ t·min(sa,sb) and
+    // nc ≤ hot_min — so the MIN-size side satisfies hot ≥ t·sz
     minedPairCounts(docs, idCol, features, maxDf,
       (ncU, sa, sb) => ncU.cast("double") >= lit(t) * least(sa, sb) - 1e-9,
+      (hot, sz) => hot.cast("double") >= lit(t) * sz - 1e-9,
       scored => scored.filter(cont >= t)
         .select(col("id_a"), col("id_b"), round(cont, 4).as("containment")))
   }
@@ -115,6 +123,22 @@ object Dedup {
    * cap, where `ncUpper = nc_capped + min(hot_a, hot_b)` upper-bounds the
    * true common count (so pruning can never drop a qualifying pair; the
    * survivors' true counts are recomputed from the full posting lists).
+   *
+   * Hot-only recovery: a qualifying pair can hide ENTIRELY inside the
+   * stop-feature set (every shared shingle has df > cap) — the capped
+   * self-join then produces NO row for it, and no prune bound can save a
+   * pair that never becomes a candidate. But such a pair's min-size side
+   * must be HOT-DOMINATED — `hotOnlyKeep(hot, sz)` is the metric's
+   * necessary per-doc condition (hot ≥ t·sz for both Jaccard and
+   * containment) — and hot-dominated docs are few (a doc made almost
+   * entirely of boilerplate). Candidates for those docs are re-mined from
+   * the HOT posting lists with one side restricted to the dominated set;
+   * the join is output-bounded: a boilerplate doc genuinely contained in
+   * many docs has a proportionally large TRUE pair set, so the recovery
+   * work scales with real answers, not with corpus size. Recovered
+   * candidates enter the same prune + exact-recount pipeline (ncc = 0,
+   * bound = min(hot_a, hot_b)), keeping capped == uncapped exact.
+   *
    * Returns (id_a, id_b, nc, sa, sb) with id_a < id_b; caller applies the
    * final score + threshold and cuts lineage.
    */
@@ -124,6 +148,7 @@ object Dedup {
       features: Column,
       maxDf: Option[Long],
       pruneKeep: (Column, Column, Column) => Column,
+      hotOnlyKeep: (Column, Column) => Column,
       finish: DataFrame => DataFrame): DataFrame = {
     val feat = Option(features).getOrElse(shingleSet(col("text")))
     // Two rules learned from the physical plan:
@@ -150,6 +175,7 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as(cnt))
     var hotCache: Option[DataFrame] = None
+    var hotPostsCache: Option[DataFrame] = None
     var survCache: Option[DataFrame] = None
     val scored = maxDf match {
       case None =>
@@ -170,16 +196,38 @@ object Dedup {
           .persist(StorageLevel.MEMORY_AND_DISK)
         hotCache = Some(hotFeats)
         val capped = posts.join(broadcast(hotFeats), Seq("h"), "left_anti")
-        val hot = posts.join(broadcast(hotFeats), Seq("h"), "left_semi")
-          .groupBy("id").agg(count(lit(1)).as("hot"))
+        // hot postings read three times (hot counts, dominated-side
+        // restriction, recovery join) — cache once, release at the end
+        val hotPosts = posts.join(broadcast(hotFeats), Seq("h"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        hotPostsCache = Some(hotPosts)
+        val hot = hotPosts.groupBy("id").agg(count(lit(1)).as("hot"))
         def hc(side: String, as: String) =
           hot.select(col("id").as(side), col("hot").as(as))
+        // hot-only recovery (scaladoc above): candidates whose every
+        // shared feature is hot never appear in the capped self-join —
+        // re-mine them from the hot postings with one side restricted to
+        // the (few) hot-dominated docs. Empty dominated set ⇒ near-free.
+        val domIds = hot.join(sizes, "id")
+          .filter(hotOnlyKeep(col("hot"), col("sz"))).select("id")
+        val domPosts = hotPosts.join(broadcast(domIds), Seq("id"), "left_semi")
+        val recovered = domPosts.select(col("id").as("id_x"), col("h"))
+          .join(hotPosts.select(col("id").as("id_y"), col("h")), "h")
+          .filter(col("id_x") =!= col("id_y"))
+          .select(least(col("id_x"), col("id_y")).as("id_a"),
+            greatest(col("id_x"), col("id_y")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .withColumn("ncc", lit(0L))
+        // union BEFORE the prune: a pair present in both keeps its real
+        // capped count (max of ncc and the recovery sentinel 0)
+        val allCands = pairCounts(capped, "ncc").unionByName(recovered)
+          .groupBy("id_a", "id_b").agg(max("ncc").as("ncc"))
         // exact-safe prune via the metric's own bound (pruneKeep), with
         // true_nc ≤ ncc + min(hot_a, hot_b) as the upper bound
         // persisted: survivors are read three times below (survIds, the
         // trueNc probe join, and the final score join) — without the cache
         // each consumer re-runs the whole pairCounts self-join pipeline
-        val surv = pairCounts(capped, "ncc")
+        val surv = allCands
           .join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
           .join(hc("id_a", "hot_a"), Seq("id_a"), "left")
           .join(hc("id_b", "hot_b"), Seq("id_b"), "left")
@@ -212,6 +260,7 @@ object Dedup {
     val result = finish(scored).localCheckpoint(true)
     posts.unpersist(false)
     hotCache.foreach(_.unpersist(false))
+    hotPostsCache.foreach(_.unpersist(false))
     survCache.foreach(_.unpersist(false))
     result
   }

@@ -53,6 +53,41 @@ class DedupSimilaritySpec extends SparkSpec {
         r.getAs[Double]("containment"))).toSet)
   }
 
+  test("maxDf recovers pairs whose ENTIRE intersection is stop-features (hot-only)") {
+    import spark.implicits._
+    // Boilerplate phrase P appears in 5 docs, so with cap=3 EVERY shingle
+    // of doc 0 (= exactly P) is hot — the capped posting self-join emits
+    // NO row for 0's pairs, and before the hot-dominated recovery path
+    // they were silently dropped. This is precisely the subset-dup case
+    // the containment metric exists to catch.
+    val p = "alpha beta gamma delta epsilon"
+    val hotDocs = Seq(
+      (0L, p),                                                        // pure boilerplate
+      (5L, p),                                                        // exact dup of 0
+      (1L, s"$p one tail with six extra words here"),                 // contains P
+      (2L, s"$p two other tail continues with more words"),           // contains P
+      (3L, s"$p three completely separate ending words follow now"),  // contains P
+      (4L, "entirely different content about catalyst exchanges")
+    ).toDF("doc_id", "text")
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double](score))).toSet
+
+    // containment: doc 0/5 fully contained in 1,2,3 and each other
+    val contFull = pairsOf(Dedup.containmentPairs(hotDocs, 0.9), "containment")
+    val contCap = pairsOf(Dedup.containmentPairs(hotDocs, 0.9, maxDf = Some(3L)), "containment")
+    assert(contFull.map(t => (t._1, t._2)) ==
+      Set((0L, 5L), (0L, 1L), (0L, 2L), (0L, 3L), (1L, 5L), (2L, 5L), (3L, 5L)))
+    assert(contCap == contFull, s"capped dropped hot-only pairs: $contCap vs $contFull")
+
+    // jaccard: the exact-dup pair (0,5) shares ONLY hot shingles
+    val jacFull = pairsOf(Dedup.jaccardPairs(hotDocs, 0.9), "jaccard")
+    val jacCap = pairsOf(Dedup.jaccardPairs(hotDocs, 0.9, maxDf = Some(3L)), "jaccard")
+    assert(jacFull.map(t => (t._1, t._2)) == Set((0L, 5L)))
+    assert(jacCap == jacFull, s"capped dropped the hot-only dup: $jacCap vs $jacFull")
+  }
+
   test("cross-corpus minhash pairs: only train×benchmark edges, broadcast benchmark side") {
     // docs 0/1/3 are mutual near-dups; put 1 in the "benchmark" set and the
     // rest in "train": cross pairs must link 0 and 3 to benchmark doc 1 and
