@@ -375,6 +375,66 @@ object Dedup {
   }
 
   /**
+   * SPANNING-edge LSH candidates for connected-component consumers
+   * ([[clusters]] / [[clusterSurvivors]] — the common 100 TB path): per
+   * (band, bucket), every member links to the bucket's MIN id (a star) —
+   * Θ(d) edges for a d-member bucket instead of the banded self-join's
+   * full Θ(d²) clique. The candidate graph's connected components are
+   * IDENTICAL (every clique is connected by its star), so downstream CC
+   * can't tell the difference, while pair mining on a dup-heavy corpus
+   * (the case LSH buckets exist for) drops from quadratic to linear.
+   *
+   * Shape: bucket-min is a plain groupBy (one shuffle on the bucket key);
+   * the hub-edge join streams the banded rows once — no self-join, no
+   * per-bucket materialization, skew-safe (a degenerate bucket emits d
+   * rows, not d²). Output: (id_a = hub, id_b, feats_a, feats_b), same
+   * contract as [[minhashCandidates]].
+   */
+  def minhashSpanningCandidates(docs: DataFrame, k: Int, bands: Int,
+                                idCol: String = "doc_id", features: Column = null): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, idCol, features)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
+      }: _*)).as(Seq("band", "band_hash")))
+    val hubs = banded.groupBy("band", "band_hash").agg(min(col("id")).as("id_a"))
+    val cands = banded.join(hubs, Seq("band", "band_hash"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val feats = sig.select(col("id"), col("feats"))
+    val result = cands
+      .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
+      .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    result
+  }
+
+  /**
+   * Spanning-edge LSH candidates verified with exact Jaccard ≥ threshold —
+   * the linear-output pair source for [[clusters]]/[[clusterSurvivors]].
+   * Note the per-EDGE verification: CC equality with the verified-clique
+   * graph additionally relies on near-dup transitivity inside a bucket
+   * (true dup groups are near-cliques, so hub edges verify whenever clique
+   * edges do) — the same spanning contract the streaming dedup's
+   * canonical-edge stream carries, pinned by the shared CC oracle.
+   */
+  def minhashSpanningPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
+                           idCol: String = "doc_id", features: Column = null): DataFrame = {
+    minhashSpanningCandidates(docs, k, bands, idCol, features)
+      .withColumn("jaccard",
+        size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
+          size(array_union(col("feats_a"), col("feats_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
    * Connected components over near-dup pairs → cluster ids, via iterative
    * min-label propagation: every node starts labeled with itself; each
    * round every node takes the min of its own and its neighbors' labels;
