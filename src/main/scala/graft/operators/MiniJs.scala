@@ -81,8 +81,15 @@ import scala.collection.mutable
  * to a real event loop differs but data flow and error routing match;
  * a promise nothing can settle fails loudly at `await`. `yield*` runs
  * the full delegation protocol (resume values, throw, return all
- * forward into the delegate). Documented divergence: no async
- * generators.
+ * forward into the delegate). Async generators (r11): `async function*`
+ * (+ methods), next/return/throw deliver through settled promises,
+ * `yield p` awaits a promised p, `for await (x of it)` settles promised
+ * steps and values, `yield*` delegates to async delegates — the bridge
+ * thread and the synchronous microtask queue compose because the
+ * handoff guarantees one engine thread at a time. Abrupt `for-of` exit
+ * (break/throw/return) closes the iterator (IteratorClose), so a
+ * suspended generator runs its finally blocks immediately instead of
+ * parking until idle expiry.
  * Compound/increment assignment
  * re-evaluates the target's object path (`f().x += 1` calls `f` twice) —
  * don't put side effects in assignment targets. Scripts run under a step
@@ -269,7 +276,8 @@ object MiniJs {
   case class SIf(c: Expr, t: Stmt, f: Option[Stmt]) extends Stmt
   case class SWhile(c: Expr, body: Stmt) extends Stmt
   case class SFor(init: Option[Stmt], cond: Option[Expr], update: Option[Expr], body: Stmt) extends Stmt
-  case class SForOf(pat: Pat, iterable: Expr, body: Stmt) extends Stmt
+  case class SForOf(pat: Pat, iterable: Expr, body: Stmt,
+                    isAwait: Boolean = false) extends Stmt
   case class SForIn(varName: String, obj: Expr, body: Stmt) extends Stmt
   case class SReturn(e: Option[Expr]) extends Stmt
   case object SBreak extends Stmt
@@ -473,10 +481,11 @@ object MiniJs {
       } else if (peek.kind == "ident" && peek.text == "async" &&
                  peek2.kind == "kw" && peek2.text == "function") {
         next(); next()
-        if (eatPunct("*")) err("async generators are not supported")
+        val isGen = eatPunct("*") // async function*: both contexts active
         val name = expect("ident").text
         val params = parseParams()
-        SFunc(name, params, fnBody(gen = false, async = true), isAsync = true)
+        SFunc(name, params, fnBody(isGen, async = true),
+          isGenerator = isGen, isAsync = true)
       } else if (isKw("class")) {
         val e = parseClass()
         val n = e.name.getOrElse(err("class declaration requires a name"))
@@ -511,7 +520,12 @@ object MiniJs {
         // do-while desugars to: body; while(c) body
         SBlock(Seq(body, SWhile(c, body)))
       } else if (isKw("for")) {
-        next(); expect("punct", "(")
+        next()
+        // `for await (x of e)` — contextual, async bodies only (as in JS)
+        val isAwait = inAsync && peek.kind == "ident" && peek.text == "await" && {
+          next(); true
+        }
+        expect("punct", "(")
         // for (const x of e) | for (x of e) | for (const [a,b] of e) |
         // for (init; cond; update)
         val save = pos
@@ -522,15 +536,18 @@ object MiniJs {
           val it = parseExpr()
           expect("punct", ")")
           val body = parseStmt()
-          if (kind == "of") SForOf(PName(name), it, body) else SForIn(name, it, body)
+          if (kind == "of") SForOf(PName(name), it, body, isAwait)
+          else if (isAwait) err("for await requires 'of'")
+          else SForIn(name, it, body)
         } else if (declKind.isDefined && (isPunct("{") || isPunct("["))) {
           val pat = parsePattern()
           if (!isKw("of")) err("destructuring for-loop needs 'of'")
           next()
           val it = parseExpr()
           expect("punct", ")")
-          SForOf(pat, it, parseStmt())
+          SForOf(pat, it, parseStmt(), isAwait)
         } else {
+          if (isAwait) err("for await requires 'of'")
           pos = save
           val init: Option[Stmt] =
             if (isPunct(";")) { next(); None }
@@ -729,11 +746,11 @@ object MiniJs {
       if (peek.kind == "ident" && peek.text == "async") {
         if (peek2.kind == "kw" && peek2.text == "function") {
           next(); next()
-          if (eatPunct("*")) err("async generators are not supported")
+          val isGen = eatPunct("*")
           if (peek.kind == "ident") next() // named async fn expr: ignore name
           val params = parseParams()
-          return EFunc(params, fnBody(gen = false, async = true),
-            isArrow = false, isAsync = true)
+          return EFunc(params, fnBody(isGen, async = true),
+            isArrow = false, isGenerator = isGen, isAsync = true)
         }
         if (peek2.kind == "ident" && peekAt(2).kind == "punct" && peekAt(2).text == "=>") {
           next(); val p = next().text; next()
@@ -900,8 +917,7 @@ object MiniJs {
           val isAsyncM = (peek.kind == "ident" && peek.text == "async" &&
             !(peek2.kind == "punct" &&
               Set("(", "=", ";", "}").contains(peek2.text))) && { next(); true }
-          val isGenM = isPunct("*") && { next(); true }
-          if (isAsyncM && isGenM) err("async generators are not supported")
+          val isGenM = isPunct("*") && { next(); true } // async * m(): allowed
           val nameTok = next()
           val mname = nameTok.kind match {
             case "ident" | "kw" | "str" | "num" => nameTok.text
@@ -1046,8 +1062,7 @@ object MiniJs {
                   val isAsyncM = (peek.kind == "ident" && peek.text == "async" &&
                     !(peek2.kind == "punct" &&
                       Set(":", "(", ",", "}", "=").contains(peek2.text))) && { next(); true }
-                  val isGenM = isPunct("*") && { next(); true }
-                  if (isAsyncM && isGenM) err("async generators are not supported")
+                  val isGenM = isPunct("*") && { next(); true } // async *m() ok
                   val keyTok = next()
                   val key = keyTok.kind match {
                     case "str" | "ident" | "kw" | "num" => keyTok.text
@@ -1186,6 +1201,12 @@ object MiniJs {
           // not the promise shell (the queue is already quiescent)
           case p: VPromise if p.state == 1 => p.result
           case p: VPromise if p.state == 2 => throw JsThrown(p.result)
+          case _: VPromise =>
+            // still pending after the drain: nothing can ever settle it in
+            // this synchronous host — same loud contract as awaitSettle,
+            // never a silent `{}` downstream
+            throw new JsError(
+              "js: await on a promise that never settles (no pending reactions)")
           case v => v
         }
       } catch { case JsThrown(v) => throw new JsError(s"js: uncaught ${stringify(v)}") }
@@ -1202,7 +1223,7 @@ object MiniJs {
       // for the next plain call to observe
       val nt = pendingNewTarget
       pendingNewTarget = VUndef
-      if (f.isGenerator) return makeGeneratorObject(f, thisVal, args)
+      if (f.isGenerator) return makeGeneratorObject(f, thisVal, args, f.isAsync)
       if (f.isAsync) return runAsync(f, thisVal, args, nt)
       invokePlain(f, thisVal, args, nt)
     }
@@ -1230,7 +1251,7 @@ object MiniJs {
         val self = if (f.isArrow) f.thisVal else thisVal
         try { execBlock(f.body, env, self); VUndef }
         catch { case ReturnSignal(v) => v }
-      } finally depth -= 1
+      } finally if (!genAbandonedUnwind) depth -= 1
     }
 
     // ———————————————————— generators (thread bridge) ————————————————————
@@ -1263,6 +1284,11 @@ object MiniJs {
       val fromGen = new java.util.concurrent.SynchronousQueue[AnyRef]()
       @volatile var started = false
       @volatile var done = false
+      /** set when the idle reaper fired: the engine may be LIVE on another
+       * thread, so this thread's unwind must not touch shared state. */
+      @volatile var abandoned = false
+      /** async generator: `yield v` awaits a promised v before emitting. */
+      var async = false
       var callerDepth = 0
       var genDepth = 0
     }
@@ -1271,9 +1297,32 @@ object MiniJs {
     private def iterResult(v: V, d: Boolean): VObj =
       VObj(mutable.LinkedHashMap[String, V]("value" -> v, "done" -> VBool(d)))
 
-    /** Calling a `function*`: package the body as a suspended coroutine. */
-    private def makeGeneratorObject(f: VFunc, thisVal: V, args: Seq[V]): VObj = {
+    /** Calling a `function*` (or `async function*`): package the body as a
+     * suspended coroutine. In async mode every next/return/throw result is
+     * delivered through a promise (settled synchronously — the body runs
+     * to its next suspension on the bridge thread before the call
+     * returns), composing the generator bridge with the microtask queue:
+     * `await` inside the body drains to settlement exactly as in a plain
+     * async function, because the handoff guarantees only one thread runs
+     * engine code at a time. */
+    private def makeGeneratorObject(f: VFunc, thisVal: V, args: Seq[V],
+                                    async: Boolean = false): VObj = {
       val bridge = new GenBridge
+      bridge.async = async
+      /** async delivery: {value,done} (or a throw) becomes a settled
+       * promise — same error routing as [[runAsync]]. */
+      def wrap(body: => V): V =
+        if (!async) body
+        else {
+          val p = newPromise()
+          try settlePromise(p, 1, body)
+          catch {
+            case JsThrown(v) => settlePromise(p, 2, v)
+            case e: JsError if !e.getMessage.contains("step budget") =>
+              settlePromise(p, 2, makeError(e.getMessage))
+          }
+          p
+        }
       val starter = () => {
         val t = new Thread(() => {
           currentBridge.set(bridge)
@@ -1316,14 +1365,14 @@ object MiniJs {
         }
       }
       val obj = VObj(mutable.LinkedHashMap[String, V]())
-      obj.fields("next") = VNative("next", (_, a) =>
+      obj.fields("next") = VNative("next", (_, a) => wrap(
         if (bridge.done) iterResult(VUndef, d = true)
-        else step(GMResume(a.headOption.getOrElse(VUndef))))
-      obj.fields("return") = VNative("return", (_, a) => {
+        else step(GMResume(a.headOption.getOrElse(VUndef)))))
+      obj.fields("return") = VNative("return", (_, a) => wrap {
         val v = a.headOption.getOrElse(VUndef)
         if (bridge.done) iterResult(v, d = true) else step(GMReturn(v))
       })
-      obj.fields("throw") = VNative("throw", (_, a) => {
+      obj.fields("throw") = VNative("throw", (_, a) => wrap {
         val v = a.headOption.getOrElse(VUndef)
         if (bridge.done) throw JsThrown(v) else step(GMThrow(v))
       })
@@ -1333,18 +1382,35 @@ object MiniJs {
     /** One `yield`: park the body, hand the value to the caller, return the
      * resume value (or unwind on injected throw/return/abandonment). */
     private def yieldOnce(bridge: GenBridge, v: V): V = {
+      // async generator: `yield p` awaits a promised p before emitting (JS)
+      val out = if (bridge.async) v match {
+        case p: VPromise => awaitSettle(p)
+        case x => x
+      } else v
       bridge.genDepth = depth
       depth = bridge.callerDepth // caller resumes at ITS depth
-      bridge.fromGen.put(GOYield(v))
+      bridge.fromGen.put(GOYield(out))
       val msg = bridge.toGen.poll(genIdleTimeoutSec,
         java.util.concurrent.TimeUnit.SECONDS)
-      depth = bridge.genDepth
+      // depth restore ONLY on a real resume: on idle expiry the engine may
+      // be running on another thread, and writing `depth` here would race
+      // it (spurious 'recursion too deep' in long-lived streaming jobs)
       msg match {
-        case GMResume(rv) => rv
-        case GMThrow(tv) => throw JsThrown(tv)
-        case GMReturn(rv) => throw GenReturnSig(rv)
-        case _ => bridge.done = true; throw GenAbandoned
+        case GMResume(rv) => depth = bridge.genDepth; rv
+        case GMThrow(tv) => depth = bridge.genDepth; throw JsThrown(tv)
+        case GMReturn(rv) => depth = bridge.genDepth; throw GenReturnSig(rv)
+        case _ =>
+          bridge.abandoned = true; bridge.done = true; throw GenAbandoned
       }
+    }
+
+    /** True on a generator thread unwinding [[GenAbandoned]] after idle
+     * expiry. Nobody is listening and the engine may be live on ANOTHER
+     * thread — the unwind must exit without mutating shared engine state
+     * (`depth`) or running script finally blocks on the shared Env. */
+    private def genAbandonedUnwind: Boolean = {
+      val b = currentBridge.get()
+      b != null && b.abandoned
     }
 
     private def isCallableV(v: V): Boolean = v match {
@@ -1356,30 +1422,42 @@ object MiniJs {
      * a callable `next` (generator objects, user iterators) via the
      * next()/{value,done} pull protocol — LAZILY, so `for (x of infinite())
      * { break; }` terminates. */
-    def iteratorOf(v: V): Iterator[V] = v match {
-      case VArr(a) => a.iterator
-      case VStr(s) => s.iterator.map(c => VStr(c.toString))
-      case o: VObj =>
-        protoLookup(o, "next") match {
-          case Some(nf) if isCallableV(nf) => new Iterator[V] {
-            private var buf: V = VUndef
-            private var ended = false
-            private var loaded = false
-            private def load(): Unit = if (!loaded && !ended) {
-              callValue(nf, o, Nil, "next") match {
-                case r: VObj =>
-                  if (truthy(member(r, "done"))) ended = true
-                  else buf = member(r, "value")
-                case _ => throw new JsError("js: iterator next() must return an object")
+    def iteratorOf(v: V): Iterator[V] = iteratorOf(v, awaited = false)
+
+    /** `awaited = true` is the `for await` protocol: a promised step
+     * result (async generators) settles to its {value, done}, and a
+     * promised VALUE from a sync iterator settles too — both via the
+     * synchronous drain. */
+    def iteratorOf(v: V, awaited: Boolean): Iterator[V] = {
+      def settle(x: V): V = x match {
+        case p: VPromise if awaited => awaitSettle(p)
+        case other => other
+      }
+      v match {
+        case VArr(a) => a.iterator.map(settle)
+        case VStr(s) => s.iterator.map(c => VStr(c.toString))
+        case o: VObj =>
+          protoLookup(o, "next") match {
+            case Some(nf) if isCallableV(nf) => new Iterator[V] {
+              private var buf: V = VUndef
+              private var ended = false
+              private var loaded = false
+              private def load(): Unit = if (!loaded && !ended) {
+                settle(callValue(nf, o, Nil, "next")) match {
+                  case r: VObj =>
+                    if (truthy(member(r, "done"))) ended = true
+                    else buf = settle(member(r, "value"))
+                  case _ => throw new JsError("js: iterator next() must return an object")
+                }
+                loaded = true
               }
-              loaded = true
+              def hasNext: Boolean = { load(); !ended }
+              def next(): V = { load(); loaded = false; buf }
             }
-            def hasNext: Boolean = { load(); !ended }
-            def next(): V = { load(); loaded = false; buf }
+            case _ => throw new JsError("js: object is not iterable (no callable 'next')")
           }
-          case _ => throw new JsError("js: object is not iterable (no callable 'next')")
-        }
-      case other => throw new JsError(s"js: ${typeOf(other)} is not iterable")
+        case other => throw new JsError(s"js: ${typeOf(other)} is not iterable")
+      }
     }
 
     // ———————————————— promises (synchronous microtasks) ————————————————
@@ -1704,11 +1782,23 @@ object MiniJs {
             }
             update.foreach(evalExpr(_, loopEnv, thisVal))
           }
-        case SForOf(pat, iterable, body) =>
+        case SForOf(pat, iterable, body, isAwait) =>
           // LAZY protocol pull (iteratorOf): generators and user iterators
           // advance one step per turn, so `break` out of an infinite
-          // generator terminates
-          val it = iteratorOf(evalExpr(iterable, env, thisVal))
+          // generator terminates; `for await` settles promised steps/values
+          val src = evalExpr(iterable, env, thisVal)
+          val it = iteratorOf(src, isAwait)
+          // IteratorClose (JS): abrupt loop exit — break, return, throw —
+          // calls the iterator's return() so a suspended generator runs
+          // its finally blocks NOW, on this thread, instead of parking
+          // until the idle reaper abandons it
+          def closeIt(): Unit = src match {
+            case o: VObj => protoLookup(o, "return") match {
+              case Some(rf) if isCallableV(rf) => callValue(rf, o, Nil, "return")
+              case _ => ()
+            }
+            case _ => ()
+          }
           while (it.hasNext) {
             tick()
             val item = it.next()
@@ -1716,8 +1806,12 @@ object MiniJs {
             bindPattern(pat, item, loopEnv, thisVal)
             try exec(body, loopEnv, thisVal)
             catch {
-              case BreakSignal => return
+              case BreakSignal => closeIt(); return
               case ContinueSignal => ()
+              case t: Throwable => // exception/return unwind: original wins
+                if (!genAbandonedUnwind)
+                  try closeIt() catch { case _: JsThrown | _: JsError => () }
+                throw t
             }
           }
         case SForIn(name, objE, body) =>
@@ -1759,7 +1853,9 @@ object MiniJs {
                 param.foreach(p => henv.define(p, makeError(err.getMessage)))
                 execBlock(handler.get, henv, thisVal)
             }
-          } finally finalizer.foreach(f => execBlock(f, new Env(env), thisVal))
+          } finally if (!genAbandonedUnwind) // abandonment: nobody listening,
+            // and the Env may be shared with a live thread — skip script code
+            finalizer.foreach(f => execBlock(f, new Env(env), thisVal))
       }
     }
 
@@ -1829,7 +1925,7 @@ object MiniJs {
                   var injectVal: V = VUndef
                   while (going) {
                     tick()
-                    val stepRes =
+                    val stepRaw =
                       if (!throwPending) callValue(nf, o, sendArgs, "next")
                       else {
                         throwPending = false
@@ -1838,6 +1934,12 @@ object MiniJs {
                           case None => throw JsThrown(injectVal)
                         }
                       }
+                    // async delegate (yield* inside async function*): the
+                    // step arrives as a promise — settle it synchronously
+                    val stepRes = stepRaw match {
+                      case p: VPromise => awaitSettle(p)
+                      case x => x
+                    }
                     stepRes match {
                       case r: VObj =>
                         if (truthy(member(r, "done"))) { result = member(r, "value"); going = false }

@@ -649,6 +649,74 @@ class MiniJsSpec extends AnyFunSuite {
       "recovered|got:X,inner-caught:B,inner-fin|earlytrue|inner-fin")
   }
 
+  test("async generators: next() promises, yield await, for await...of, delegation") {
+    assert(runS(
+      """async function* agen() {
+        |  yield 1;
+        |  yield await Promise.resolve(2);      // await inside the body
+        |  yield Promise.resolve(3);            // yield p awaits p
+        |}
+        |async function* outer() { yield 0; yield* agen(); }
+        |async function main() {
+        |  const got = [];
+        |  for await (const x of outer()) got.push(x);
+        |  const g = agen();
+        |  const first = await g.next();        // next() returns a promise
+        |  const viaThen = await g.next().then(r => r.value * 10);
+        |  const ret = await g.return('END');
+        |  return got.join(',') + '|' + first.value + first.done + '|' + viaThen +
+        |    '|' + ret.value + ret.done;
+        |}""".stripMargin) == "0,1,2,3|1false|20|ENDtrue")
+  }
+
+  test("async generators: rejection routes through the step promise; for await settles values") {
+    assert(runS(
+      """async function* boom() { yield 1; throw new Error('agen-fail'); }
+        |async function main() {
+        |  const got = [];
+        |  try { for await (const x of boom()) got.push(x); }
+        |  catch (e) { got.push('caught:' + e.message); }
+        |  for await (const v of [Promise.resolve(7), 8]) got.push(v); // sync src, promised values
+        |  return got.join(',');
+        |}""".stripMargin) == "1,caught:agen-fail,7,8")
+  }
+
+  test("async generator methods in classes and object literals") {
+    assert(runS(
+      """class Feed {
+        |  constructor(n) { this.n = n; }
+        |  async *rows() { for (let i = 0; i < this.n; i++) yield await Promise.resolve(i * 2); }
+        |}
+        |async function main() {
+        |  const got = [];
+        |  for await (const r of new Feed(3).rows()) got.push(r);
+        |  const lit = { async *pair() { yield 'x'; yield 'y'; } };
+        |  for await (const c of lit.pair()) got.push(c);
+        |  return got.join(',');
+        |}""".stripMargin) == "0,2,4,x,y")
+  }
+
+  test("for-of abrupt exit closes the generator (IteratorClose runs finally NOW)") {
+    assert(runS(
+      """function main() {
+        |  const log = [];
+        |  function* g() { try { yield 1; yield 2; } finally { log.push('closed'); } }
+        |  for (const x of g()) break;          // break → return() → finally
+        |  log.push('after-break');
+        |  try {
+        |    for (const x of g()) { throw new Error('body-throw'); }
+        |  } catch (e) { log.push('caught'); }  // throw → close first, original wins
+        |  return log.join(',');
+        |}""".stripMargin) == "closed,after-break,closed,caught")
+  }
+
+  test("entrypoint returning a never-settling promise fails loudly, not a silent shell") {
+    val e = new Engine()
+    e.eval("function main() { return new Promise(() => {}); }")
+    val ex = intercept[JsError](e.call("main", Nil))
+    assert(ex.getMessage.contains("never settles"))
+  }
+
   test("re-entrant gen.next() from inside the generator body throws, not deadlocks") {
     assert(runS(
       """function* g() { yield self.next(); }

@@ -247,6 +247,31 @@ class ScriptHostSpec extends SparkSpec {
     })
   }
 
+  test("JS: async generator drives processBatch via for await (r11 ES-subset closure)") {
+    // the last documented ES-subset divergence vs the reference V8 host
+    // (js.rs:84-130): async function* + for await...of, composed in a
+    // real routing script through the real host
+    val js =
+      """async function* enriched(events) {
+        |  for (const ev of events) {
+        |    if (ev.op === 'd') continue;
+        |    const topic = await Promise.resolve(`cdc.${ev.source.db}.${ev.source.table}`);
+        |    yield {...ev, topic: topic};
+        |  }
+        |}
+        |async function processBatch(events) {
+        |  const out = [];
+        |  for await (const ev of enriched(events)) out.push(ev);
+        |  return out;
+        |}""".stripMargin
+    val out = ScriptHost.processor("jsagen", js)(events()).orderBy("ts_ms").collect()
+    assert(out.length == 2) // c + u; delete dropped by the async generator
+    assert(out.forall { r =>
+      val rt = r.getAs[org.apache.spark.sql.Row]("routing")
+      rt != null && rt.getAs[String]("topic") == "cdc.shop.orders"
+    })
+  }
+
   test("JS: i64 envelope fields re-normalize through f64 (js.rs:205-213)") {
     // 1700000000000 > 2^32 but < 2^53: survives the double round-trip and
     // must come back as a LONG in ts_ms, not 1.7e12
