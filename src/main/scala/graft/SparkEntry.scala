@@ -411,14 +411,21 @@ object SparkEntry {
     }),
 
     "dedup_semantic" -> ((s, dir) => {
-      // embedding-cosine near-dup dedup, end to end: hyperplane-LSH
-      // bucketed candidate pairs at cos >= 0.30 become edges; connected
-      // components assign each vector the min reachable vec_id; kept =
-      // the cluster representative. Composes the two proven scale paths
-      // (banded LSH candidate gen + min-label propagation with
-      // checkpoint lineage cuts) — no all-pairs anywhere.
+      // embedding-cosine near-dup dedup, end to end: BANDED hyperplane-LSH
+      // (4 bands × adaptive width — bucket count scales with the corpus,
+      // so candidate mining stays linear at fixed expected bucket size,
+      // where the old single fixed-width table was Θ(n²/2^bits)) mined as
+      // SPANNING edges per bucket with intra-bucket fallback on failed hub
+      // edges; connected components assign each vector the min reachable
+      // vec_id; kept = the cluster representative. The ORACLE computes CC
+      // over the banded clique graph — the spanning+fallback miner is
+      // CC-identical by construction, and this row pins it.
+      // Oracle hardcodes width 6 = adaptiveBits(n≤512) — holds at the
+      // verify scales (sf0.001/sf0.01 both carry 500 vectors).
       val emb = t(s, dir, "embeddings")
-      val pairs = Similarity.cosinePairs(emb, 0.30, dim = 64, bits = 6)
+      val r = Similarity.adaptiveBits(emb.count())
+      val pairs = Similarity.cosineSpanningPairs(emb, 0.30, dim = 64,
+        bands = 4, bitsPerBand = r)
       Dedup.clusters(emb.select(col("vec_id")), pairs, idCol = "vec_id")
         .withColumn("kept", col("vec_id") === col("cluster_id"))
         .orderBy("vec_id")
@@ -501,7 +508,12 @@ object SparkEntry {
     }),
 
     "ann_pairs_lsh" -> ((s, dir) => {
-      Similarity.cosinePairs(t(s, dir, "embeddings"), 0.30, dim = 64, bits = 6)
+      // banded hyperplane LSH (4 bands × adaptive width, OR-construction):
+      // full verified pair set of the banded buckets. See dedup_semantic
+      // for the scale argument; width 6 = adaptiveBits(500) at oracle SF.
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosinePairsBanded(emb, 0.30, dim = 64,
+          bands = 4, bitsPerBand = Similarity.adaptiveBits(emb.count()))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1261,6 +1273,17 @@ object SparkEntry {
     (0 until dim).map(i => Similarity.hyperplaneSign(b, i))
       .mkString("CAST([", ",", "] AS DOUBLE[])")
 
+  /** SQL for BAND `b`'s signature under the banded scheme: bit j uses
+   * hyperplane b*32+j (graft.functions.LshOps.BandStride indexing — band 0
+   * at width w reproduces the legacy single-table signature). Width is
+   * hardcoded to 6 = Similarity.adaptiveBits(n) for n ≤ 512: both verify
+   * scales carry 500 vectors, and the Spark side computes the same width
+   * from the corpus count. */
+  private def bandSigSql(b: Int, bits: Int = 6, dim: Int = 64): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN list_dot_product(v, ${hyperplaneLit(b * 32 + j, dim)}) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -1595,13 +1618,17 @@ object SparkEntry {
          |FROM documents d JOIN cl ON d.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Banded-LSH clique graph CC: the Spark side mines SPANNING edges with
+    // intra-bucket fallback (Similarity.cosineSpanningPairs) — CC-identical
+    // to this clique graph by construction; this row pins the equality.
     "dedup_semantic" ->
       s"""WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sig AS (SELECT vec_id, v,
-         |${(0 until 6).map(b => s"  (CASE WHEN list_dot_product(v, ${hyperplaneLit(b, 64)}) > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
-         |  AS sig FROM e0),
-         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-         |      FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |${(0 until 4).map(b => s"  (${bandSigSql(b)}) AS s$b").mkString(",\n")}
+         |  FROM e0),
+         |p AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |      FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |       AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)
          |      WHERE list_cosine_similarity(a.v, b.v) >= 0.30),
          |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
          |reach(id, r) AS (
@@ -1614,11 +1641,12 @@ object SparkEntry {
     "ann_pairs_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sig AS (SELECT vec_id, v,
-         |${(0 until 6).map(b => s"  (CASE WHEN list_dot_product(v, ${hyperplaneLit(b, 64)}) > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n")}
-         |  AS sig FROM e)
+         |${(0 until 4).map(b => s"  (${bandSigSql(b)}) AS s$b").mkString(",\n")}
+         |  FROM e)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          | round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         | AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.30
          |ORDER BY 1, 2""".stripMargin,
 

@@ -127,11 +127,7 @@ object Similarity {
    * fixed splitmix-style mix of (b,i). Public so independent implementations
    * (e.g. the DuckDB oracle SQL) can reproduce the exact bucketing.
    */
-  def hyperplaneSign(b: Int, i: Int): Double = {
-    var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x1234567L
-    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-    if (((z ^ (z >>> 27)) & 1L) == 0L) 1.0 else -1.0
-  }
+  def hyperplaneSign(b: Int, i: Int): Double = graft.functions.LshOps.hyperplaneSign(b, i)
 
   def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
     // per-element cast (codegen'd) — a whole-array transform() is an
@@ -144,10 +140,13 @@ object Similarity {
   }
 
   /**
-   * Embedding-cosine near-dup pairs ≥ threshold, LSH-bucketed: candidates from
-   * shared signature (optionally multiple band tables), verified exactly.
-   * At sf-test sizes this degenerates gracefully; at 100 TB the bucket join
-   * replaces the O(n²) cross join.
+   * LEGACY single-table variant (one fixed `bits`-wide signature → 2^bits
+   * buckets TOTAL, so the bucket self-join emits Θ(n²/2^bits) candidates — a
+   * constant-factor discount on all-pairs, not a sublinear structure).
+   * Superseded by [[cosinePairsBanded]] (bucket count scales with the corpus
+   * via [[adaptiveBits]], recall recovered by OR-ing bands); kept as the
+   * band-0 continuity reference ([[graft.functions.LshOps.HyperplaneBands]]
+   * band 0 at width w == this signature at bits=w, spec-pinned).
    */
   def cosinePairs(vectors: DataFrame, threshold: Double, dim: Int, bits: Int = 8,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -160,6 +159,123 @@ object Similarity {
         cosine(col("v_a"), col("v_b")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Banded hyperplane signatures (array<long>, one per band) — fused
+   * codegen'd pass, fixed 32-hyperplane stride per band (see
+   * [[graft.functions.LshOps.HyperplaneBands]]). */
+  def lshBandSignatures(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
+    graft.functions.LshOps.hyperplaneBands(vec, dim, bands, bitsPerBand)
+
+  /**
+   * Scale-adaptive signature width: the smallest per-band width whose
+   * expected bucket occupancy `n / 2^bits` is ≤ `targetBucket` — bucket
+   * COUNT grows with the corpus, so per-band candidate pairs stay
+   * ~`n × targetBucket / 2` = LINEAR in n (the fixed-width scheme is
+   * Θ(n²/2^bits) — quadratic — at any fixed bits). Recall lost to the wider
+   * bands is recovered by OR-ing multiple bands ([[cosinePairsBanded]]).
+   * `minBits` floors the width so tiny corpora (the sf0.01 oracle scale:
+   * n=500 → 6) keep a deterministic, SQL-reproducible bucketing.
+   */
+  def adaptiveBits(n: Long, targetBucket: Int = 8, minBits: Int = 6, maxBits: Int = 24): Int = {
+    require(targetBucket > 0 && minBits >= 1 && maxBits >= minBits)
+    var bits = minBits
+    while (bits < maxBits && (n >> bits) > targetBucket) bits += 1
+    bits
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs ≥ threshold via BANDED hyperplane LSH:
+   * `bands` independent signature tables of `bitsPerBand` bits each, a pair
+   * is a candidate when it collides in ANY band (OR-construction), distinct
+   * candidates verified with one fused exact cosine. With `bitsPerBand` from
+   * [[adaptiveBits]] the candidate join is linear in n at fixed expected
+   * bucket size — the 100 TB shape — while recall for pairs at angle θ is
+   * 1-(1-p^r)^bands, p = 1-θ/π (vs the single table's p^bits).
+   *
+   * Output contract: the FULL verified pair set of the banded buckets
+   * (clique per bucket) — feed CC consumers [[cosineSpanningPairs]] instead,
+   * which mines Θ(d) spanning edges per bucket with a CC-identical result.
+   */
+  def cosinePairsBanded(vectors: DataFrame, threshold: Double, dim: Int,
+                        bands: Int = 4, bitsPerBand: Int = 6,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val banded = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(lshBandSignatures(col(vecCol), dim, bands, bitsPerBand))
+          .as(Seq("band", "bsig")))
+    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .dropDuplicates("id_a", "id_b") // verify each distinct pair ONCE across bands
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /**
+   * SPANNING-edge banded LSH pairs for connected-component consumers, with
+   * intra-bucket FALLBACK verification — the embedding twin of
+   * [[graft.llm.Dedup.minhashSpanningCandidates]], hardened against the
+   * hub-transitivity gap: per (band, bucket) every member links to the
+   * bucket's MIN id (Θ(d) hub edges instead of the Θ(d²) clique); members
+   * whose hub edge FAILS exact verification are then verified against ALL
+   * other members of that bucket. That restores exact CC equality with
+   * [[cosinePairsBanded]]'s verified clique graph: for any in-bucket pair
+   * (X,Y) with cos ≥ t, either both hub edges pass (X—hub—Y path) or the
+   * failing side is re-verified against the whole bucket and the X—Y edge is
+   * emitted directly. Every emitted edge is an exactly-verified ≥-t pair, so
+   * the edge set is a connectivity-preserving SUBSET of the clique graph's.
+   *
+   * Cost: dup-heavy buckets (the case LSH bucketing exists for) verify ~d hub
+   * edges and rarely fall back → linear; a degenerate bucket of mutually
+   * dissimilar members degrades to the clique cost it would have paid anyway.
+   */
+  def cosineSpanningPairs(vectors: DataFrame, threshold: Double, dim: Int,
+                          bands: Int = 4, bitsPerBand: Int = 6,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = base.select(col("id"),
+        posexplode(lshBandSignatures(col("v"), dim, bands, bitsPerBand))
+          .as(Seq("band", "bsig")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vecsA = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vecsB = base.select(col("id").as("id_b"), col("v").as("v_b"))
+    def verified(cands: DataFrame): DataFrame = // (id_a, id_b) -> + exact cos
+      cands.join(vecsA, "id_a").join(vecsB, "id_b")
+        .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
+
+    val hubs = banded.groupBy("band", "bsig").agg(min(col("id")).as("id_a"))
+    // hub edges with their bucket provenance (needed to scope the fallback)
+    val hubEdges = banded.join(hubs, Seq("band", "bsig"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("band"), col("bsig"), col("id_a"), col("id").as("id_b"))
+    val hubVerdicts = verified(hubEdges.select("id_a", "id_b").dropDuplicates())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubPass = hubVerdicts.filter(col("cos_sim") >= threshold)
+
+    // members whose hub edge failed, in each bucket where it failed
+    val failedMembers = hubEdges
+      .join(hubVerdicts.filter(col("cos_sim") < threshold), Seq("id_a", "id_b"))
+      .select(col("band"), col("bsig"), col("id_b").as("fid"))
+    val fallbackCands = failedMembers
+      .join(banded, Seq("band", "bsig"))
+      .filter(col("id") =!= col("fid"))
+      .select(least(col("fid"), col("id")).as("id_a"),
+        greatest(col("fid"), col("id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      // hub edges (pass or fail) are already decided — don't re-verify
+      .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    val fallbackPass = verified(fallbackCands).filter(col("cos_sim") >= threshold)
+
+    val out = hubPass.unionByName(fallbackPass)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    hubVerdicts.unpersist(false)
+    out
   }
 
   /**

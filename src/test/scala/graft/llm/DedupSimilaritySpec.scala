@@ -386,4 +386,102 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.getSeq[Int](0).toList)
     assert(got.forall(_.forall(j => j >= 0 && j < ksub)))
   }
+
+  test("banded LSH: band 0 reproduces the legacy single-table signature") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = (0 until 40).map { id =>
+      (id.toLong, (0 until dim).map { i =>
+        val z = (id * 131 + i * 17 + 7) % 97
+        (z - 48).toFloat / 10f
+      })
+    }.toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), dim, 6).as("legacy"),
+        element_at(Similarity.lshBandSignatures(col("embedding"), dim, 4, 6), 1).as("band0"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("legacy") == r.getAs[Long]("band0"),
+        s"vec ${r.getAs[Long]("vec_id")}: legacy ${r.getAs[Long]("legacy")} != band0 ${r.getAs[Long]("band0")}")
+    }
+  }
+
+  test("adaptiveBits: bucket count grows with the corpus (linear candidate mining)") {
+    // the oracle scales (n<=512) pin width 6; bench sf0.1 (2000) and the
+    // x10 probe (20000) widen — expected bucket occupancy stays <= target
+    assert(Similarity.adaptiveBits(500) == 6)
+    assert(Similarity.adaptiveBits(2000) == 8)
+    assert(Similarity.adaptiveBits(20000) == 12)
+    assert(Similarity.adaptiveBits(20000000) == 22)
+    assert(Similarity.adaptiveBits(1L << 40) == 24) // capped
+    // invariant: expected occupancy n/2^bits <= target once past the floor
+    for (n <- Seq(1000L, 5000L, 123456L, 10000000L)) {
+      val bits = Similarity.adaptiveBits(n)
+      assert(bits == 24 || (n >> bits) <= 8, s"n=$n bits=$bits occupancy ${(n >> bits)}")
+    }
+  }
+
+  test("cosineSpanningPairs: CC-identical to the banded clique graph, fallback exercised") {
+    import spark.implicits._
+    val dim = 8
+    // deterministic corpus: 6 planted near-dup groups of 5 (base + small
+    // perturbations) + 30 noise vectors, so buckets mix true dups with
+    // hash-collided strangers and hub edges FAIL often enough to drive the
+    // intra-bucket fallback (the ADVICE hub-transitivity scenario)
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    def vec(seed: Long): Seq[Float] = {
+      var s = lcg(seed)
+      (0 until dim).map { _ => s = lcg(s); ((s >>> 40).toInt % 1000) / 500f - 1f }
+    }
+    val rows =
+      (0 until 6).flatMap { g =>
+        val base = vec(g * 1000L + 1)
+        (0 until 5).map { i =>
+          val p = vec(g * 1000L + 100 + i)
+          ((g * 10 + i).toLong, base.zip(p).map { case (b, d) => b + 0.15f * d })
+        }
+      } ++ (0 until 30).map(i => ((100 + i).toLong, vec(50000L + i * 7)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val t = 0.6
+    val clique = Similarity.cosinePairsBanded(emb, t, dim, bands = 2, bitsPerBand = 3)
+    val span = Similarity.cosineSpanningPairs(emb, t, dim, bands = 2, bitsPerBand = 3)
+    val cliqueSet = clique.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim"))).toSet
+    val spanSet = span.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim"))).toSet
+    // every spanning edge is an exactly-verified clique-graph edge
+    assert(spanSet.subsetOf(cliqueSet), s"spanning emitted non-clique edges: ${spanSet -- cliqueSet}")
+
+    def cc(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(emb.select(col("vec_id")), pairs, idCol = "vec_id").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"))).toSet
+    assert(cc(span) == cc(clique), "spanning+fallback CC diverged from clique CC")
+
+    // precondition audit: the corpus genuinely contains the hub-transitivity
+    // hazard — some bucket has a member whose hub edge fails while an edge to
+    // another member of the same bucket passes (without the fallback this
+    // would break CC equality, which is exactly what ADVICE r11 flagged)
+    val vs = rows.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def bandSig(v: Seq[Float], band: Int, bits: Int): Long =
+      (0 until bits).map { j =>
+        val p = v.zipWithIndex.map { case (x, i) =>
+          x * graft.functions.LshOps.hyperplaneSign(band * 32 + j, i) }.sum
+        if (p > 0) 1L << j else 0L
+      }.sum
+    val buckets = rows.flatMap { case (id, v) =>
+      (0 until 2).map(b => ((b, bandSig(v, b, 3)), id)) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val hazard = buckets.exists { ids =>
+      val hub = ids.head
+      ids.tail.exists(x => cos(vs(hub), vs(x)) < t &&
+        ids.exists(y => y != x && y != hub && cos(vs(x), vs(y)) >= t))
+    }
+    assert(hazard, "test corpus never exercised the failed-hub fallback; strengthen the fixture")
+  }
 }
