@@ -416,22 +416,72 @@ object Dedup {
   }
 
   /**
-   * Spanning-edge LSH candidates verified with exact Jaccard ≥ threshold —
-   * the linear-output pair source for [[clusters]]/[[clusterSurvivors]].
-   * Note the per-EDGE verification: CC equality with the verified-clique
-   * graph additionally relies on near-dup transitivity inside a bucket
-   * (true dup groups are near-cliques, so hub edges verify whenever clique
-   * edges do) — the same spanning contract the streaming dedup's
-   * canonical-edge stream carries, pinned by the shared CC oracle.
+   * Spanning-edge LSH candidates verified with exact Jaccard ≥ threshold,
+   * with intra-bucket FALLBACK verification on failed hub edges — the
+   * linear-output pair source for [[clusters]]/[[clusterSurvivors]].
+   *
+   * Hub-edge-only verification relies on in-bucket near-dup transitivity:
+   * a bucket {H, B, C} with J(H,B) < t, J(H,C) < t but J(B,C) ≥ t would
+   * lose the B—C edge and split a cluster the clique miner finds (the r11
+   * ADVICE divergence scenario). The fallback closes it exactly: members
+   * whose hub edge FAILS are re-verified against every other member of that
+   * bucket, so for any in-bucket pair (X,Y) with J ≥ t either both hub
+   * edges pass (X—hub—Y path) or the failing side emits the X—Y edge
+   * directly — connected components equal the verified-clique graph's BY
+   * CONSTRUCTION, no transitivity assumption. Every emitted edge is an
+   * exactly-verified ≥-t pair. Dup-heavy buckets (LSH's raison d'être)
+   * verify ~d hub edges and rarely fall back → Θ(d); a degenerate bucket of
+   * mutual strangers degrades to the Θ(d²) the clique miner always pays.
    */
   def minhashSpanningPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
                            idCol: String = "doc_id", features: Column = null): DataFrame = {
-    minhashSpanningCandidates(docs, k, bands, idCol, features)
-      .withColumn("jaccard",
-        size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
-          size(array_union(col("feats_a"), col("feats_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, idCol, features)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
+      }: _*)).as(Seq("band", "band_hash")))
+    val featsA = sig.select(col("id").as("id_a"), col("feats").as("feats_a"))
+    val featsB = sig.select(col("id").as("id_b"), col("feats").as("feats_b"))
+    def verified(cands: DataFrame): DataFrame = // (id_a, id_b) -> + exact J
+      cands.join(featsA, "id_a").join(featsB, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
+            size(array_union(col("feats_a"), col("feats_b"))).cast("double")).as("jaccard"))
+
+    val hubs = banded.groupBy("band", "band_hash").agg(min(col("id")).as("id_a"))
+    // hub edges WITH bucket provenance — needed to scope the fallback
+    val hubEdges = banded.join(hubs, Seq("band", "band_hash"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("band"), col("band_hash"), col("id_a"), col("id").as("id_b"))
+    val hubVerdicts = verified(hubEdges.select("id_a", "id_b").dropDuplicates())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubPass = hubVerdicts.filter(col("jaccard") >= threshold)
+
+    // members whose hub edge failed, in each bucket where it failed
+    val failedMembers = hubEdges
+      .join(hubVerdicts.filter(col("jaccard") < threshold), Seq("id_a", "id_b"))
+      .select(col("band"), col("band_hash"), col("id_b").as("fid"))
+    val fallbackCands = failedMembers
+      .join(banded, Seq("band", "band_hash"))
+      .filter(col("id") =!= col("fid"))
+      .select(least(col("fid"), col("id")).as("id_a"),
+        greatest(col("fid"), col("id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      // hub edges (pass or fail) are already decided — don't re-verify
+      .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    val fallbackPass = verified(fallbackCands).filter(col("jaccard") >= threshold)
+
+    val result = hubPass.unionByName(fallbackPass)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    hubVerdicts.unpersist(false)
+    result
   }
 
   /**

@@ -484,4 +484,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(hazard, "test corpus never exercised the failed-hub fallback; strengthen the fixture")
   }
+
+  test("minhashSpanningPairs: failed-hub fallback restores clique CC equality") {
+    import spark.implicits._
+    // sliding-window word docs: distance-d windows have J = (W-d)/(W+d), so
+    // the corpus is a GRADIENT of similarities around the 0.5 threshold —
+    // buckets mix >=t neighbors with sub-t hub collisions, exercising the
+    // ADVICE r11 scenario (hub edge fails while two members still pair)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val W = 11
+    val docsW = (0 until 28).map { i =>
+      (i.toLong, vocab.slice(i, i + W).mkString(" "))
+    }.toDF("doc_id", "text")
+    val feats = split(col("text"), " ")
+    val clique = Dedup.minhashPairs(docsW, 0.5, features = feats)
+    val span = Dedup.minhashSpanningPairs(docsW, 0.5, features = feats)
+    val cliqueSet = clique.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    val spanSet = span.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(spanSet.subsetOf(cliqueSet), s"non-clique spanning edges: ${spanSet -- cliqueSet}")
+    def cc(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(docsW, pairs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    assert(cc(span) == cc(clique), "spanning+fallback CC diverged from clique CC")
+
+    // precondition audit (driver side, from the same signatures/buckets the
+    // miner uses): some bucket has a member whose hub edge is sub-threshold
+    // while an edge to another member of the SAME bucket passes — without
+    // the fallback that edge is only found through transitivity luck
+    val sig = Dedup.minhashSignatures(docsW, 64, features = feats)
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until 32).map { b =>
+        xxhash64(slice(col("sig"), b * 2 + 1, 2), lit(b))
+      }: _*)).as(Seq("band", "band_hash")))
+      .collect().map(r => ((r.getAs[Int]("band"), r.getAs[Long]("band_hash")), r.getAs[Long]("id")))
+    val wordSets = docsW.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (wordSets(a), wordSets(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val hazard = banded.groupBy(_._1).values.map(_.map(_._2).distinct.sorted).exists { ids =>
+      val hub = ids.head
+      ids.tail.exists(x => jac(hub, x) < 0.5 &&
+        ids.exists(y => y != x && y != hub && jac(x, y) >= 0.5))
+    }
+    assert(hazard, "fixture never exercised the failed-hub fallback; strengthen it")
+  }
 }
