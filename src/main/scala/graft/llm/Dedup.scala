@@ -486,13 +486,35 @@ object Dedup {
 
   /**
    * Connected components over near-dup pairs → cluster ids, via iterative
-   * min-label propagation: every node starts labeled with itself; each
-   * round every node takes the min of its own and its neighbors' labels;
-   * stop when no label changes. Rounds = graph diameter (near-dup clusters
-   * are near-cliques, so 2–3 rounds in practice, O(log n) worst case with
-   * large-star-ish chains); each round is ONE shuffle join + aggregate over
-   * the edge list — the standard large-scale CC shape without a graph
-   * library. Docs with no near-dup edges are their own singleton cluster.
+   * min-label propagation with POINTER JUMPING: every node starts labeled
+   * with itself; each round every node takes the min of its own and its
+   * neighbors' labels, then twice composes the result through the previous
+   * round's label map (label(v) ← min(label(v), prevLabel(label(v)))), so
+   * covered distance ~triples per round and convergence takes O(log
+   * diameter) rounds instead of diameter-many. That matters beyond worst
+   * case: near-clique dup groups converge in 2-3 rounds either way, but
+   * low-threshold similarity graphs CHAIN (the banded cosine graph at
+   * t=0.30 is near-path-shaped at sf0.1 — 17 rounds plain, 10 jumped).
+   *
+   * The fixpoint LOOP runs on pair RDDs, not DataFrames — the deliberate,
+   * measured exception to the DataFrame-first rule (PLANS.md): Catalyst +
+   * AQE re-plan the full logical tree per round per stage, which billed
+   * 0.25-1.6 s of pure DRIVER planning per round at sf0.1 (growing with
+   * join depth, to minutes when the round plan was unrolled deeper) — a
+   * constant that data size cannot amortize and that dwarfs the actual
+   * sub-second data work of a round at bench scale. The RDD loop runs the
+   * identical dataflow with zero per-round planning. Scale shape: the edge
+   * list is hash-partitioned ONCE by source endpoint and reused narrow
+   * every round; per-round shuffles carry only the node-sized label table
+   * (map-side-combined neighbor mins + the two jump compositions), never
+   * the edge list. Every round's labels are localCheckpoint'd (hard
+   * lineage cut — on a fault-tolerant cluster swap for checkpoint();
+   * persist-only lineage chains re-executed the whole mining pipeline per
+   * round when a cache block evicted: measured 1296 vs ~60 CPU-s at sf0.1).
+   *
+   * Node ids must be integral (they are cast to long); labels only ever
+   * decrease toward reachable ids, so the fixed point — no improvement
+   * anywhere in a round — is the component-min labeling.
    *
    * Output: (doc_id, cluster_id) for EVERY doc in `docs`; `cluster_id` is
    * the minimum doc id reachable through the pair graph — so the canonical
@@ -500,52 +522,75 @@ object Dedup {
    */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
                maxIterations: Int = 50): DataFrame = {
-    // LINEAGE DISCIPLINE: every iteration frame gets a HARD lineage cut via
-    // eager localCheckpoint, not a persist() hint. With persist, lineage
-    // still chains through every earlier round, so one evicted cache block
-    // silently re-executes the whole (expensive) pair-mining pipeline per
-    // round — measured 1296 CPU-s at sf0.1 when the cache didn't hold vs
-    // ~60 CPU-s when it did. A checkpoint's blocks either exist or the job
-    // fails loudly; recompute is impossible. (On a multi-executor cluster
-    // where executor loss matters, swap localCheckpoint for reliable
-    // checkpoint() against the job's checkpoint dir — same shape.)
-    // Superseded rounds' checkpoint blocks are freed by the ContextCleaner
-    // once their frames go unreferenced at the end of each loop turn.
-    // BOTH edge orientations come out of ONE pass over `pairs` (explode of a
-    // 2-struct array), not a 2-branch union: `pairs` is a LAZY frame whose
-    // upstream is the whole pair-mining pipeline, and a union re-executes it
-    // per branch (PLANS rule #5 — measured ~40 task-CPU-s of duplicated
-    // jaccard mining inside dedup_clusters at sf0.1).
-    val edges = pairs
-      .select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    // both orientations keyed by (src → dst's labels flow to src); built
+    // from ONE pass over `pairs` (whose upstream is the whole pair-mining
+    // pipeline), partitioned once, reused narrow in every round
+    val edgesRaw = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .distinct()
-      .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"))
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var converged = false
+    edgesRaw.localCheckpoint()
+    val edgeCount = edgesRaw.count() // materialize; hard-cuts mining lineage
+    // RIGHT-SIZED parallelism: the per-round cost floor is task launches
+    // (stages × partitions), and AQE's post-shuffle coalescing does not
+    // apply to RDD stages — a 32-way partitioner on a 1k-edge graph billed
+    // ~0.5 s/round of pure task scheduling (≈190 sub-KB tasks). Partition
+    // count scales with the edge list (~20k edges/partition), capped at the
+    // cluster's parallelism, so bench-scale graphs run 1-2 wide while a
+    // 100 TB edge list still fans out fully.
+    val part = new HashPartitioner(math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, edgeCount / 20000L + 1L)).toInt)
+    val edges = edgesRaw.partitionBy(part)
+    edges.localCheckpoint()
+    edges.count()
+    var labels: RDD[(Long, Long)] = docs.select(col(idCol).cast("long"))
+      .as[Long].rdd.map(v => (v, v)).partitionBy(part)
+    labels.localCheckpoint()
+    val nDocs = labels.count()
+    var converged = nDocs == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("label")).as("_nmin"))
-      // one materializing job (the eager checkpoint); the convergence probe
-      // is a single tiny agg over the just-written checkpoint blocks —
-      // not the count() + filter().limit(1).count() two-job dance
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"),
-          coalesce(col("_nmin") < col("label"), lit(false)).as("_changed"))
-        .localCheckpoint(true)
-      val probe = next.agg(max(col("_changed"))).head() // null ⟺ zero docs
-      converged = probe.isNullAt(0) || !probe.getBoolean(0)
-      labels = next.select("id", "label")
+      val prev = labels
+      // neighbor min: edges(src,dst) ⋈ labels(dst) — NARROW (both sides
+      // hash-partitioned by key) — then map-side-combined min per src
+      val nmin = edges.join(prev)
+        .map { case (_, (src, dstLabel)) => (src, dstLabel) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val stepped = prev.leftOuterJoin(nmin) // narrow: both on `part`
+        .mapValues { case (l, m) => (math.min(l, m.getOrElse(l)), l) }
+      // one pointer jump through prev; (id,(label,origLabel)) keyed by label
+      // (a second jump composition measured ZERO round-count benefit on the
+      // real sf0.1 similarity graphs — distance growth saturates — so one
+      // jump keeps the shuffle count minimal while still collapsing
+      // pathological chains: a 256-path converges in 8 rounds, not 255)
+      val jumped = stepped
+        .map { case (id, (lab, prevL)) => (lab, (id, prevL)) }
+        .leftOuterJoin(prev)
+        .map { case (lab, ((id, prevL), ll)) =>
+          (id, (math.min(lab, ll.getOrElse(lab)), prevL))
+        }
+      val changedAcc = spark.sparkContext.longAccumulator
+      val next = jumped
+        .partitionBy(part)
+        .mapValues { case (lab, prevL) => // mapValues PRESERVES partitioning
+          if (lab < prevL) changedAcc.add(1L)
+          lab
+        }
+      next.localCheckpoint()
+      next.count() // materialize; accumulator now holds the change count
+      // (task retries can only over-count → at worst one extra round)
+      converged = changedAcc.value == 0L
+      labels = next
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[dedup] clusters converged in $iter rounds")
+    labels.toDF(idCol, "cluster_id")
   }
 
   /** Canonical survivors: one representative row per near-dup cluster. */
