@@ -472,13 +472,30 @@ object SparkEntry {
       // pays the exact shingle re-join; est>=0.9 edges are accepted.
       val sure = cands.filter(col("est") >= 0.9).select("id_a", "id_b")
       val border = cands.filter(col("est") < 0.9).select("id_a", "id_b")
-      val feats = docs.select(col("doc_id").as("id"),
-        Dedup.shingleSet(col("text")).as("feats"))
+      // Border verification in the POSTING-JOIN count shape (the
+      // minedPairCounts pattern), not per-pair array_intersect/array_union
+      // — the per-pair set ops materialize both shingle arrays per
+      // candidate and run interpreted (Dedup.scala's measured slow path),
+      // while the posting join streams only the border docs' hashed
+      // shingles through codegen'd equi-joins: |border|·avg_shingles rows,
+      // map-side-combined counts, J = nc/(sa+sb-nc).
+      val borderIds = border.select(col("id_a").as("id"))
+        .unionByName(border.select(col("id_b").as("id"))).distinct()
+      val posts = docs
+        .join(borderIds, docs("doc_id") === borderIds("id"), "left_semi")
+        .select(col("doc_id").as("id"),
+          explode(graft.functions.TextHashOps.xxhash64Array(
+            Dedup.shingleSet(col("text")))).as("h"))
+        .localCheckpoint(true) // read 3× (sizes + both join sides)
+      val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
       val verified = border
-        .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
-        .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
-        .filter(size(array_intersect(col("feats_a"), col("feats_b"))).cast(DoubleType) /
-          size(array_union(col("feats_a"), col("feats_b"))).cast(DoubleType) >= 0.5)
+        .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
+        .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+        .filter(col("nc").cast(DoubleType) /
+          (col("sa") + col("sb") - col("nc")).cast(DoubleType) >= 0.5)
         .select("id_a", "id_b")
       Dedup.clusters(docs, sure.unionByName(verified)).orderBy("doc_id")
     }),

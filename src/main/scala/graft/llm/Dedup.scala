@@ -444,6 +444,14 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
       }: _*)).as(Seq("band", "band_hash")))
+    // Exact-Jaccard verification of an explicit CANDIDATE LIST stays in
+    // the per-pair array_intersect shape on purpose: the posting-count
+    // alternative (minedPairCounts' shape) wins when the posting join IS
+    // the candidate generator, but verifying a given pair list that way
+    // costs |cands|×avg_shingles intermediate rows through 6 shuffled
+    // joins — measured 7.5 s vs 4.0 s for dedup_clusters at sf0.1 when
+    // this function briefly switched. ~tens of thousands of interpreted
+    // set-ops are cheaper than the join fan-out.
     val featsA = sig.select(col("id").as("id_a"), col("feats").as("feats_a"))
     val featsB = sig.select(col("id").as("id_b"), col("feats").as("feats_b"))
     def verified(cands: DataFrame): DataFrame = // (id_a, id_b) -> + exact J
