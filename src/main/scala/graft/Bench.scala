@@ -62,6 +62,24 @@ object Bench {
     (wall, cpu, taskCpu.drainSec())
   }
 
+  /** One rep with host-condition attribution (majflt delta, 1-min loadavg,
+   * MemAvailable) — shared by the drains AND every timed suite query (r11
+   * verdict #2: the suite drifted +12% with no in-artifact way to separate
+   * host noise from regression; now every rep self-attributes). */
+  private case class Rep(wall: Double, procCpu: Double, taskCpu: Double,
+                         majflt: Long, load1: Double, memAvailMb: Long)
+  private def measuredRep(name: String)(body: => Unit): Rep = {
+    val mf0 = majFaults()
+    val (w, c, tc) = try timed(body) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (Double.NaN, Double.NaN, Double.NaN)
+    }
+    val mf1 = majFaults()
+    Rep(w, c, tc, if (mf0 < 0 || mf1 < 0) -1L else mf1 - mf0,
+      loadAvg1(), memAvailableMb())
+  }
+
   /**
    * Inter-query pollution barrier. The r6 artifact recorded dedup_simhash
    * at 3.5× its isolated cost (62.1 vs 17.8 CPU-s) — ContextCleaner frees
@@ -78,26 +96,24 @@ object Bench {
     System.gc()
   }
 
-  /** All reps of `k` runs (NaN triple = failed rep). */
-  private def runReps(name: String, k: Int)(body: => Unit): Seq[(Double, Double, Double)] =
-    (1 to k).map { _ =>
-      try timed(body) catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (Double.NaN, Double.NaN, Double.NaN)
-      }
-    }
+  /** All reps of `k` runs, each with host-condition attribution
+   * (NaN wall = failed rep). */
+  private def runReps(name: String, k: Int)(body: => Unit): Seq[Rep] =
+    (1 to k).map(_ => measuredRep(name)(body))
 
-  /** Min-wall of `k` runs; None when every rep failed. */
-  private def best(name: String, k: Int)(body: => Unit): Option[(Double, Double, Double)] = {
-    val ok = runReps(name, k)(body).filterNot(_._1.isNaN)
-    ok.minByOption(_._1).map { m =>
+  /** Min-wall of `k` runs (plus all reps for the artifact); None triple
+   * when every rep failed. */
+  private def best(name: String, k: Int)(body: => Unit)
+      : (Option[(Double, Double, Double)], Seq[Rep]) = {
+    val reps = runReps(name, k)(body)
+    val m = reps.filterNot(_.wall.isNaN).minByOption(_.wall).map { m =>
       // < 0.5 cores busy on average over a 32-core JVM and slow in absolute
       // terms: almost certainly a host-level stall, not plan cost.
-      if (m._1 > 5.0 && m._2 / m._1 < 0.5)
-        System.err.println(f"[bench] STALL WARNING: $name wall=${m._1}%.1fs cpu=${m._2}%.1fs — host stall likely")
-      m
+      if (m.wall > 5.0 && m.procCpu / m.wall < 0.5)
+        System.err.println(f"[bench] STALL WARNING: $name wall=${m.wall}%.1fs cpu=${m.procCpu}%.1fs — host stall likely")
+      (m.wall, m.procCpu, m.taskCpu)
     }
+    (m, reps)
   }
 
   /** Locale-independent 3-dp number for JSON (f"" would emit "1,53" under
@@ -128,27 +144,33 @@ object Bench {
       .getOrElse(-1L)
     catch { case _: Throwable => -1L }
 
-  /** One drain rep with host-condition attribution. */
-  private case class DrainRep(wall: Double, procCpu: Double, taskCpu: Double,
-                              majflt: Long, load1: Double, memAvailMb: Long)
-  private def drainRep(name: String)(body: => Unit): DrainRep = {
-    val mf0 = majFaults()
-    val (w, c, tc) = try timed(body) catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (Double.NaN, Double.NaN, Double.NaN)
-    }
-    DrainRep(w, c, tc, if (mf0 < 0) -1L else majFaults() - mf0,
-      loadAvg1(), memAvailableMb())
-  }
-
   /** Per-rep detail objects — a host stall shows as wall >> proc_cpu (or a
    * majflt spike / loadavg pile-up) in the artifact itself, distinguishable
-   * from a slow plan (r8 verdict #3; r10 verdict #1). */
-  private def drainRepsJson(reps: Seq[DrainRep]): String =
+   * from a slow plan (r8 verdict #3; r10 verdict #1; r11 verdict #2). */
+  private def repsJson(reps: Seq[Rep]): String =
     reps.map { r =>
       s"""{"wall":${num3(r.wall)},"proc_cpu":${num3(r.procCpu)},"task_cpu":${num3(r.taskCpu)},"majflt":${r.majflt},"load1":${num3(r.load1)},"mem_avail_mb":${r.memAvailMb}}"""
     }.mkString("[", ",", "]")
+
+  /** Bounded pre-drain quiesce gate (r11 verdict #3): the r11 early-drain
+   * window ran at load1 16.5 (vs 4.4 late) and the headline dropped 12%
+   * with no in-artifact cause. Wait — bounded — for the 1-min loadavg to
+   * decay below `threshold` before a drain measurement so the window
+   * starts on a calm host; the wait itself and the final load land in the
+   * artifact either way. */
+  private def quiesceUntilCalm(threshold: Double = 8.0,
+                               maxWaitSec: Int = 90): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var l = loadAvg1()
+    while (l >= threshold && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      Thread.sleep(3000)
+      l = loadAvg1()
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    if (l >= threshold)
+      System.err.println(f"[bench] quiesce gate: load1 still $l%.1f after $waited%.0fs — measuring anyway")
+    (waited, l)
+  }
 
   /**
    * Minimal loopback Kafka broker (Metadata v1 + Produce v3, ack-only) for
@@ -318,7 +340,7 @@ object Bench {
     // Per-rep (wall, procCpu, taskCpu) triples land in the artifact so a
     // host stall (wall >> procCpu) is distinguishable from a slow plan.
     val drainReps = math.max(reps, 3)
-    def drainEpsOf(rr: Seq[DrainRep], inputEvents: Long): Long =
+    def drainEpsOf(rr: Seq[Rep], inputEvents: Long): Long =
       rr.filterNot(_.wall.isNaN).map(_.wall).minOption match {
         case Some(wall) if wall > 0 => math.round(inputEvents / wall)
         case _ => 0L
@@ -326,13 +348,14 @@ object Bench {
     def measureDrain(label: String, d: (DataFrame, Long)): (Long, String) = {
       val (chain, inputEvents) = d
       quiesce(spark)
+      val (gateWait, gateLoad) = quiesceUntilCalm()
       try chain.agg(fsum(length(col("value"))) + fsum(length(col("topic")))).head()
       catch { case _: Throwable => () }
-      val rr = (1 to drainReps).map(_ => drainRep(label)(
+      val rr = (1 to drainReps).map(_ => measuredRep(label)(
         chain.agg(fsum(length(col("value"))) + fsum(length(col("topic")))).head()))
       val eps = drainEpsOf(rr, inputEvents)
-      System.err.println(s"[bench] $label: $eps events/s, reps=${drainRepsJson(rr)}")
-      (eps, s"""{"events_per_s":$eps,"input_events":$inputEvents,"reps":${drainRepsJson(rr)}}""")
+      System.err.println(s"[bench] $label: $eps events/s, reps=${repsJson(rr)}")
+      (eps, s"""{"events_per_s":$eps,"input_events":$inputEvents,"gate_wait_sec":${num3(gateWait)},"gate_load1":${num3(gateLoad)},"reps":${repsJson(rr)}}""")
     }
 
     // Kafka-WIRE drain (r10 verdict #5): the same processor chain drained
@@ -360,24 +383,39 @@ object Bench {
       }
       try {
         quiesce(spark)
+        val (gateWait, gateLoad) = quiesceUntilCalm()
         // the chain FILTERS the synthesized backlog (non-c/u/d ops drop),
         // so the delivery audit compares against its OUTPUT rows; the
         // events/s numerator stays inputEvents for comparability with the
         // agg drains (same convention: backlog events per second)
         val chainRows = wire.count()
-        try job() catch { case e: Throwable =>
-          System.err.println(s"[bench] $label warmup failed: ${e.getMessage}")
+        // Delivery audit is PER-RUN (r11 advice): broker.records is
+        // snapshotted around every run and only fully-successful runs are
+        // audited — a partially-delivered failed run can no longer skew an
+        // all-runs total into a misleading mismatch.
+        def auditedRun(): (Rep, Long) = {
+          val r0 = broker.records.get()
+          val rep = measuredRep(label)(job())
+          (rep, broker.records.get() - r0)
         }
-        val rr = (1 to drainReps).map(_ => drainRep(label)(job()))
+        val w0 = broker.records.get()
+        val warmupOk =
+          try { job(); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $label warmup failed: ${e.getMessage}")
+            false
+          }
+        val warmupDelta = broker.records.get() - w0
+        val runs = (1 to drainReps).map(_ => auditedRun())
+        val rr = runs.map(_._1)
         val eps = drainEpsOf(rr, inputEvents)
-        val okReps = rr.count(!_.wall.isNaN)
-        // delivery audit: broker-side record count across warmup + reps
-        val expect = chainRows * (okReps + 1)
-        val got = broker.records.get()
-        if (got != expect)
-          System.err.println(s"[bench] $label: broker saw $got records, expected $expect")
-        System.err.println(s"[bench] $label: $eps events/s (broker records=$got bytes=${broker.bytes.get()}), reps=${drainRepsJson(rr)}")
-        (eps, s"""{"events_per_s":$eps,"input_events":$inputEvents,"broker_records_all_runs":$got,"broker_records_expected":$expect,"broker_bytes_all_runs":${broker.bytes.get()},"reps":${drainRepsJson(rr)}}""")
+        val okDeltas = (if (warmupOk) Seq(warmupDelta) else Nil) ++
+          runs.collect { case (rep, d) if !rep.wall.isNaN => d }
+        val mismatched = okDeltas.filter(_ != chainRows)
+        if (mismatched.nonEmpty)
+          System.err.println(s"[bench] $label: ${mismatched.size} successful run(s) delivered ${mismatched.mkString(",")} records, expected $chainRows each")
+        val deltasJson = okDeltas.mkString("[", ",", "]")
+        System.err.println(s"[bench] $label: $eps events/s (per-ok-run records=$deltasJson expected=$chainRows/run, bytes=${broker.bytes.get()}), reps=${repsJson(rr)}")
+        (eps, s"""{"events_per_s":$eps,"input_events":$inputEvents,"gate_wait_sec":${num3(gateWait)},"gate_load1":${num3(gateLoad)},"broker_records_per_ok_run":$deltasJson,"broker_records_expected_per_run":$chainRows,"broker_audit_exact":${mismatched.isEmpty},"broker_bytes_all_runs":${broker.bytes.get()},"reps":${repsJson(rr)}}""")
       } finally broker.close()
     }
 
@@ -399,7 +437,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = queryList.map { case (name, fn) =>
       quiesce(spark) // flush the PREVIOUS query's async cleanup before timing
-      val r = best(name, reps) {
+      val (r, rr) = best(name, reps) {
         spark.catalog.clearCache() // operators persist intermediates; don't let them pile up across runs
         System.gc() // reclaim prior reps' broadcast/shuffle refs — measured 2× CPU drift without it
         // noop sink, not count(): count() lets ColumnPruning drop computed
@@ -408,7 +446,7 @@ object Bench {
         // writer evaluates EVERY output column and discards the bytes.
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       }
-      (name, r)
+      (name, r, rr)
     }
 
     val (drainLateEps, drainLateDetail) = measureDrain("drain_late", ordersDrain)
@@ -427,11 +465,18 @@ object Bench {
     // a probe-phase death degrades to "suite numbers present, probe null"
     // instead of `parsed: null`. The final write below overwrites this one
     // with the probe data filled in.
-    val ok = results.collect { case (k, Some((w, c, tc))) => (k, w, c, tc) }
-    val failed = results.collect { case (k, None) => k }
+    val ok = results.collect { case (k, Some((w, c, tc)), _) => (k, w, c, tc) }
+    val failed = results.collect { case (k, None, _) => k }
     val qs = ok.map { case (k, w, _, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val qsCpu = ok.map { case (k, _, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val qsTaskCpu = ok.map { case (k, _, _, tc) => "\"" + k + "\":" + tc }.mkString("{", ",", "}")
+    // every suite query's reps with host-condition snapshots (r11 verdict
+    // #2): any cross-round per-query drift is attributable on sight —
+    // majflt spike / loadavg pile-up / shrunken MemAvailable = host phase,
+    // clean snapshots + higher task_cpu = the plan changed
+    val qsDetail = results.map { case (k, _, rr) =>
+      "\"" + k + "\":" + repsJson(rr)
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // timed-query count pinned against the full registry: BENCH and Verify
@@ -444,7 +489,7 @@ object Bench {
     if (timedCount != registryCount)
       System.err.println(s"[bench] WARNING: timed $timedCount of $registryCount registered queries (SPARK_GRAFT_BENCH_ONLY active?)")
     def fullJson(probe: String, status: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_kafka_wire_events_per_s":$drainKafkaEps,"drain_detail":$drainDetail,"probe_status":"$status","scale_probe_x10":$probe}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"queries_detail":$qsDetail,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_kafka_wire_events_per_s":$drainKafkaEps,"drain_detail":$drainDetail,"probe_status":"$status","scale_probe_x10":$probe}"""
     def writeArtifact(json: String): Unit = {
       // write-then-rename so a crash mid-write can't leave a truncated file
       val tmp = new java.io.File(outPath + ".tmp")
@@ -511,6 +556,10 @@ object Bench {
         "inherent: pair mining + diameter-bound CC rounds at x10; growth ~1.9x",
       "dedup_survivors" ->
         "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters",
+      "dedup_semantic" ->
+        "inherent: banded hyperplane-LSH candidate mining (4 bands, width adaptive to corpus size — expected bucket occupancy bounded, so distinct candidates grow ~linearly, not n^2/2^bits) + spanning-edge hub verification with intra-bucket fallback + CC rounds; composition of the dedup_minhash/dedup_clusters families over the x10 embedding corpus",
+      "ann_pairs_lsh" ->
+        "inherent: same banded adaptive-width hyperplane LSH as dedup_semantic, full verified pair-set output (clique contract); linear candidate mining at fixed bucket occupancy",
       "dedup_simhash" ->
         "inherent: pigeonhole chunk join at x10; growth ~1.5x",
       "dedup_minhash" ->
@@ -633,7 +682,7 @@ object Bench {
                 spark.catalog.clearCache()
                 System.gc()
                 fn(spark, x1RDir).write.mode("overwrite").format("noop").save()
-              }
+              }._1
               quiesce(spark)
               warm(s"x10:$name", fn, x10Dir)
               quiesce(spark)
@@ -641,7 +690,7 @@ object Bench {
                 spark.catalog.clearCache()
                 System.gc()
                 fn(spark, x10Dir).write.mode("overwrite").format("noop").save()
-              }
+              }._1
               (name, r1, r10)
             }
           // FRESH-JVM remeasure (r8 verdict #4): per-scale warmups and
