@@ -248,18 +248,21 @@ object StreamingDedup {
           // Bounded-memory group consumption: pull up to `liveSortCap`
           // docs — the common micro-batch group fits entirely and keeps
           // the deterministic docId-ordered fold; a degenerate mass-dup
-          // bucket overflows the cap and folds the remainder in arrival
-          // order (everything past the canonicals is a duplicate there,
-          // so ordering is immaterial) with O(cap) peak memory instead of
-          // O(group). State writes land via the fold's completion hook;
-          // Spark persists GroupState after the returned iterator drains.
+          // bucket overflows the cap and folds its TAIL in arrival order
+          // with O(cap) peak memory instead of O(group). The head buffer
+          // is sorted in BOTH branches: on overflow the first `cap` docs
+          // still fold docId-ordered, so the deterministic prefix (where
+          // canonicals are established) is as large as memory allows and
+          // only the past-cap remainder — overwhelmingly duplicates in the
+          // bucket shapes that overflow — is order-dependent. State writes
+          // land via the fold's completion hook; Spark persists GroupState
+          // after the returned iterator drains.
           val head = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
           while (ds.hasNext && head.length < liveSortCap) {
             val d = ds.next(); head += ((d.docId, d.sig))
           }
           val ordered =
-            if (!ds.hasNext) head.sortInPlaceBy(_._1).iterator
-            else head.iterator ++ ds.map(d => (d.docId, d.sig))
+            head.sortInPlaceBy(_._1).iterator ++ ds.map(d => (d.docId, d.sig))
           foldBucket(state.getOption, ordered, threshold, maxPerBucket, band) {
             case Some(s) =>
               state.update(s)
