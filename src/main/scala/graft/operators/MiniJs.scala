@@ -1791,10 +1791,19 @@ object MiniJs {
           // IteratorClose (JS): abrupt loop exit — break, return, throw —
           // calls the iterator's return() so a suspended generator runs
           // its finally blocks NOW, on this thread, instead of parking
-          // until the idle reaper abandons it
+          // until the idle reaper abandons it. An ASYNC generator's
+          // return() wraps a throwing finally into a REJECTED promise —
+          // `for await` must settle it and propagate the rejection on the
+          // break path (sync for-of propagates the same finally throw;
+          // IteratorClose only suppresses it when an original exception is
+          // already unwinding — the caller's try/catch does that).
           def closeIt(): Unit = src match {
             case o: VObj => protoLookup(o, "return") match {
-              case Some(rf) if isCallableV(rf) => callValue(rf, o, Nil, "return")
+              case Some(rf) if isCallableV(rf) =>
+                callValue(rf, o, Nil, "return") match {
+                  case p: VPromise if isAwait => awaitSettle(p); ()
+                  case _ => ()
+                }
               case _ => ()
             }
             case _ => ()

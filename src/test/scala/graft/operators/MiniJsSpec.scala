@@ -755,4 +755,101 @@ class MiniJsSpec extends AnyFunSuite {
         |  return e + '|' + t.v + '|' + t.w + '|' + ae;
         |}""".stripMargin) == "a=1,b=2|20|7|0:8,1:9")
   }
+
+  test("for-await break settles the async generator's return(): throwing finally propagates") {
+    // IteratorClose semantics: a sync for-of propagates a finally-throw on
+    // break; the async iterator must not diverge — return()'s rejected
+    // promise is settled and its rejection thrown on the break path
+    // Engine.call unwraps a rejected promise into JsError("js: uncaught ...")
+    val ex = intercept[JsError] {
+      run(
+        """async function* g() {
+          |  try { yield 1; yield 2; }
+          |  finally { throw new Error('cleanup failed'); }
+          |}
+          |async function inner() {
+          |  for await (const x of g()) { break; }
+          |  return 'unreachable';
+          |}
+          |function main() { return inner(); }""".stripMargin)
+    }
+    assert(ex.getMessage.contains("cleanup failed"))
+  }
+
+  test("for-await break: clean async-generator finally runs and loop exits normally") {
+    assert(runN(
+      """let cleaned = 0;
+        |async function* g() {
+        |  try { yield 1; yield 2; yield 3; }
+        |  finally { cleaned = 42; }
+        |}
+        |async function inner() {
+        |  let got = 0;
+        |  for await (const x of g()) { got = x; break; }
+        |  return got * 100 + cleaned;
+        |}
+        |function main() { return inner(); }""".stripMargin) == 142)
+  }
+
+  test("for-await body throw: original exception wins over finally rejection") {
+    val ex = intercept[JsError] {
+      run(
+        """async function* g() {
+          |  try { yield 1; }
+          |  finally { throw new Error('secondary'); }
+          |}
+          |async function inner() {
+          |  for await (const x of g()) { throw new Error('primary'); }
+          |}
+          |function main() { return inner(); }""".stripMargin)
+    }
+    assert(ex.getMessage.contains("primary"))
+  }
+
+  // ——— behavior pins for the four DOCUMENTED ES divergences (MiniJs
+  // scaladoc "Documented divergences"): each pin asserts the divergent
+  // behavior explicitly so an accidental semantics change — in either
+  // direction — fails loudly and forces a deliberate doc+spec update. ———
+
+  test("PINNED divergence: derived-class field initializers run before ctor body") {
+    // V8 runs derived fields after super() returns; this host runs them
+    // before the constructor body. Pinned: the field value is visible at
+    // the TOP of the derived constructor body.
+    assert(runN(
+      """class A { constructor() { this.base = 1; } }
+        |class B extends A {
+        |  f = 10;
+        |  constructor() { super(); this.seen = this.f; }
+        |}
+        |function main() { const b = new B(); return b.seen + b.base; }""".stripMargin) == 11)
+  }
+
+  test("PINNED divergence: class constructor callable without new (lenient)") {
+    // V8 throws TypeError; this host constructs leniently — same instance
+    // shape as `new C()`.
+    assert(runN(
+      """class C { constructor(x) { this.x = x; } double() { return this.x * 2; } }
+        |function main() { const c = C(21); return c.double(); }""".stripMargin) == 42)
+  }
+
+  test("PINNED divergence: object-to-string does not consult user toString") {
+    // V8: '' + obj calls obj.toString(); this host emits the static tag.
+    // Explicit .toString() calls the user method — both pinned.
+    assert(runS(
+      """function main() {
+        |  const o = { toString() { return 'custom'; } };
+        |  return ('' + o) + '|' + o.toString();
+        |}""".stripMargin) == "[object Object]|custom")
+  }
+
+  test("PINNED divergence: property-descriptor attributes are ignored") {
+    // Object.create's descriptor maps contribute `value` only —
+    // writable:false does NOT freeze the property in this host.
+    assert(runN(
+      """function main() {
+        |  const o = Object.create(null, { x: { value: 1, writable: false } });
+        |  o.x = 5; // V8 (strict): throws / (sloppy): silently ignored
+        |  return o.x; // pinned: the write LANDS here
+        |}""".stripMargin) == 5)
+  }
 }
