@@ -469,22 +469,29 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hubPass = hubVerdicts.filter(col("jaccard") >= threshold)
 
-    // members whose hub edge failed, in each bucket where it failed
-    val failedMembers = hubEdges
-      .join(hubVerdicts.filter(col("jaccard") < threshold), Seq("id_a", "id_b"))
-      .select(col("band"), col("band_hash"), col("id_b").as("fid"))
-    val fallbackCands = failedMembers
-      .join(banded, Seq("band", "band_hash"))
-      .filter(col("id") =!= col("fid"))
-      .select(least(col("fid"), col("id")).as("id_a"),
-        greatest(col("fid"), col("id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      // hub edges (pass or fail) are already decided — don't re-verify
-      .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-    val fallbackPass = verified(fallbackCands).filter(col("jaccard") >= threshold)
-
-    val result = hubPass.unionByName(fallbackPass)
-      .dropDuplicates("id_a", "id_b")
+    // Driver-side gate: the fallback subtree (4 joins + a distinct) exists
+    // only to repair FAILED hub edges. On a corpus where every hub edge
+    // verifies (the common dup-heavy case), probing the persisted verdicts
+    // once (populating the cache hubPass reads anyway) skips those stages
+    // outright instead of scheduling them to produce zero rows.
+    val anyFailed = !hubVerdicts.filter(col("jaccard") < threshold).isEmpty
+    val combined = if (!anyFailed) hubPass else {
+      // members whose hub edge failed, in each bucket where it failed
+      val failedMembers = hubEdges
+        .join(hubVerdicts.filter(col("jaccard") < threshold), Seq("id_a", "id_b"))
+        .select(col("band"), col("band_hash"), col("id_b").as("fid"))
+      val fallbackCands = failedMembers
+        .join(banded, Seq("band", "band_hash"))
+        .filter(col("id") =!= col("fid"))
+        .select(least(col("fid"), col("id")).as("id_a"),
+          greatest(col("fid"), col("id")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        // hub edges (pass or fail) are already decided — don't re-verify
+        .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      val fallbackPass = verified(fallbackCands).filter(col("jaccard") >= threshold)
+      hubPass.unionByName(fallbackPass).dropDuplicates("id_a", "id_b")
+    }
+    val result = combined
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
     sig.unpersist(false)

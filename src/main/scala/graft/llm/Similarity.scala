@@ -285,22 +285,27 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hubPass = hubVerdicts.filter(col("cos_sim") >= threshold)
 
-    // members whose hub edge failed, in each bucket where it failed
-    val failedMembers = hubEdges
-      .join(hubVerdicts.filter(col("cos_sim") < threshold), Seq("id_a", "id_b"))
-      .select(col("band"), col("bsig"), col("id_b").as("fid"))
-    val fallbackCands = failedMembers
-      .join(banded, Seq("band", "bsig"))
-      .filter(col("id") =!= col("fid"))
-      .select(least(col("fid"), col("id")).as("id_a"),
-        greatest(col("fid"), col("id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      // hub edges (pass or fail) are already decided — don't re-verify
-      .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-    val fallbackPass = verified(fallbackCands).filter(col("cos_sim") >= threshold)
-
-    val out = hubPass.unionByName(fallbackPass)
-      .dropDuplicates("id_a", "id_b")
+    // Driver-side gate (same shape as Dedup.minhashSpanningPairs): skip the
+    // whole fallback subtree when no hub edge failed — the probe populates
+    // the persisted verdicts hubPass reads anyway.
+    val anyFailed = !hubVerdicts.filter(col("cos_sim") < threshold).isEmpty
+    val combined = if (!anyFailed) hubPass else {
+      // members whose hub edge failed, in each bucket where it failed
+      val failedMembers = hubEdges
+        .join(hubVerdicts.filter(col("cos_sim") < threshold), Seq("id_a", "id_b"))
+        .select(col("band"), col("bsig"), col("id_b").as("fid"))
+      val fallbackCands = failedMembers
+        .join(banded, Seq("band", "bsig"))
+        .filter(col("id") =!= col("fid"))
+        .select(least(col("fid"), col("id")).as("id_a"),
+          greatest(col("fid"), col("id")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        // hub edges (pass or fail) are already decided — don't re-verify
+        .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      val fallbackPass = verified(fallbackCands).filter(col("cos_sim") >= threshold)
+      hubPass.unionByName(fallbackPass).dropDuplicates("id_a", "id_b")
+    }
+    val out = combined
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .localCheckpoint(true)
     banded.unpersist(false)
