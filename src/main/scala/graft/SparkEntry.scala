@@ -460,11 +460,19 @@ object SparkEntry {
       // stream threshold = the DECISION threshold (0.5): the oracle
       // clusters the exact J>=0.5 pair graph, so the streaming gate must
       // not drop estimate-[0.5,0.7) candidates the decision would keep
+      // Eager checkpoint: the candidate table is tiny (deduped spanning
+      // edges, <= maxPerBucket per bucket) but its SUBTREE — signature
+      // compute + banded exchange + the per-bucket fold — is the expensive
+      // part, and it feeds the plan in several places (sure + border +
+      // border's id projections). Without the cut, identical fold subtrees
+      // only share up to the last reusable exchange and the fold re-runs
+      // per occurrence; with it, the fold runs exactly once.
       val cands = graft.streaming.StreamingDedup
         .replayedCandidates(docs, threshold = 0.5).toDF()
         .select(least(col("docId"), col("dupOf")).as("id_a"),
           greatest(col("docId"), col("dupOf")).as("id_b"), col("estJaccard"))
         .groupBy("id_a", "id_b").agg(max("estJaccard").as("est"))
+        .localCheckpoint(true)
       // Band-restricted exact verification (the jaccardPairs
       // survivor-restriction pattern): the 64-perm estimate decides far
       // from the boundary — P(est>=0.9 | true J<0.5) <= P(Binom(64,.5)>=58)
@@ -472,31 +480,57 @@ object SparkEntry {
       // pays the exact shingle re-join; est>=0.9 edges are accepted.
       val sure = cands.filter(col("est") >= 0.9).select("id_a", "id_b")
       val border = cands.filter(col("est") < 0.9).select("id_a", "id_b")
-      // Border verification in the POSTING-JOIN count shape (the
-      // minedPairCounts pattern), not per-pair array_intersect/array_union
-      // — the per-pair set ops materialize both shingle arrays per
-      // candidate and run interpreted (Dedup.scala's measured slow path),
-      // while the posting join streams only the border docs' hashed
-      // shingles through codegen'd equi-joins: |border|·avg_shingles rows,
-      // map-side-combined counts, J = nc/(sa+sb-nc).
-      val borderIds = border.select(col("id_a").as("id"))
-        .unionByName(border.select(col("id_b").as("id"))).distinct()
-      val posts = docs
-        .join(borderIds, docs("doc_id") === borderIds("id"), "left_semi")
-        .select(col("doc_id").as("id"),
-          explode(graft.functions.TextHashOps.xxhash64Array(
-            Dedup.shingleSet(col("text")))).as("h"))
-        .localCheckpoint(true) // read 3× (sizes + both join sides)
-      val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
-      val verified = border
-        .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
-        .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
-        .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
-        .filter(col("nc").cast(DoubleType) /
-          (col("sa") + col("sb") - col("nc")).cast(DoubleType) >= 0.5)
-        .select("id_a", "id_b")
+      // ADAPTIVE border verification. The driver reads the border count
+      // off the checkpointed candidates (no extra fold) and picks:
+      //  - small border (the normal case — the estimate decides all but a
+      //    sliver): per-pair array_intersect/array_union over shingle sets
+      //    computed ONLY for the border docs via a broadcast semi-join.
+      //    Per-pair set ops are interpreted, but on a bounded explicit
+      //    list they beat the posting join's 6-stage fixed cost — the
+      //    same measured trade as minhashSpanningPairs' verifier
+      //    (Dedup.scala: 7.5 s posting vs 4.0 s per-pair at sf0.1); here
+      //    the posting machinery billed ~1 s to verify 7 pairs.
+      //  - large border (dup-heavy drift, or a threshold so low the
+      //    estimate can't decide): the POSTING-JOIN count shape
+      //    (minedPairCounts pattern) — |border|·avg_shingles rows through
+      //    codegen'd equi-joins, map-side-combined counts, no broadcast of
+      //    an unbounded id list.
+      val nBorder = border.count()
+      val verified = if (nBorder <= 8192) {
+        val borderIds = border.select(col("id_a").as("id"))
+          .unionByName(border.select(col("id_b").as("id"))).distinct()
+        val bFeats = docs
+          .join(broadcast(borderIds), docs("doc_id") === borderIds("id"), "left_semi")
+          .select(col("doc_id"),
+            graft.functions.TextHashOps.xxhash64Array(
+              Dedup.shingleSet(col("text"))).as("feats"))
+          .localCheckpoint(true) // <= 2·nBorder rows; scan docs once
+        val fa = bFeats.select(col("doc_id").as("id_a"), col("feats").as("fa"))
+        val fb = bFeats.select(col("doc_id").as("id_b"), col("feats").as("fb"))
+        border.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
+          .filter(size(array_intersect(col("fa"), col("fb"))).cast(DoubleType) /
+            size(array_union(col("fa"), col("fb"))).cast(DoubleType) >= 0.5)
+          .select("id_a", "id_b")
+      } else {
+        val borderIds = border.select(col("id_a").as("id"))
+          .unionByName(border.select(col("id_b").as("id"))).distinct()
+        val posts = docs
+          .join(borderIds, docs("doc_id") === borderIds("id"), "left_semi")
+          .select(col("doc_id").as("id"),
+            explode(graft.functions.TextHashOps.xxhash64Array(
+              Dedup.shingleSet(col("text")))).as("h"))
+          .localCheckpoint(true) // read 3× (sizes + both join sides)
+        val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
+        border
+          .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
+          .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+          .filter(col("nc").cast(DoubleType) /
+            (col("sa") + col("sb") - col("nc")).cast(DoubleType) >= 0.5)
+          .select("id_a", "id_b")
+      }
       Dedup.clusters(docs, sure.unionByName(verified)).orderBy("doc_id")
     }),
 

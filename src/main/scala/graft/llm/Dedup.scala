@@ -531,12 +531,19 @@ object Dedup {
    * decrease toward reachable ids, so the fixed point — no improvement
    * anywhere in a round — is the component-min labeling.
    *
+   * Graphs at or under `smallGraphEdgeCap` edges skip the loop entirely:
+   * the materialized edge list is union-found on the driver and the label
+   * map broadcast-joined back onto `docs` — same component-min labeling,
+   * one narrow stage instead of rounds × stages (spec-pinned equal to the
+   * distributed path).
+   *
    * Output: (doc_id, cluster_id) for EVERY doc in `docs`; `cluster_id` is
    * the minimum doc id reachable through the pair graph — so the canonical
    * survivor of each cluster is exactly the row where doc_id == cluster_id.
    */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-               maxIterations: Int = 50): DataFrame = {
+               maxIterations: Int = 50,
+               smallGraphEdgeCap: Long = 524288L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.HashPartitioner
@@ -551,6 +558,43 @@ object Dedup {
       .distinct()
     edgesRaw.localCheckpoint()
     val edgeCount = edgesRaw.count() // materialize; hard-cuts mining lineage
+    // SMALL-GRAPH fast path: a VERIFIED near-dup edge list is usually tiny
+    // relative to the corpus (dedup's whole premise), and the iterative
+    // loop's floor is rounds × stages of task launches — 0.7 s at bench
+    // scale for a 246-edge graph. Under the cap (≤ 512k edges ⇒ ≤ 8 MB of
+    // longs, broadcast-dim territory), union-find the edge list on the
+    // driver and label docs with ONE broadcast join: cluster_id = min id
+    // of the component, identical to the loop's min-label fixpoint. The
+    // bound is the already-materialized edge COUNT, not a guess — a
+    // dup-heavy 100 TB corpus whose edge list outgrows it takes the
+    // distributed pointer-jumping loop below.
+    if (edgeCount <= smallGraphEdgeCap) {
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p.longValue() != r }) r = parent.get(r)
+        var c = x // path compression
+        while ({ val p = parent.get(c); p != null && p.longValue() != c }) {
+          val nxt = parent.get(c).longValue(); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      edgesRaw.collect().foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val relabeled = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      parent.keySet().forEach { id =>
+        val r = find(id)
+        if (r != id) relabeled += ((id, r)) // singletons label themselves via coalesce
+      }
+      val lm = spark.createDataset(relabeled.toSeq).toDF(idCol, "_cc_label")
+      return docs.select(col(idCol).cast("long").as(idCol))
+        .join(broadcast(lm), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("_cc_label"), col(idCol)).as("cluster_id"))
+    }
     // RIGHT-SIZED parallelism: the per-round cost floor is task launches
     // (stages × partitions), and AQE's post-shuffle coalescing does not
     // apply to RDD stages — a 32-way partitioner on a 1k-edge graph billed

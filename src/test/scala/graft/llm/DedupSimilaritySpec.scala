@@ -270,6 +270,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("clusters: driver union-find fast path equals the distributed loop") {
+    import spark.implicits._
+    // star + chain + 2-cycle-ish extras + singletons; unordered pair dirs
+    val ids = (0L to 40L).toDF("doc_id")
+    val pairs = Seq(
+      (5L, 3L), (3L, 9L), (9L, 17L),          // chain, min 3
+      (20L, 21L), (22L, 20L), (23L, 20L),     // star, min 20
+      (31L, 30L), (30L, 31L),                 // duplicate both dirs
+      (40L, 39L)
+    ).toDF("id_a", "id_b")
+    val fast = Dedup.clusters(ids, pairs) // 9 edges << default cap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.clusters(ids, pairs, smallGraphEdgeCap = -1L) // force the loop
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+    assert(fast(17L) == 3L && fast(23L) == 20L && fast(31L) == 30L &&
+      fast(40L) == 39L && fast(0L) == 0L && fast(38L) == 38L)
+  }
+
   test("clusterSurvivors keeps exactly one doc per near-dup cluster") {
     val pairs = Dedup.jaccardPairs(docs, 0.5)
     val survivors = Dedup.clusterSurvivors(docs, pairs)
