@@ -587,6 +587,12 @@ object Bench {
         "inherent: same banded adaptive-width hyperplane LSH as dedup_semantic, full verified pair-set output (clique contract); linear candidate mining at fixed bucket occupancy",
       "dedup_simhash" ->
         "inherent: pigeonhole chunk join at x10; growth ~1.5x",
+      "dedup_substring" ->
+        "inherent: positional 16-gram posting table (O(total tokens) rows, the dedup_jaccard family's magnitude) + one map-side-combined gram count + per-doc LAG interval union; linear in corpus tokens",
+      "data_dsir_weights" ->
+        "inherent: hashed uni+bigram feature stream (O(total tokens) occurrences) + two B-row broadcast models + one per-doc aggregation; linear in corpus tokens",
+      "data_dsir_sample" ->
+        "inherent: the data_dsir_weights pipeline plus a k-row Gumbel top-k; same linear feature stream",
       "dedup_minhash" ->
         "inherent: 64-perm minhash signatures + banded bucket join over the x10 corpus; measured growth 2.9x for 10x rows (SUBLINEAR — the x1 base is dominated by per-task fixed cost over 32 small files; signature compute is the data-sized term and is linear)",
       "cdc_lake_project" ->

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.ChangeEvent
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, SubstringDedup, TextAnalysis}
 import graft.operators._
 import graft.sources.CdcSynth
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -382,6 +382,36 @@ object SparkEntry {
       // exact-safe prune under the same stop-feature cap.
       Dedup.containmentPairs(t(s, dir, "documents"), 0.9, maxDf = Some(1000L))
         .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_substring" -> ((s, dir) => {
+      // substring-level exact dedup (Lee et al. 2021 reformulated): every
+      // 16-token window that occurs >=2 times in the corpus marks its
+      // range duplicated; per doc the ranges interval-union into covered
+      // token counts / merged span counts, and keep gates on coverage
+      // <= 20%. Posting-table scale shape — see SubstringDedup scaladoc.
+      SubstringDedup.spanStats(t(s, dir, "documents"), w = 16,
+        minCount = 2L, maxDupRatio = 0.2).orderBy("doc_id")
+    }),
+
+    "data_dsir_weights" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): log importance weight of every raw doc
+      // against the target slice (source='src1' plays the "trusted
+      // corpus") in a 1024-bucket hashed uni+bigram feature space.
+      // B-row models broadcast; one aggregation keyed by doc. See Dsir.
+      graft.llm.Dsir.importanceWeights(t(s, dir, "documents"),
+        isTarget = col("source") === "src1", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
+    "data_dsir_sample" -> ((s, dir) => {
+      // the paper's resampling step: Gumbel top-k over the weights =
+      // deterministic without-replacement sample from the importance
+      // distribution (Gumbel-max trick, md5-uniform, RNG-free).
+      graft.llm.Dsir.gumbelTopK(
+        graft.llm.Dsir.importanceWeights(t(s, dir, "documents"),
+          isTarget = col("source") === "src1", buckets = 1024),
+        k = 50, seed = 29)
     }),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -1580,6 +1610,91 @@ object SparkEntry {
         | round(nc*1.0/least(sa.n, sb.n), 4) AS containment
         |FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
         |WHERE nc*1.0/least(sa.n, sb.n) >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    // substring-level dedup: positional 16-gram probes; a gram seen >= 2
+    // times corpus-wide marks [pos, pos+15] duplicated; LAG interval-union
+    // per doc (contribution = min(w, gap); gap > w starts a new span).
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+15],' ') AS g
+        |      FROM toks, UNNEST(generate_series(1, len(t)-15)) AS u(i)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |cov AS (SELECT doc_id,
+        |         CASE WHEN lag(pos) OVER w IS NULL THEN 16
+        |              ELSE least(16, pos - lag(pos) OVER w) END AS contrib,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |               OR pos - lag(pos) OVER w > 16 THEN 1 ELSE 0 END AS newspan
+        |        FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |agg AS (SELECT doc_id, count(*) AS dg, sum(contrib) AS dt, sum(newspan) AS nsp
+        |        FROM cov GROUP BY doc_id)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.dg, 0) AS BIGINT) AS dup_grams,
+        |  CAST(coalesce(agg.dt, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(agg.nsp, 0) AS BIGINT) AS n_dup_spans,
+        |  round(coalesce(agg.dt, 0)*1.0 / greatest(len(tk.t), 1), 4) AS dup_ratio,
+        |  coalesce(agg.dt, 0)*1.0 / greatest(len(tk.t), 1) <= 0.2 AS keep
+        |FROM toks tk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // DSIR: add-1-smoothed bucket log-likelihood ratios (rounded to 9
+    // decimals, summed as DECIMAL — order-free), md5-60 feature hashing.
+    "data_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        |feats AS (SELECT doc_id, ('0x' || substr(md5(g),1,15))::BIGINT % 1024 AS b
+        |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |tgt AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+        |tf AS (SELECT b FROM feats JOIN tgt USING (doc_id)),
+        |rf AS (SELECT f.doc_id, f.b FROM feats f
+        |       WHERE f.doc_id NOT IN (SELECT doc_id FROM tgt)),
+        |ct AS (SELECT b, count(*) AS ct FROM tf GROUP BY b),
+        |cr AS (SELECT b, count(*) AS cr FROM rf GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM tf) AS tn, (SELECT count(*) FROM rf) AS rn),
+        |llr AS (SELECT coalesce(ct.b, cr.b) AS b,
+        |         CAST(round(ln(CAST(coalesce(ct.ct,0)+1 AS DOUBLE) / CAST(tn+1024 AS DOUBLE))
+        |                  - ln(CAST(coalesce(cr.cr,0)+1 AS DOUBLE) / CAST(rn+1024 AS DOUBLE)), 9)
+        |              AS DECIMAL(28,10)) AS llr
+        |        FROM ct FULL OUTER JOIN cr ON ct.b = cr.b, tot),
+        |pd AS (SELECT doc_id, count(*) AS n_feats, sum(llr) AS w
+        |       FROM rf JOIN llr USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(pd.n_feats, 0) AS BIGINT) AS n_feats,
+        |  round(CAST(coalesce(pd.w, 0) AS DOUBLE), 4) AS logw
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
+        |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // resampling step: score = logw + Gumbel(md5-uniform), top-k.
+    "data_dsir_sample" ->
+      """WITH toks AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        |feats AS (SELECT doc_id, ('0x' || substr(md5(g),1,15))::BIGINT % 1024 AS b
+        |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |tgt AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+        |tf AS (SELECT b FROM feats JOIN tgt USING (doc_id)),
+        |rf AS (SELECT f.doc_id, f.b FROM feats f
+        |       WHERE f.doc_id NOT IN (SELECT doc_id FROM tgt)),
+        |ct AS (SELECT b, count(*) AS ct FROM tf GROUP BY b),
+        |cr AS (SELECT b, count(*) AS cr FROM rf GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM tf) AS tn, (SELECT count(*) FROM rf) AS rn),
+        |llr AS (SELECT coalesce(ct.b, cr.b) AS b,
+        |         CAST(round(ln(CAST(coalesce(ct.ct,0)+1 AS DOUBLE) / CAST(tn+1024 AS DOUBLE))
+        |                  - ln(CAST(coalesce(cr.cr,0)+1 AS DOUBLE) / CAST(rn+1024 AS DOUBLE)), 9)
+        |              AS DECIMAL(28,10)) AS llr
+        |        FROM ct FULL OUTER JOIN cr ON ct.b = cr.b, tot),
+        |pd AS (SELECT doc_id, count(*) AS n_feats, sum(llr) AS w
+        |       FROM rf JOIN llr USING (b) GROUP BY doc_id),
+        |wts AS (SELECT d.doc_id, round(CAST(coalesce(pd.w, 0) AS DOUBLE), 4) AS logw
+        |        FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
+        |        LEFT JOIN pd USING (doc_id)),
+        |sc AS (SELECT doc_id, logw,
+        |        logw - ln(-ln((CAST(('0x' || substr(md5(doc_id || ':29'),1,15))::BIGINT AS DOUBLE) + 0.5)
+        |                      / CAST(1152921504606846976 AS DOUBLE))) AS se
+        |       FROM wts)
+        |SELECT doc_id, logw, round(se, 4) AS score FROM sc
+        |ORDER BY se DESC, doc_id LIMIT 50""".stripMargin,
 
     // connected components via recursive CTE over the exact pair graph:
     // reach(id, r) closes over edges, min(r) per id = cluster id.

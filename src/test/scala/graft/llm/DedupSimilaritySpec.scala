@@ -289,6 +289,33 @@ class DedupSimilaritySpec extends SparkSpec {
       fast(40L) == 39L && fast(0L) == 0L && fast(38L) == 38L)
   }
 
+  test("substring dedup: shared passages mark exact interval-union coverage") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val fix = Seq(
+      (0L, (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared),       // 25 toks, shared at 5..24
+      (1L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")),      // 30 toks, shared at 0..19
+      (2L, (1 to 40).map(i => s"c$i").mkString(" ")),                     // unique
+      (3L, ((1 to 16) ++ (1 to 16)).map(i => s"p$i").mkString(" ")),      // self-repeat, adjacent spans
+      (4L, "tiny doc under window width")                                 // < w tokens
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.spanStats(fix, w = 16, minCount = 2L, maxDupRatio = 0.2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Boolean]("keep")))).toMap
+    // 20-token shared passage → 5 full 16-gram windows inside it, present
+    // in docs 0 and 1; interval union covers exactly the 20 shared tokens
+    assert(got(0L) == ((25L, 5L, 20L, 1L, false)))
+    assert(got(1L) == ((30L, 5L, 20L, 1L, false)))
+    assert(got(2L) == ((40L, 0L, 0L, 0L, true)))
+    // within-doc repeat: the only duplicated grams start at 0 and 16;
+    // delta == w merges them into ONE contiguous span covering all 32
+    assert(got(3L) == ((32L, 2L, 32L, 1L, false)))
+    assert(got(4L) == ((5L, 0L, 0L, 0L, true)))
+  }
+
   test("clusterSurvivors keeps exactly one doc per near-dup cluster") {
     val pairs = Dedup.jaccardPairs(docs, 0.5)
     val survivors = Dedup.clusterSurvivors(docs, pairs)

@@ -1,0 +1,50 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val target = (0L to 4L).map(i =>
+      (i, s"quantum physics entanglement superposition qubit decoherence paper $i", "tgt"))
+    val onTopic = (10L to 14L).map(i =>
+      (i, s"quantum entanglement and qubit decoherence in physics experiments run $i", "raw"))
+    val offTopic = (20L to 24L).map(i =>
+      (i, s"football match score goal referee stadium crowd season game $i", "raw"))
+    (target ++ onTopic ++ offTopic).toDF("doc_id", "text", "source")
+  }
+
+  test("DSIR weights rank target-like docs above off-topic docs") {
+    val w = Dsir.importanceWeights(corpus, isTarget = col("source") === "tgt",
+      buckets = 256)
+    val rows = w.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    // only raw docs are scored
+    assert(rows.keySet == ((10L to 14L) ++ (20L to 24L)).toSet)
+    val minOn = (10L to 14L).map(rows).min
+    val maxOff = (20L to 24L).map(rows).max
+    assert(minOn > maxOff,
+      s"every on-topic weight ($minOn) should beat every off-topic weight ($maxOff)")
+    // n_feats = unigrams + bigrams with multiplicity = 2*len - 1
+    // (doc 10 has 10 whitespace tokens)
+    val nf = w.filter(col("doc_id") === 10L).select("n_feats").head().getLong(0)
+    assert(nf == 2L * 10 - 1)
+  }
+
+  test("Gumbel top-k is deterministic, size-k, and importance-biased") {
+    val w = Dsir.importanceWeights(corpus, isTarget = col("source") === "tgt",
+      buckets = 256)
+    val s1 = Dsir.gumbelTopK(w, k = 5, seed = 29).collect()
+    val s2 = Dsir.gumbelTopK(w, k = 5, seed = 29).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq) // deterministic
+    assert(s1.length == 5)
+    // weights differ by many nats between the topic groups, so Gumbel
+    // noise (scale ~1) cannot promote off-topic docs into the top 5
+    assert(s1.map(_.getLong(0)).forall(id => id >= 10L && id <= 14L))
+    // scores descend in emitted order
+    val scores = s1.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}
