@@ -195,6 +195,16 @@ object Dedup {
           .filter(col("df") > cap).select("h")
           .persist(StorageLevel.MEMORY_AND_DISK)
         hotCache = Some(hotFeats)
+        // Driver-side gate, level 0: with NO hot features the cap is
+        // inactive and the ENTIRE capped pipeline is identity overhead —
+        // capped == posts, every prune bound is ncc + 0, and the survivor
+        // recount recomputes counts that are already exact. Run the
+        // uncapped shape instead (one self-join, no prune, no recount).
+        // The probe populates the persisted hotFeats either way.
+        if (hotFeats.isEmpty) {
+          pairCounts(posts, "nc")
+            .join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
+        } else {
         val capped = posts.join(broadcast(hotFeats), Seq("h"), "left_anti")
         // hot postings read three times (hot counts, dominated-side
         // restriction, recovery join) — cache once, release at the end
@@ -210,18 +220,27 @@ object Dedup {
         // the (few) hot-dominated docs. Empty dominated set ⇒ near-free.
         val domIds = hot.join(sizes, "id")
           .filter(hotOnlyKeep(col("hot"), col("sz"))).select("id")
-        val domPosts = hotPosts.join(broadcast(domIds), Seq("id"), "left_semi")
-        val recovered = domPosts.select(col("id").as("id_x"), col("h"))
-          .join(hotPosts.select(col("id").as("id_y"), col("h")), "h")
-          .filter(col("id_x") =!= col("id_y"))
-          .select(least(col("id_x"), col("id_y")).as("id_a"),
-            greatest(col("id_x"), col("id_y")).as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-          .withColumn("ncc", lit(0L))
-        // union BEFORE the prune: a pair present in both keeps its real
-        // capped count (max of ncc and the recovery sentinel 0)
-        val allCands = pairCounts(capped, "ncc").unionByName(recovered)
-          .groupBy("id_a", "id_b").agg(max("ncc").as("ncc"))
+        // Driver-side gate (the zero-row-repair-subtree rule): with NO
+        // hot-dominated docs — the common case on non-degenerate corpora —
+        // the recovery join would stream the hot postings and, worse, the
+        // union would re-shuffle EVERY capped candidate pair through a
+        // second groupBy just to max() against zero rows. The probe costs
+        // one aggregation pass over the cached postings.
+        val anyDominated = !domIds.isEmpty
+        val allCands = if (!anyDominated) pairCounts(capped, "ncc") else {
+          val domPosts = hotPosts.join(broadcast(domIds), Seq("id"), "left_semi")
+          val recovered = domPosts.select(col("id").as("id_x"), col("h"))
+            .join(hotPosts.select(col("id").as("id_y"), col("h")), "h")
+            .filter(col("id_x") =!= col("id_y"))
+            .select(least(col("id_x"), col("id_y")).as("id_a"),
+              greatest(col("id_x"), col("id_y")).as("id_b"))
+            .dropDuplicates("id_a", "id_b")
+            .withColumn("ncc", lit(0L))
+          // union BEFORE the prune: a pair present in both keeps its real
+          // capped count (max of ncc and the recovery sentinel 0)
+          pairCounts(capped, "ncc").unionByName(recovered)
+            .groupBy("id_a", "id_b").agg(max("ncc").as("ncc"))
+        }
         // exact-safe prune via the metric's own bound (pruneKeep), with
         // true_nc ≤ ncc + min(hot_a, hot_b) as the upper bound
         // persisted: survivors are read three times below (survIds, the
@@ -249,6 +268,7 @@ object Dedup {
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
         survCache = Some(surv)
         surv.join(trueNc, Seq("id_a", "id_b"))
+        }
     }
     // Materialize the (small) finished result with a hard lineage cut, then
     // release the multi-referenced intermediates. Unpersisting
