@@ -593,6 +593,8 @@ object Bench {
         "inherent: hashed uni+bigram feature stream (O(total tokens) occurrences) + two B-row broadcast models + one per-doc aggregation; linear in corpus tokens",
       "data_dsir_sample" ->
         "inherent: the data_dsir_weights pipeline plus a k-row Gumbel top-k; same linear feature stream",
+      "dedup_semdedup" ->
+        "inherent: broadcast argmax assignment (n x sqrt(n) cosines) + within-cell pair cosines at ~sqrt(n) cells = Theta(n^1.5) pair volume (expected x10 growth ~10^1.5 ~ 32x, measured against that); cells scale with the corpus, never fixed-cell n^2/C",
       "dedup_minhash" ->
         "inherent: 64-perm minhash signatures + banded bucket join over the x10 corpus; measured growth 2.9x for 10x rows (SUBLINEAR — the x1 base is dominated by per-task fixed cost over 32 small files; signature compute is the data-sized term and is linear)",
       "cdc_lake_project" ->

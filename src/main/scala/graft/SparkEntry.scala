@@ -461,6 +461,23 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "dedup_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+      // coarse-assign to ~√n deterministic cells (every-31st vector, the
+      // ann_ivf_topk pattern; CELL COUNT SCALES with the corpus so
+      // assignment costs n·√n cosines and within-cell pair volume is
+      // Θ(n^1.5), never the fixed-cell n²/C — the same occupancy rule as
+      // adaptiveBits), within-cell pairs with cos >= 0.35 are duplicates,
+      // each duplicate group keeps its most ATYPICAL member (lowest
+      // cosine to the cell centroid). See Similarity.semDedup.
+      val emb = t(s, dir, "embeddings")
+      val cap = 31L * math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val cents = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < cap)
+        .select((col("vec_id") / 31).cast(LongType).as("centroid_id"),
+          col("embedding").as("vec"))
+      Similarity.semDedup(emb, cents, eps = 0.35).orderBy("vec_id")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(t(s, dir, "documents"), 0.5).orderBy("id_a", "id_b")
     }),
@@ -1635,6 +1652,35 @@ object SparkEntry {
         |  round(coalesce(agg.dt, 0)*1.0 / greatest(len(tk.t), 1), 4) AS dup_ratio,
         |  coalesce(agg.dt, 0)*1.0 / greatest(len(tk.t), 1) <= 0.2 AS keep
         |FROM toks tk LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: fixed-cell assignment (argmax cosine, ties → lower cell),
+    // within-cell dup pairs at cos >= 0.35, recursive-CTE CC per group,
+    // keep = lowest cos-to-centroid (ties → lowest id). Cosine kernels
+    // are bit-equal across engines (proven by the ANN twins), so the
+    // exact-double ranks match.
+    "dedup_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id / 31 AS BIGINT) AS cid, v AS cv FROM e
+        |      WHERE vec_id % 31 = 0
+        |        AND vec_id < 31 * CAST(ceil(sqrt((SELECT count(*) FROM e))) AS BIGINT)),
+        |sims AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+        |         FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, cid, s FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        |          FROM sims) WHERE rk = 1),
+        |dp AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM asg a JOIN asg b
+        |       ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |       WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |ed AS (SELECT ia AS src, ib AS dst FROM dp UNION SELECT ib, ia FROM dp),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.id),
+        |grp AS (SELECT id AS vec_id, MIN(r) AS group_id FROM reach GROUP BY 1)
+        |SELECT a.vec_id, a.cid AS centroid_id, round(a.s, 6) AS cos_centroid,
+        |  g.group_id,
+        |  (row_number() OVER (PARTITION BY g.group_id ORDER BY a.s, a.vec_id) = 1) AS keep
+        |FROM asg a JOIN grp g USING (vec_id) ORDER BY a.vec_id""".stripMargin,
 
     // DSIR: add-1-smoothed bucket log-likelihood ratios (rounded to 9
     // decimals, summed as DECIMAL — order-free), md5-60 feature hashing.

@@ -536,4 +536,64 @@ object Similarity {
     }
     cb
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+   * semantic deduplication. Vectors are coarse-assigned to centroid cells;
+   * within each cell every pair with cosine ≥ `eps` is a semantic
+   * duplicate; duplicate groups (connected components of the within-cell
+   * dup graph) keep exactly ONE member — per the paper, the most ATYPICAL
+   * one (lowest cosine to its cell centroid; ties → lowest id).
+   *
+   * Output: (id, centroid_id, cos_centroid, group_id, keep) for every
+   * vector — singletons form their own group and are kept.
+   *
+   * Scale shape (100 TB): assignment is one broadcast of the centroid
+   * table + a map-side-combined argmax aggregation (max of
+   * struct(sim, -cid) — no corpus-wide window sort); the pair stage keys
+   * on the cell id — one hash exchange, AQE skew-split for hot cells —
+   * and costs Θ(Σ s_c²) over cell sizes s_c, so the CENTROID COUNT is a
+   * capacity parameter that must grow with the corpus to hold expected
+   * occupancy constant (the paper runs k ≈ 50k cells on LAION; same
+   * occupancy argument as the banded-LSH width `adaptiveBits`). Group
+   * CC reuses [[Dedup.clusters]] (driver union-find under the small-graph
+   * cap, distributed loop above it); the keep rank windows only over dup
+   * groups.
+   */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, eps: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               cIdCol: String = "centroid_id", cVecCol: String = "vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val joined = vectors.crossJoin(broadcast(
+      centroids.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cvec"))))
+      .select(col(idCol), col(vecCol), col("_cid"),
+        cosine(col(vecCol), col("_cvec")).as("_sim"))
+    // argmax via max(struct(sim, -cid)): field-wise struct ordering = sim
+    // desc then cid asc on ties — identical to ivfAssign's window rule but
+    // with map-side partial aggregation instead of a full-corpus sort
+    val assigned = joined
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_sim").as("sim"), (-col("_cid")).as("negcid"))).as("_b"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol),
+        (-col("_b.negcid")).cast("long").as(cIdCol), col("_b.sim").as("cos_centroid"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 3×: both pair sides + final
+    val a = assigned.select(col(cIdCol), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = assigned.select(col(cIdCol), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val dupPairs = a.join(b, cIdCol)
+      .filter(col("id_a") < col("id_b") && cosine(col("_va"), col("_vb")) >= eps)
+      .select("id_a", "id_b")
+    val groups = Dedup.clusters(vectors.select(col(idCol)), dupPairs, idCol)
+      .withColumnRenamed("cluster_id", "group_id")
+    val keepRank = Window.partitionBy("group_id")
+      .orderBy(col("cos_centroid").asc, col(idCol).asc)
+    val result = assigned.join(groups, idCol)
+      .withColumn("keep", row_number().over(keepRank) === 1)
+      .select(col(idCol), col(cIdCol), round(col("cos_centroid"), 6).as("cos_centroid"),
+        col("group_id"), col("keep"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    result
+  }
 }

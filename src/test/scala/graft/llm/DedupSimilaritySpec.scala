@@ -316,6 +316,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(4L) == ((5L, 0L, 0L, 0L, true)))
   }
 
+  test("SemDeDup keeps the most atypical member of each within-cell dup group") {
+    import spark.implicits._
+    // two orthogonal cells; in cell 0 three near-identical vectors (one
+    // slightly rotated off the centroid), in cell 1 two dups + a loner
+    // that clears the cell-assignment but not the eps gate
+    val vecs = Seq(
+      (10L, Array(1.00f, 0.00f, 0.02f, 0f)), // cell 0 dup group
+      (11L, Array(0.99f, 0.00f, 0.02f, 0f)),
+      (12L, Array(0.90f, 0.00f, 0.44f, 0f)), // same group, most rotated off c0
+      (20L, Array(0.00f, 1.00f, 0.00f, 0f)), // cell 1 dup pair
+      (21L, Array(0.00f, 0.98f, 0.01f, 0f)),
+      (22L, Array(0.00f, 0.30f, 0.95f, 0f))  // cell 1, below eps vs 20/21
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "vec")
+    val got = Similarity.semDedup(vecs, cents, eps = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("centroid_id"), r.getAs[Long]("group_id"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(10L)._1 == 0L && got(12L)._1 == 0L)
+    assert(got(22L)._1 == 1L) // assigned to cell 1 despite being no dup
+    // {10,11,12} one group: keeper = 12 (lowest cos to c0 — most atypical)
+    assert(got(10L)._2 == got(11L)._2 && got(11L)._2 == got(12L)._2)
+    assert(!got(10L)._3 && !got(11L)._3 && got(12L)._3)
+    // {20,21} keeper = 21 (0.98 direction is farther from c1 than exact hit)
+    assert(got(20L)._2 == got(21L)._2 && !got(20L)._3 && got(21L)._3)
+    // 22 is its own singleton group, kept
+    assert(got(22L)._2 == 22L && got(22L)._3)
+  }
+
   test("clusterSurvivors keeps exactly one doc per near-dup cluster") {
     val pairs = Dedup.jaccardPairs(docs, 0.5)
     val survivors = Dedup.clusterSurvivors(docs, pairs)
