@@ -17,11 +17,21 @@ import org.apache.spark.sql.functions._
  */
 object Envelopes {
 
-  /** Native envelope: the event payload itself (reference native.rs:1-37). */
-  def native: Column = to_json(struct(
+  /** Native envelope: the event payload itself (reference native.rs:1-37).
+   * Encoded by the fused byte-level serializer — byte-identical to the
+   * `to_json` twin below (property-spec-pinned), ~3× cheaper per event;
+   * the envelope encode is the largest CPU term of the drain headline. */
+  def native: Column =
+    graft.functions.JsonEncode.fusedJson(nativeStruct)
+
+  /** The envelope struct both encoders serialize. */
+  private[operators] def nativeStruct: Column = struct(
     col("before"), col("after"), col("source"), col("op"), col("ts_ms"),
     col("transaction"), col("event_id"), col("tenant_id"),
-    col("schema_version"), col("schema_sequence"), col("tags")))
+    col("schema_version"), col("schema_sequence"), col("tags"))
+
+  /** `to_json` twin of [[native]] — the spec oracle for byte equality. */
+  private[graft] def nativeViaToJson: Column = to_json(nativeStruct)
 
   /** Debezium envelope: `{"schema": null, "payload": <event>}` (debezium.rs:27-52). */
   def debezium: Column = concat(lit("""{"schema":null,"payload":"""), native, lit("}"))

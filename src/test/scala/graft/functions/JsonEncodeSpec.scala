@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JsonEncodeSpec extends SparkSpec {
+
+  import graft.operators.Envelopes
+
+  test("fused envelope encode is byte-identical to to_json on adversarial events") {
+    import spark.implicits._
+    val ctrl = (0 until 32).map(_.toChar).mkString
+    val nasty = Seq(
+      ctrl, "\"quoted\" and \\back\\slash\\", "é中🎉 😀 mixed",
+      "/slashes/are/raw/", "", "plain", "{\"embedded\":\"json\",\"n\":1}",
+      "tab\there\nnewline", " del", null
+    )
+    // sweep every nasty string through before/after/event_id, null-cycle
+    // the rest, and exercise tags shapes incl. null elements + empty
+    val rows = nasty.zipWithIndex.flatMap { case (s, i) =>
+      Seq(
+        (s, nasty((i + 1) % nasty.length), s"ev$i", "c", 1000L + i,
+          if (i % 3 == 0) null else s"t$i", if (i % 2 == 0) null else s"sv$i",
+          if (i % 4 == 0) null else Seq(s"tag$i", null, ""),
+          i % 5 != 0),
+        (null, s, null, "u", -1L - i, null, null, Seq.empty[String], false)
+      )
+    }
+    val df = rows.toDF("before", "after", "event_id", "op", "ts_ms",
+      "tenant_id", "schema_version", "tags", "snapshot")
+      .select(col("before"), col("after"),
+        struct(
+          lit("graft-0.1.0").as("version"), lit("mysql").as("connector"),
+          when(col("snapshot"), lit(null).cast("string")).otherwise(lit("db1")).as("name"),
+          col("ts_ms").as("ts_ms"), lit("inventory").as("db"),
+          lit(null).cast("string").as("schema"), lit("orders").as("table"),
+          col("snapshot").as("snapshot"), lit(7L).as("server_id"),
+          lit(null).cast("string").as("gtid"), col("event_id").as("file"),
+          col("ts_ms").as("pos"), lit(null).cast("string").as("lsn"),
+          lit(3L).as("tx_id"), lit(9L).as("sequence")).as("source"),
+        col("op"), col("ts_ms"),
+        when(col("snapshot"),
+          struct(col("event_id").as("id"), col("ts_ms").as("total_order"),
+            lit(null).cast("long").as("data_collection_order")))
+          .otherwise(lit(null)).as("transaction"),
+        col("event_id"), col("tenant_id"), col("schema_version"),
+        when(col("snapshot"), col("ts_ms")).otherwise(lit(null)).as("schema_sequence"),
+        col("tags"))
+    val cmp = df.select(Envelopes.native.as("fused"),
+      Envelopes.nativeViaToJson.as("jackson")).collect()
+    cmp.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == r.getString(1),
+        s"row $i diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}")
+    }
+  }
+
+  test("fused envelope encode matches to_json on a seeded random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def rndStr(): String = {
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => sb.append(rnd.nextPrintableChar())
+          case 1 => sb.append((rnd.nextInt(0x20)).toChar) // control
+          case 2 => sb.append(if (rnd.nextBoolean()) '"' else '\\')
+          case 3 => sb.append("中文éß")
+          case 4 => sb.append(new String(Character.toChars(0x1F300 + rnd.nextInt(0xff))))
+          case _ => sb.append(('a' + rnd.nextInt(26)).toChar)
+        }
+      }
+      sb.toString
+    }
+    def opt[T](v: => T): T = if (rnd.nextInt(4) == 0) null.asInstanceOf[T] else v
+    val rows = (0 until 500).map { _ =>
+      (opt(rndStr()), opt(rndStr()), rndStr(), opt(rndStr()),
+        rnd.nextLong(), opt(Seq.fill(rnd.nextInt(3))(opt(rndStr()))))
+    }
+    val df = rows.toDF("before", "after", "event_id", "tenant_id", "ts_ms", "tags")
+      .select(col("before"), col("after"),
+        struct(lit("v").as("version"), col("event_id").as("name")).as("source"),
+        lit("c").as("op"), col("ts_ms"), lit(null).cast("string").as("transaction"),
+        col("event_id"), col("tenant_id"),
+        lit(null).cast("string").as("schema_version"),
+        lit(null).cast("long").as("schema_sequence"), col("tags"))
+    val cmp = df.select(Envelopes.native.as("fused"),
+      Envelopes.nativeViaToJson.as("jackson")).collect()
+    cmp.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}")
+    }
+  }
+}
