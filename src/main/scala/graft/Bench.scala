@@ -609,6 +609,8 @@ object Bench {
         "inherent: changed-column diff over full before/after images at x10; linear",
       "cdc_scd2" ->
         "inherent: per-key history window over the x10 stream (keys remapped per replica, history depth constant); linear",
+      "cdc_upsert" ->
+        "inherent: per-key ReplacingMergeTree window over the full x10 change stream (one hash exchange on the key, deletes dropped before the final project); sublinear growth ~1.5x from ~20 at x1 (per-task fixed cost dominates the x1 base)",
       "text_metrics" ->
         "inherent: tokenization + punct/stopword scans of the full x10 corpus; linear",
       "text_pii" ->
