@@ -54,6 +54,23 @@ class JsonEncodeSpec extends SparkSpec {
     }
   }
 
+  test("struct-row path (materialized struct COLUMN) matches to_json too") {
+    import spark.implicits._
+    // a struct-typed column (not a literal struct(...) constructor) routes
+    // through FusedJsonEncode's struct-row path — keep it pinned as well
+    val df = Seq(("a\"b", 1L, true), (null, -2L, false), ("é🎉", 0L, true))
+      .toDF("s", "n", "b")
+      .select(struct(col("s"), col("n"), col("b"),
+        struct(col("s").as("inner"), lit(null).cast("string").as("z")).as("nest"),
+        array(col("s"), lit(null).cast("string")).as("arr")).as("row"))
+      .select(col("row")) // materialized struct column, then encode it
+    val cmp = df.select(
+      graft.functions.JsonEncode.fusedJson(col("row")).as("fused"),
+      to_json(col("row")).as("jackson")).collect()
+    cmp.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
+  }
+
   test("fused envelope encode matches to_json on a seeded random corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)
