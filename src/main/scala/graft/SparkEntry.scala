@@ -527,57 +527,12 @@ object SparkEntry {
       // pays the exact shingle re-join; est>=0.9 edges are accepted.
       val sure = cands.filter(col("est") >= 0.9).select("id_a", "id_b")
       val border = cands.filter(col("est") < 0.9).select("id_a", "id_b")
-      // ADAPTIVE border verification. The driver reads the border count
-      // off the checkpointed candidates (no extra fold) and picks:
-      //  - small border (the normal case — the estimate decides all but a
-      //    sliver): per-pair array_intersect/array_union over shingle sets
-      //    computed ONLY for the border docs via a broadcast semi-join.
-      //    Per-pair set ops are interpreted, but on a bounded explicit
-      //    list they beat the posting join's 6-stage fixed cost — the
-      //    same measured trade as minhashSpanningPairs' verifier
-      //    (Dedup.scala: 7.5 s posting vs 4.0 s per-pair at sf0.1); here
-      //    the posting machinery billed ~1 s to verify 7 pairs.
-      //  - large border (dup-heavy drift, or a threshold so low the
-      //    estimate can't decide): the POSTING-JOIN count shape
-      //    (minedPairCounts pattern) — |border|·avg_shingles rows through
-      //    codegen'd equi-joins, map-side-combined counts, no broadcast of
-      //    an unbounded id list.
-      val nBorder = border.count()
-      val verified = if (nBorder <= 8192) {
-        val borderIds = border.select(col("id_a").as("id"))
-          .unionByName(border.select(col("id_b").as("id"))).distinct()
-        val bFeats = docs
-          .join(broadcast(borderIds), docs("doc_id") === borderIds("id"), "left_semi")
-          .select(col("doc_id"),
-            graft.functions.TextHashOps.xxhash64Array(
-              Dedup.shingleSet(col("text"))).as("feats"))
-          .localCheckpoint(true) // <= 2·nBorder rows; scan docs once
-        val fa = bFeats.select(col("doc_id").as("id_a"), col("feats").as("fa"))
-        val fb = bFeats.select(col("doc_id").as("id_b"), col("feats").as("fb"))
-        border.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
-          .filter(size(array_intersect(col("fa"), col("fb"))).cast(DoubleType) /
-            size(array_union(col("fa"), col("fb"))).cast(DoubleType) >= 0.5)
-          .select("id_a", "id_b")
-      } else {
-        val borderIds = border.select(col("id_a").as("id"))
-          .unionByName(border.select(col("id_b").as("id"))).distinct()
-        val posts = docs
-          .join(borderIds, docs("doc_id") === borderIds("id"), "left_semi")
-          .select(col("doc_id").as("id"),
-            explode(graft.functions.TextHashOps.xxhash64Array(
-              Dedup.shingleSet(col("text")))).as("h"))
-          .localCheckpoint(true) // read 3× (sizes + both join sides)
-        val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
-        border
-          .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
-          .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
-          .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
-          .filter(col("nc").cast(DoubleType) /
-            (col("sa") + col("sb") - col("nc")).cast(DoubleType) >= 0.5)
-          .select("id_a", "id_b")
-      }
+      // ADAPTIVE border verification (Dedup.verifyPairsExact): the border
+      // count — free off the checkpointed candidates — picks per-pair
+      // broadcast set ops for small borders (the posting machinery billed
+      // ~1 s of fixed cost to verify 7 pairs here) and the posting-join
+      // count shape for large ones; both branches spec-pinned equal.
+      val verified = Dedup.verifyPairsExact(docs, border, 0.5)
       Dedup.clusters(docs, sure.unionByName(verified)).orderBy("doc_id")
     }),
 

@@ -42,6 +42,64 @@ object Dedup {
   def shingleSet(textCol: Column): Column = shingles(textCol, 3)
 
   /**
+   * Exact-Jaccard verification of an EXPLICIT candidate pair list, with the
+   * verifier shape chosen by the (driver-known) candidate count:
+   *
+   *  - `pairs.count() <= smallCap` (the normal case when an estimator
+   *    already decided all but a sliver): per-pair `array_intersect`/
+   *    `array_union` over shingle sets computed ONLY for the pair docs via
+   *    a broadcast semi-join. Interpreted set ops, but on a bounded list
+   *    they beat the posting join's 6-stage fixed cost — that machinery
+   *    billed ~1 s to verify SEVEN pairs in dedup_streaming_parity.
+   *  - above `smallCap`: the posting-join count shape (the
+   *    [[jaccardPairs]]/minedPairCounts pattern) — |pairs|·avg_shingles
+   *    rows through codegen'd equi-joins, map-side-combined counts, no
+   *    broadcast of an unbounded id list.
+   *
+   * Both shapes compute J over the same hashed shingle sets — identical
+   * output by construction (spec-pinned by forcing each branch on one
+   * fixture). Caller supplies `pairs` as (id_a, id_b); output keeps only
+   * pairs with exact J ≥ threshold. NOTE: `pairs` is counted — hand in a
+   * materialized (checkpointed/persisted) frame, or its lineage runs twice.
+   */
+  def verifyPairsExact(docs: DataFrame, pairs: DataFrame, threshold: Double,
+                       smallCap: Long = 8192L, idCol: String = "doc_id",
+                       features: Column = null): DataFrame = {
+    val feat = Option(features).getOrElse(shingleSet(col("text")))
+    val ids = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    if (pairs.count() <= smallCap) {
+      val pfeats = docs
+        .join(broadcast(ids), docs(idCol) === ids("id"), "left_semi")
+        .select(col(idCol).as("id"),
+          TextHashOps.xxhash64Array(feat).as("feats"))
+        .localCheckpoint(true) // <= 2·|pairs| rows; scan docs once
+      val fa = pfeats.select(col("id").as("id_a"), col("feats").as("_fa"))
+      val fb = pfeats.select(col("id").as("id_b"), col("feats").as("_fb"))
+      pairs.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
+        .filter(size(array_intersect(col("_fa"), col("_fb"))).cast("double") /
+          size(array_union(col("_fa"), col("_fb"))).cast("double") >= threshold)
+        .select("id_a", "id_b")
+    } else {
+      val posts = docs
+        .join(ids, docs(idCol) === ids("id"), "left_semi")
+        .select(col(idCol).as("id"),
+          explode(TextHashOps.xxhash64Array(feat)).as("h"))
+        .localCheckpoint(true) // read 3× (sizes + both join sides)
+      val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
+      pairs
+        .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
+        .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+        .filter(col("nc").cast("double") /
+          (col("sa") + col("sb") - col("nc")).cast("double") >= threshold)
+        .select("id_a", "id_b")
+    }
+  }
+
+  /**
    * N-gram Jaccard near-dup pairs ≥ threshold via inverted-index self-join on
    * shared features (the PPJoin/Vernica-et-al count-then-filter shape).
    *

@@ -270,6 +270,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("verifyPairsExact: per-pair and posting branches agree (and match jaccardPairs)") {
+    import spark.implicits._
+    // candidates = all pairs over the fixture docs (true + false pairs)
+    val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+    val cands = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val small = norm(Dedup.verifyPairsExact(docs, cands, 0.5)) // <= cap branch
+    val posting = norm(Dedup.verifyPairsExact(docs, cands, 0.5, smallCap = 0L))
+    assert(small == posting)
+    // ground truth: the mining pipeline's own >= 0.5 pair set
+    val mined = Dedup.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == mined)
+  }
+
   test("clusters: driver union-find fast path equals the distributed loop") {
     import spark.implicits._
     // star + chain + 2-cycle-ish extras + singletons; unordered pair dirs
