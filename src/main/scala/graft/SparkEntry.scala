@@ -464,12 +464,13 @@ object SparkEntry {
     "dedup_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
       // coarse-assign to ~√n deterministic cells (every-31st vector, the
-      // ann_ivf_topk pattern; CELL COUNT SCALES with the corpus so
-      // assignment costs n·√n cosines and within-cell pair volume is
-      // Θ(n^1.5), never the fixed-cell n²/C — the same occupancy rule as
-      // adaptiveBits), within-cell pairs with cos >= 0.35 are duplicates,
-      // each duplicate group keeps its most ATYPICAL member (lowest
-      // cosine to the cell centroid). See Similarity.semDedup.
+      // ann_ivf_topk pattern). The √n rule is PAPER PARITY (fixed-k
+      // spirit, Θ(n^1.5) pair volume — documented trade); the linear
+      // scale mode is Similarity.adaptiveCellCount (k = ⌈n/c⌉, constant
+      // occupancy → Θ(n·c) pairs, spec-pinned at ×10 in ScaleToolsSpec).
+      // Within-cell pairs with cos >= 0.35 are duplicates; each duplicate
+      // group keeps its most ATYPICAL member (lowest cosine to the cell
+      // centroid). See Similarity.semDedup.
       val emb = t(s, dir, "embeddings")
       val cap = 31L * math.ceil(math.sqrt(emb.count().toDouble)).toLong
       val cents = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < cap)
@@ -1693,9 +1694,10 @@ object SparkEntry {
         |sc AS (SELECT doc_id, logw,
         |        logw - ln(-ln((CAST(('0x' || substr(md5(doc_id || ':29'),1,15))::BIGINT AS DOUBLE) + 0.5)
         |                      / CAST(1152921504606846976 AS DOUBLE))) AS se
-        |       FROM wts)
-        |SELECT doc_id, logw, round(se, 4) AS score FROM sc
-        |ORDER BY se DESC, doc_id LIMIT 50""".stripMargin,
+        |       FROM wts),
+        |topk AS (SELECT doc_id, logw, round(se, 4) AS score FROM sc
+        |         ORDER BY se DESC, doc_id LIMIT 50)
+        |SELECT doc_id, logw, score FROM topk ORDER BY score DESC, doc_id""".stripMargin,
 
     // connected components via recursive CTE over the exact pair graph:
     // reach(id, r) closes over edges, min(r) per id = cluster id.

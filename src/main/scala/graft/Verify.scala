@@ -97,6 +97,27 @@ object Verify {
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_schemas.json"), manifest)
 
+    // Oracle-coupling guard (r12 ADVICE): the dedup_semantic/ann_pairs_lsh
+    // oracle SQL hardcodes bitsPerBand=6 while the Spark side computes
+    // Similarity.adaptiveBits(count(embeddings)) at runtime. If a testdata
+    // regeneration ever grows the verify-scale embeddings table past the
+    // 6-bit occupancy ceiling, parity would break SILENTLY (both sides
+    // "pass" their own plans, the hash just mismatches). Fail loudly here
+    // instead, naming the fix.
+    try {
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val bits = graft.llm.Similarity.adaptiveBits(n)
+      if (bits != 6)
+        throw new IllegalStateException(
+          s"adaptiveBits($n) = $bits but the dedup_semantic/ann_pairs_lsh oracle SQL " +
+            "hardcodes bitsPerBand=6 (SparkEntry.bandSigSql) — regenerate the oracle " +
+            "width to match the verify-scale corpus or the hash compare breaks silently")
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Throwable =>
+        System.err.println(s"[verify] adaptiveBits coupling check skipped: ${e.getMessage}")
+    }
+
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

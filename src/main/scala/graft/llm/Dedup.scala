@@ -61,14 +61,29 @@ object Dedup {
    * fixture). Caller supplies `pairs` as (id_a, id_b); output keeps only
    * pairs with exact J ≥ threshold. NOTE: `pairs` is counted — hand in a
    * materialized (checkpointed/persisted) frame, or its lineage runs twice.
+   *
+   * Input pairs are CANONICALIZED here — (least, greatest), distinct —
+   * before either branch: a duplicated or both-orientations pair would
+   * double `nc` in the posting-join branch (sa/sb don't double → wrong J)
+   * while the small branch would just emit duplicates; canonicalizing makes
+   * the branches agree for ANY input. Output ids keep the canonical
+   * orientation (id_a < id_b). threshold ≤ 0 short-circuits to the
+   * canonical pair list itself (J ≥ 0 always holds, including zero-overlap
+   * pairs the posting join would silently drop).
    */
   def verifyPairsExact(docs: DataFrame, pairs: DataFrame, threshold: Double,
                        smallCap: Long = 8192L, idCol: String = "doc_id",
                        features: Column = null): DataFrame = {
+    val canon = pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // counted + read by both join sides below
+    if (threshold <= 0.0) return canon
     val feat = Option(features).getOrElse(shingleSet(col("text")))
-    val ids = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    if (pairs.count() <= smallCap) {
+    val ids = canon.select(col("id_a").as("id"))
+      .unionByName(canon.select(col("id_b").as("id"))).distinct()
+    if (canon.count() <= smallCap) {
       val pfeats = docs
         .join(broadcast(ids), docs(idCol) === ids("id"), "left_semi")
         .select(col(idCol).as("id"),
@@ -76,7 +91,7 @@ object Dedup {
         .localCheckpoint(true) // <= 2·|pairs| rows; scan docs once
       val fa = pfeats.select(col("id").as("id_a"), col("feats").as("_fa"))
       val fb = pfeats.select(col("id").as("id_b"), col("feats").as("_fb"))
-      pairs.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
+      canon.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
         .filter(size(array_intersect(col("_fa"), col("_fb"))).cast("double") /
           size(array_union(col("_fa"), col("_fb"))).cast("double") >= threshold)
         .select("id_a", "id_b")
@@ -87,7 +102,7 @@ object Dedup {
           explode(TextHashOps.xxhash64Array(feat)).as("h"))
         .localCheckpoint(true) // read 3× (sizes + both join sides)
       val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
-      pairs
+      canon
         .join(posts.select(col("id").as("id_a"), col("h")), "id_a")
         .join(posts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
@@ -507,7 +522,9 @@ object Dedup {
    * edges pass (X—hub—Y path) or the failing side emits the X—Y edge
    * directly — connected components equal the verified-clique graph's BY
    * CONSTRUCTION, no transitivity assumption. Every emitted edge is an
-   * exactly-verified ≥-t pair. Dup-heavy buckets (LSH's raison d'être)
+   * exactly-verified ≥-t pair. Fallback candidates whose endpoints are both
+   * already pass-connected to a common node are pruned before verification
+   * (they cannot change CC). Dup-heavy buckets (LSH's raison d'être)
    * verify ~d hub edges and rarely fall back → Θ(d); a degenerate bucket of
    * mutual strangers degrades to the Θ(d²) the clique miner always pays.
    */
@@ -566,7 +583,23 @@ object Dedup {
         .dropDuplicates("id_a", "id_b")
         // hub edges (pass or fail) are already decided — don't re-verify
         .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-      val fallbackPass = verified(fallbackCands).filter(col("jaccard") >= threshold)
+        .localCheckpoint(true) // small; read by the prune AND the anti below
+      // PASS-SET PRUNE (r12 verdict #6): a fallback pair whose endpoints
+      // BOTH carry a passing verified edge to the same node z is already
+      // in one component through z — the direct edge adds nothing to CC
+      // (the only consumer contract), so skip its verification. In
+      // dup-heavy buckets (one stranger among near-dups) this removes
+      // ~the whole bucket's fallback re-verification. Exact: pruned pairs
+      // are provably connected via edges that ARE emitted (hubPass).
+      val adj = hubPass.select(col("id_a").as("_z"), col("id_b").as("_m"))
+        .unionByName(hubPass.select(col("id_b").as("_z"), col("id_a").as("_m")))
+      val prunable = fallbackCands
+        .join(adj.select(col("_z"), col("_m").as("id_a")), Seq("id_a"))
+        .join(adj.select(col("_z"), col("_m").as("id_b")), Seq("id_b", "_z"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      val fallbackPass = verified(
+        fallbackCands.join(prunable, Seq("id_a", "id_b"), "left_anti"))
+        .filter(col("jaccard") >= threshold)
       hubPass.unionByName(fallbackPass).dropDuplicates("id_a", "id_b")
     }
     val result = combined
@@ -605,9 +638,18 @@ object Dedup {
    * persist-only lineage chains re-executed the whole mining pipeline per
    * round when a cache block evicted: measured 1296 vs ~60 CPU-s at sf0.1).
    *
-   * Node ids must be integral (they are cast to long); labels only ever
-   * decrease toward reachable ids, so the fixed point — no improvement
-   * anywhere in a round — is the component-min labeling.
+   * Node ids must be INTEGRAL — enforced with a hard error (a string/UUID
+   * id would silently null under the long cast). Labels only ever decrease
+   * toward reachable ids, so the fixed point — no improvement anywhere in a
+   * round — is the component-min labeling.
+   *
+   * Edge endpoints need not be a subset of `docs`: the node universe is
+   * docs ∪ endpoints, connectivity flows THROUGH non-doc endpoints, and
+   * `cluster_id` is the min reachable node id (doc or not) — but output
+   * rows are emitted for `docs` only. Both paths implement this same
+   * contract (the driver union-find naturally; the RDD loop by seeding
+   * labels with the endpoint set and filtering the result to doc nodes),
+   * so results don't depend on which side of `smallGraphEdgeCap` ran.
    *
    * Graphs at or under `smallGraphEdgeCap` edges skip the loop entirely:
    * the materialized edge list is union-found on the driver and the label
@@ -626,6 +668,17 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    def requireIntegral(df: DataFrame, c: String, what: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(integral.contains(dt),
+        s"clusters: $what column '$c' must be integral, got $dt — a string/UUID id would silently null under the long cast")
+    }
+    requireIntegral(docs, idCol, "docs id")
+    requireIntegral(pairs, "id_a", "pairs")
+    requireIntegral(pairs, "id_b", "pairs")
     // both orientations keyed by (src → dst's labels flow to src); built
     // from ONE pass over `pairs` (whose upstream is the whole pair-mining
     // pipeline), partitioned once, reused narrow in every round
@@ -685,11 +738,18 @@ object Dedup {
     val edges = edgesRaw.partitionBy(part)
     edges.localCheckpoint()
     edges.count()
-    var labels: RDD[(Long, Long)] = docs.select(col(idCol).cast("long"))
+    // node universe = docs ∪ edge endpoints (scaladoc contract): labels
+    // must propagate THROUGH endpoints absent from docs, matching the
+    // driver union-find path. Doc nodes are kept for the final filter.
+    val docNodes = docs.select(col(idCol).cast("long"))
       .as[Long].rdd.map(v => (v, v)).partitionBy(part)
+    docNodes.localCheckpoint()
+    var labels: RDD[(Long, Long)] = docNodes
+      .union(edgesRaw.keys.map(v => (v, v)))
+      .reduceByKey(part, (a: Long, _: Long) => a)
     labels.localCheckpoint()
-    val nDocs = labels.count()
-    var converged = nDocs == 0L
+    val nNodes = labels.count()
+    var converged = nNodes == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
       val prev = labels
@@ -727,7 +787,10 @@ object Dedup {
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[dedup] clusters converged in $iter rounds")
-    labels.toDF(idCol, "cluster_id")
+    // emit doc rows only (narrow: both sides on `part`); endpoint-only
+    // nodes carried labels for connectivity but are not output rows
+    docNodes.join(labels).map { case (id, (_, lab)) => (id, lab) }
+      .toDF(idCol, "cluster_id")
   }
 
   /** Canonical survivors: one representative row per near-dup cluster. */

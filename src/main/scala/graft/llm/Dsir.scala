@@ -92,6 +92,12 @@ object Dsir {
   def gumbelTopK(weights: DataFrame, k: Int, seed: Int = 29): DataFrame = {
     val u = (Sampling.hashOrd(col("doc_id"), seed).cast(DoubleType) + lit(0.5)) /
       lit(math.pow(2.0, 60))
+    // top-k SELECTION by the exact score (round(,4) ties must not decide
+    // membership at the k boundary); the final ROW ORDER is a contractual
+    // Sort on the retained output columns — a projection after
+    // orderBy().limit() only preserves order through TakeOrderedAndProject's
+    // incidental behavior, not by plan contract (the oracle twin orders the
+    // same way: exact LIMIT inside, rounded-score ORDER BY outside).
     weights
       .select(col("doc_id"), col("logw"),
         round(col("logw") - log(-log(u)), 4).as("score"),
@@ -99,5 +105,6 @@ object Dsir {
       .orderBy(col("_score_exact").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("logw"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
   }
 }

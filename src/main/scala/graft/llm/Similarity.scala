@@ -184,6 +184,22 @@ object Similarity {
     bits
   }
 
+  /**
+   * Occupancy-targeted cell count for [[semDedup]]'s coarse assignment —
+   * the scale parameterization (the same constant-occupancy rule as
+   * [[adaptiveBits]]): k = ⌈n / targetOccupancy⌉ cells holds expected cell
+   * size constant as the corpus grows, so the within-cell pair stage costs
+   * Θ(n · targetOccupancy) — LINEAR in n — where a fixed k gives Θ(n²/k)
+   * and the √n rule gives Θ(n^1.5). SemDeDup itself scales its cluster
+   * count with the corpus (50k cells on LAION, arXiv:2303.09540 §3); this
+   * makes the rule explicit and automatic. Pair volume linearity at ×10 is
+   * spec-pinned (ScaleToolsSpec).
+   */
+  def adaptiveCellCount(n: Long, targetOccupancy: Int = 32): Long = {
+    require(targetOccupancy > 0)
+    math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+  }
+
   /** Distinct banded candidate pairs (pre-verification), skinny — the
    * mining-volume metric the bench logs at ×1/×10 so the linear-growth
    * claim of [[adaptiveBits]] carries a measured number (r11 verdict #8). */
@@ -254,7 +270,9 @@ object Similarity {
    * [[cosinePairsBanded]]'s verified clique graph: for any in-bucket pair
    * (X,Y) with cos ≥ t, either both hub edges pass (X—hub—Y path) or the
    * failing side is re-verified against the whole bucket and the X—Y edge is
-   * emitted directly. Every emitted edge is an exactly-verified ≥-t pair, so
+   * emitted directly. Fallback candidates whose endpoints are both already
+   * pass-connected to a common node are pruned before verification (they
+   * cannot change CC). Every emitted edge is an exactly-verified ≥-t pair, so
    * the edge set is a connectivity-preserving SUBSET of the clique graph's.
    *
    * Cost: dup-heavy buckets (the case LSH bucketing exists for) verify ~d hub
@@ -302,7 +320,21 @@ object Similarity {
         .dropDuplicates("id_a", "id_b")
         // hub edges (pass or fail) are already decided — don't re-verify
         .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-      val fallbackPass = verified(fallbackCands).filter(col("cos_sim") >= threshold)
+        .localCheckpoint(true) // small; read by the prune AND the anti below
+      // PASS-SET PRUNE (r12 verdict #6, same as Dedup.minhashSpanningPairs):
+      // a fallback pair whose endpoints BOTH carry a passing verified edge
+      // to the same node z is already CC-connected through z — skip its
+      // verification; the direct edge can't change the only consumer
+      // contract (connected components). Exact by construction.
+      val adj = hubPass.select(col("id_a").as("_z"), col("id_b").as("_m"))
+        .unionByName(hubPass.select(col("id_b").as("_z"), col("id_a").as("_m")))
+      val prunable = fallbackCands
+        .join(adj.select(col("_z"), col("_m").as("id_a")), Seq("id_a"))
+        .join(adj.select(col("_z"), col("_m").as("id_b")), Seq("id_b", "_z"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      val fallbackPass = verified(
+        fallbackCands.join(prunable, Seq("id_a", "id_b"), "left_anti"))
+        .filter(col("cos_sim") >= threshold)
       hubPass.unionByName(fallbackPass).dropDuplicates("id_a", "id_b")
     }
     val out = combined
@@ -555,7 +587,10 @@ object Similarity {
    * and costs Θ(Σ s_c²) over cell sizes s_c, so the CENTROID COUNT is a
    * capacity parameter that must grow with the corpus to hold expected
    * occupancy constant (the paper runs k ≈ 50k cells on LAION; same
-   * occupancy argument as the banded-LSH width `adaptiveBits`). Group
+   * occupancy argument as the banded-LSH width `adaptiveBits`). The
+   * occupancy-targeted rule is [[adaptiveCellCount]] — k = ⌈n/c⌉ cells
+   * makes the pair stage linear in the corpus; the bench query keeps the
+   * paper-parity √n derivation and documents the trade. Group
    * CC reuses [[Dedup.clusters]] (driver union-find under the small-graph
    * cap, distributed loop above it); the keep rank windows only over dup
    * groups.

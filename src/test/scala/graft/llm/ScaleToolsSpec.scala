@@ -267,4 +267,43 @@ class ScaleToolsSpec extends SparkSpec {
       assert(cg.contains("WholeStageCodegen"), s"$q fell out of codegen:\n${cg.take(2000)}")
     }
   }
+
+  test("semDedup occupancy mode: within-cell pair volume grows ~linearly at x10") {
+    // r12 verdict #4: the bench query derives ~sqrt(n) cells (paper parity,
+    // Theta(n^1.5) pair volume); Similarity.adaptiveCellCount(n) = ceil(n/c)
+    // is the documented scale mode. This pins the claim with measured pair
+    // VOLUMES: same deterministic corpus at n and 10n, cells from each rule,
+    // pair volume = sum over cells of s*(s-1)/2 (exactly what the within-cell
+    // cosine join schedules before any threshold).
+    import graft.llm.Similarity
+    val dim = 8
+    def corpus(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        ((pmod(hash(col("id") * 31 + lit(d)), lit(1000)) - lit(500)) / 500.0)
+          .cast("float")): _*).as("embedding"))
+    def pairVolume(n: Int, cells: Long): Long = {
+      val c = corpus(n)
+      val stride = math.max(1L, n / cells)
+      val cents = c.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * cells)
+        .select((col("vec_id") / stride).cast("long").as("cid"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toSeq)).toSeq
+      Similarity.ivfAssignLiteral(c, cents, idCol = "vec_id", vecCol = "embedding")
+        .groupBy("centroid_id").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head().getLong(0)
+    }
+    val n1 = 640
+    val occ1 = pairVolume(n1, Similarity.adaptiveCellCount(n1))         // k = n/32
+    val occ10 = pairVolume(n1 * 10, Similarity.adaptiveCellCount(n1 * 10L))
+    val sqrt1 = pairVolume(n1, math.ceil(math.sqrt(n1.toDouble)).toLong) // k = sqrt(n)
+    val sqrt10 = pairVolume(n1 * 10, math.ceil(math.sqrt(n1 * 10.0)).toLong)
+    val occGrowth = occ10.toDouble / occ1
+    val sqrtGrowth = sqrt10.toDouble / sqrt1
+    // linear-with-slack for the occupancy rule; the sqrt rule must show its
+    // superlinearity (n^1.5 => ~31.6x expected) and clearly exceed it
+    assert(occGrowth <= 18.0,
+      s"occupancy-mode pair volume grew ${occGrowth}x for 10x rows ($occ1 -> $occ10) — not linear")
+    assert(sqrtGrowth > occGrowth * 1.5,
+      s"sqrt-mode growth (${sqrtGrowth}x) should clearly exceed occupancy-mode (${occGrowth}x)")
+  }
 }
