@@ -1,0 +1,428 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused JSON→struct decoder — the decode twin of [[JsonEncode]] (r12's
+ * fused encoder), for FLAT schemas of string / long / int / double /
+ * boolean fields: one hand-rolled byte-level pass over the payload, no
+ * Jackson, no UTF8String→String conversion for clean strings, no generic
+ * parser machinery per field.
+ *
+ * Why not `from_json`: the lake projection (`cdc_lake_project`) parses two
+ * images per change event through Jackson, and that parse is the largest
+ * CPU term of the cdc decode/project family at ×10 (r12 verdict #8 names
+ * it). The reference decodes each image once into typed Arrow columns
+ * (crates/deltaforge-core/src/encoding/arrow_schema.rs:31-139); this
+ * kernel restores that single-pass cost model on the Spark side.
+ *
+ * Replicated `from_json` (PERMISSIVE, partial-results) semantics, pinned
+ * by JsonDecodeSpec against the builtin on round-trip, adversarial and
+ * malformed corpora:
+ *  - null / empty / whitespace-only / top-level `null` input → NULL result;
+ *  - structurally malformed document → all-null row (never an exception);
+ *  - a field whose VALUE doesn't convert (string in a long field, float
+ *    token in a long field, long overflow) → that field null, parsing
+ *    continues (Spark's enablePartialResults behavior);
+ *  - missing fields null; unknown fields skipped (nested values skipped
+ *    structurally); duplicate keys → LAST occurrence wins;
+ *  - strings unescaped exactly (incl. \uXXXX surrogate pairs — escaped
+ *    strings go through a java.lang.String so lone-surrogate handling is
+ *    byte-identical to Jackson's getText + UTF8String.fromString);
+ *  - number tokens into string fields keep their raw source bytes; `true`/
+ *    `false` into string fields serialize as their literal text (Jackson
+ *    copyCurrentStructure parity); object/array into a string field copies
+ *    the raw source slice (byte-equal to Jackson's re-serialization for
+ *    compact JSON — the only family the CDC pipeline produces);
+ *  - doubles: full JSON number grammar via java.lang.Double.parseDouble
+ *    (correctly-rounded IEEE, same as Jackson ≥2.14's FastDoubleParser),
+ *    plus the quoted specials "NaN" / "[+-]INF" / "[+-]?Infinity".
+ */
+object JsonDecode {
+
+  /** Column API: fused parse when the schema qualifies (flat, supported
+   * leaf types), builtin `from_json` otherwise — call sites never change
+   * semantics by switching. */
+  def fusedFromJson(json: Column, schema: StructType): Column =
+    if (supported(schema))
+      GraftBridge.column(FusedJsonToStruct(GraftBridge.expression(json), schema))
+    else org.apache.spark.sql.functions.from_json(json, schema)
+
+  def supported(s: StructType): Boolean = s.fields.forall { f =>
+    f.dataType match {
+      case StringType | LongType | IntegerType | DoubleType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  private object BadJson extends Exception with scala.util.control.NoStackTrace
+
+  private val T_STRING = 0
+  private val T_LONG = 1
+  private val T_INT = 2
+  private val T_DOUBLE = 3
+  private val T_BOOL = 4
+
+  private val TRUE_U8 = UTF8String.fromString("true")
+  private val FALSE_U8 = UTF8String.fromString("false")
+
+  /** One instance per row — holds the cursor as a field (no IntRef boxing
+   * in the hot loops). */
+  private final class Parser(a: Array[Byte], names: Array[Array[Byte]],
+                             kinds: Array[Int]) {
+    private val n = a.length
+    private var i = 0
+
+    private def ws(): Unit = {
+      while (i < n && (a(i) == ' ' || a(i) == '\t' || a(i) == '\n' || a(i) == '\r')) i += 1
+    }
+    private def cur: Int = if (i < n) a(i) & 0xff else -1
+    private def bad(): Nothing = throw BadJson
+
+    /** null = NULL result; otherwise the decoded row (all-null on a
+     * structural error). */
+    def parseTop(): InternalRow = {
+      ws()
+      if (i >= n) return null // empty / whitespace-only → SQL NULL
+      val row = new GenericInternalRow(names.length)
+      // top-level JSON `null` literal → all-null ROW (from_json parity —
+      // distinct from empty input, which is SQL NULL; spec-pinned)
+      if (cur == 'n' && i + 4 <= n && a(i + 1) == 'u' && a(i + 2) == 'l' && a(i + 3) == 'l')
+        return row
+      try {
+        if (cur != '{') bad()
+        i += 1
+        ws()
+        if (cur == '}') { i += 1; return row }
+        var more = true
+        while (more) {
+          ws()
+          if (cur != '"') bad()
+          val idx = parseNameMatch()
+          ws()
+          if (cur != ':') bad()
+          i += 1
+          ws()
+          if (idx >= 0) parseValueInto(row, idx) else skipValue()
+          ws()
+          if (cur == ',') i += 1
+          else if (cur == '}') { i += 1; more = false }
+          else bad()
+        }
+        row
+      } catch { case BadJson => new GenericInternalRow(names.length) }
+    }
+
+    /** Consume a string token starting at the opening quote; return the
+     * index of the matching field, or -1. */
+    private def parseNameMatch(): Int = {
+      val (s, e, escaped) = stringExtent()
+      if (!escaped) {
+        val len = e - s
+        var f = 0
+        while (f < names.length) {
+          val nb = names(f)
+          if (nb.length == len) {
+            var j = 0
+            while (j < len && nb(j) == a(s + j)) j += 1
+            if (j == len) return f
+          }
+          f += 1
+        }
+        -1
+      } else {
+        val name = unescape(s, e).toString
+        var f = 0
+        while (f < names.length) {
+          if (new String(names(f), java.nio.charset.StandardCharsets.UTF_8) == name) return f
+          f += 1
+        }
+        -1
+      }
+    }
+
+    /** Cursor sits on '"'. Consumes through the closing quote. Returns
+     * (contentStart, contentEnd, sawBackslash); validates escape shapes and
+     * rejects raw control bytes (Jackson defaults). */
+    private def stringExtent(): (Int, Int, Boolean) = {
+      i += 1 // opening quote
+      val s = i
+      var escaped = false
+      while (true) {
+        if (i >= n) bad()
+        val c = a(i) & 0xff
+        if (c == '"') { val e = i; i += 1; return (s, e, escaped) }
+        else if (c == '\\') {
+          escaped = true
+          if (i + 1 >= n) bad()
+          val esc = a(i + 1) & 0xff
+          esc match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 2
+            case 'u' =>
+              if (i + 5 >= n) bad()
+              var j = i + 2
+              while (j < i + 6) {
+                val h = a(j) & 0xff
+                val ok = (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F')
+                if (!ok) bad()
+                j += 1
+              }
+              i += 6
+            case _ => bad()
+          }
+        }
+        else if (c < 0x20) bad() // unescaped control byte
+        else i += 1
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Unescape content bytes [s,e) (known to contain a backslash) through
+     * a java.lang.String — char-level \uXXXX handling makes surrogate
+     * behavior identical to Jackson getText + UTF8String.fromString. */
+    private def unescape(s: Int, e: Int): UTF8String = {
+      val raw = new String(a, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(raw.length)
+      var j = 0
+      while (j < raw.length) {
+        val c = raw.charAt(j)
+        if (c == '\\') {
+          raw.charAt(j + 1) match {
+            case 'u' =>
+              sb.append(Integer.parseInt(raw.substring(j + 2, j + 6), 16).toChar)
+              j += 6
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case o => sb.append(o); j += 2 // " \ /
+          }
+        } else { sb.append(c); j += 1 }
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    private def stringValue(s: Int, e: Int, escaped: Boolean): UTF8String =
+      if (escaped) unescape(s, e)
+      else UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, e))
+
+    /** Number token extent with JSON grammar validation (leading-zero rule,
+     * exponent shape). Returns (start, end, isIntToken); structural error
+     * on an invalid shape (Jackson tokenizer parity → all-null row). */
+    private def numberExtent(): (Int, Int, Boolean) = {
+      val s = i
+      if (cur == '-') i += 1
+      if (cur == '0') i += 1
+      else if (cur >= '1' && cur <= '9') { while (cur >= '0' && cur <= '9') i += 1 }
+      else bad()
+      var isInt = true
+      if (cur == '.') {
+        isInt = false
+        i += 1
+        if (!(cur >= '0' && cur <= '9')) bad()
+        while (cur >= '0' && cur <= '9') i += 1
+      }
+      if (cur == 'e' || cur == 'E') {
+        isInt = false
+        i += 1
+        if (cur == '+' || cur == '-') i += 1
+        if (!(cur >= '0' && cur <= '9')) bad()
+        while (cur >= '0' && cur <= '9') i += 1
+      }
+      (s, i, isInt)
+    }
+
+    /** Overflow-checked decimal long over [s,e); null on overflow (the
+     * field-level coercion failure → partial-results null). Accumulates
+     * NEGATIVE so Long.MinValue parses. */
+    private def parseLong(s: Int, e: Int): java.lang.Long = {
+      var j = s
+      var neg = false
+      if (a(j) == '-') { neg = true; j += 1 }
+      var v = 0L
+      while (j < e) {
+        val d = a(j) - '0'
+        if (v < (Long.MinValue + d) / 10) return null
+        v = v * 10 - d
+        j += 1
+      }
+      if (neg) v
+      else if (v == Long.MinValue) null
+      else -v
+    }
+
+    private def parseValueInto(row: GenericInternalRow, idx: Int): Unit = {
+      val kind = kinds(idx)
+      cur match {
+        case '"' =>
+          val (s, e, escaped) = stringExtent()
+          kind match {
+            case T_STRING => row.update(idx, stringValue(s, e, escaped))
+            case T_DOUBLE =>
+              // Spark's quoted non-numeric specials (allowNonNumericNumbers)
+              val t = stringValue(s, e, escaped).toString
+              t match {
+                case "NaN" => row.update(idx, Double.NaN)
+                case "Infinity" | "+Infinity" | "+INF" => row.update(idx, Double.PositiveInfinity)
+                case "-Infinity" | "-INF" => row.update(idx, Double.NegativeInfinity)
+                case _ => row.update(idx, null)
+              }
+            case _ => row.update(idx, null) // string into long/int/bool
+          }
+        case 't' =>
+          literal("true")
+          kind match {
+            case T_BOOL => row.update(idx, true)
+            case T_STRING => row.update(idx, TRUE_U8)
+            case _ => row.update(idx, null)
+          }
+        case 'f' =>
+          literal("false")
+          kind match {
+            case T_BOOL => row.update(idx, false)
+            case T_STRING => row.update(idx, FALSE_U8)
+            case _ => row.update(idx, null)
+          }
+        case 'n' =>
+          literal("null")
+          row.update(idx, null) // explicit null (duplicate-key: last wins)
+        case c if c == '-' || (c >= '0' && c <= '9') =>
+          val (s, e, isInt) = numberExtent()
+          kind match {
+            case T_LONG =>
+              row.update(idx, if (isInt) parseLong(s, e) else null)
+            case T_INT =>
+              if (isInt) {
+                val v = parseLong(s, e)
+                if (v != null && v.longValue() >= Int.MinValue && v.longValue() <= Int.MaxValue)
+                  row.update(idx, v.intValue())
+                else row.update(idx, null)
+              } else row.update(idx, null)
+            case T_DOUBLE =>
+              row.update(idx, java.lang.Double.parseDouble(
+                new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)))
+            case T_STRING =>
+              // Jackson copyCurrentStructure RE-SERIALIZES numbers into a
+              // string field: int tokens via writeNumber(long) (so "-0" →
+              // "0"; beyond-long ints via BigInteger == raw digits), float
+              // tokens via writeNumber(double) == Double.toString (so
+              // "-4.5e2" → "-450.0"). Reproduce exactly.
+              if (isInt) {
+                val v = parseLong(s, e)
+                row.update(idx, if (v != null)
+                  UTF8String.fromString(java.lang.Long.toString(v.longValue()))
+                else UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, e)))
+              } else {
+                val d = java.lang.Double.parseDouble(
+                  new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII))
+                row.update(idx, UTF8String.fromString(java.lang.Double.toString(d)))
+              }
+            case T_BOOL => row.update(idx, null)
+          }
+        case '{' | '[' =>
+          val s = i
+          skipValue()
+          // raw source slice — byte-equal to Jackson's re-serialization for
+          // the compact JSON the pipeline produces (scaladoc)
+          if (kind == T_STRING)
+            row.update(idx, UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, i)))
+          else row.update(idx, null)
+        case _ => bad()
+      }
+    }
+
+    private def literal(lit: String): Unit = {
+      var j = 0
+      while (j < lit.length) {
+        if (i >= n || a(i) != lit.charAt(j)) bad()
+        i += 1; j += 1
+      }
+    }
+
+    /** Skip one complete JSON value (string-aware structural walk). */
+    private def skipValue(): Unit = cur match {
+      case '"' => stringExtent()
+      case 't' => literal("true")
+      case 'f' => literal("false")
+      case 'n' => literal("null")
+      case c if c == '-' || (c >= '0' && c <= '9') => numberExtent()
+      case '{' | '[' =>
+        var depth = 0
+        var more = true
+        while (more) {
+          if (i >= n) bad()
+          val c = a(i) & 0xff
+          if (c == '"') stringExtent()
+          else {
+            if (c == '{' || c == '[') depth += 1
+            else if (c == '}' || c == ']') { depth -= 1; if (depth == 0) more = false }
+            else if (c < 0x20 && c != '\t' && c != '\n' && c != '\r') bad()
+            i += 1
+          }
+        }
+      case _ => bad()
+    }
+  }
+
+  /**
+   * The expression. Real `doGenCode` — the child string evaluates inside
+   * whole-stage codegen, then one virtual call into the decoder (the
+   * CodegenFallback alternative interprets the whole child subtree per row
+   * — PLANS.md rule).
+   */
+  case class FusedJsonToStruct(child: Expression, schema: StructType)
+      extends UnaryExpression {
+    override def dataType: DataType = schema
+    override def nullable: Boolean = true
+    override def prettyName: String = "fused_from_json"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType =>
+        if (supported(schema)) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"fused_from_json supports flat string/long/int/double/boolean schemas, got $schema")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fused_from_json needs a string child, got $other")
+    }
+
+    @transient private lazy val nameBytes: Array[Array[Byte]] =
+      schema.fields.map(_.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    @transient private lazy val kinds: Array[Int] = schema.fields.map(_.dataType match {
+      case StringType => T_STRING
+      case LongType => T_LONG
+      case IntegerType => T_INT
+      case DoubleType => T_DOUBLE
+      case BooleanType => T_BOOL
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    })
+
+    /** Called from generated code; null = SQL NULL result. */
+    def parse(u: UTF8String): InternalRow =
+      new Parser(u.getBytes, nameBytes, kinds).parseTop()
+
+    override protected def nullSafeEval(input: Any): Any =
+      parse(input.asInstanceOf[UTF8String])
+
+    // null input → SQL NULL (standard propagation); a NON-null input can
+    // still produce NULL (empty/whitespace payload), hence the isNull
+    // reassignment inside the null-safe block.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val dec = ctx.addReferenceObj("fusedFromJson", this, classOf[FusedJsonToStruct].getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $dec.parse($c);
+        |${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+}

@@ -94,6 +94,8 @@ object FlattenProcessor {
    */
   def applyJson(df: DataFrame, jsonCol: String, payloadSchema: StructType, cfg: Config = Config()): DataFrame =
     apply(
-      df.withColumn(jsonCol, from_json(col(jsonCol), payloadSchema)),
+      // flat primitive schemas take the fused byte-level decoder
+      // (from_json-identical by spec); nested ones fall back to builtin
+      df.withColumn(jsonCol, graft.functions.JsonDecode.fusedFromJson(col(jsonCol), payloadSchema)),
       jsonCol, cfg)
 }

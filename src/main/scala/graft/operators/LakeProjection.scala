@@ -37,11 +37,19 @@ object LakeProjection {
    * schema-pruned from_json — measured 5 parses per row where 2 suffice
    * (CollapseProject keeps the staging projection because from_json is
    * non-cheap and multiply referenced, so this shape is stable).
+   *
+   * The parse itself is [[graft.functions.JsonDecode.fusedFromJson]] — a
+   * single-pass byte-level kernel, from_json-identical by spec, that
+   * replaces Jackson for the flat primitive schemas ledger versions
+   * declare (r12 verdict #8: the two image parses were the largest CPU
+   * term of the cdc decode/project family at ×10). Non-flat schemas fall
+   * back to builtin from_json inside fusedFromJson.
    */
   def apply(events: DataFrame, payloadSchema: StructType): DataFrame = {
+    import graft.functions.JsonDecode
     val staged = events.select(col("*"),
-      from_json(col("before"), payloadSchema).as("__lake_before"),
-      from_json(col("after"), payloadSchema).as("__lake_after"))
+      JsonDecode.fusedFromJson(col("before"), payloadSchema).as("__lake_before"),
+      JsonDecode.fusedFromJson(col("after"), payloadSchema).as("__lake_after"))
     val before = col("__lake_before")
     val after = col("__lake_after")
     val meta = Seq(

@@ -343,8 +343,11 @@ object ClickHouseWire {
     val image = when(col("op") === ChangeEvent.Op.Delete, col("before")).otherwise(col("after"))
     // parse ONCE in a staging projection — per-field from_json(...).getField
     // gets schema-pruned into one parse per column by OptimizeCsvJsonExprs
-    // (same finding as LakeProjection.apply)
-    val staged = batch.select(col("*"), from_json(image, userSchema).as("__ch_parsed"))
+    // (same finding as LakeProjection.apply). Flat primitive schemas take
+    // the fused byte-level decoder (JsonDecode, from_json-identical by
+    // spec); others fall back to builtin from_json inside fusedFromJson.
+    val staged = batch.select(col("*"),
+      graft.functions.JsonDecode.fusedFromJson(image, userSchema).as("__ch_parsed"))
     val parsed = col("__ch_parsed")
     val userCols = userSchema.fieldNames.map(f => parsed.getField(f).as(f))
     val metaCols = Seq(
