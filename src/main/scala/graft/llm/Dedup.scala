@@ -381,6 +381,13 @@ object Dedup {
    * groups of k/bands rows, hash each band, bucket-join on (band, hash).
    * With k=64, bands=32 (r=2): P(candidate | J=0.5) ≈ 0.9999, random pairs
    * essentially never collide.
+   *
+   * `feats_a`/`feats_b` carry the 64-BIT HASHED feature sets (one
+   * xxhash64 pass per doc), not the raw shingle strings: downstream exact
+   * verification does per-pair `array_intersect`/`array_union`, and set
+   * ops over longs beat interpreted string hashing/compares ~5-10× while
+   * J stays score-exact up to xxhash64 collisions (the [[jaccardPairs]]
+   * hashing argument — ≈F²/2⁶⁵ expected collisions).
    */
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int,
                         idCol: String = "doc_id", features: Column = null): DataFrame = {
@@ -401,7 +408,8 @@ object Dedup {
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val feats = sig.select(col("id"), col("feats"))
+    val feats = sig.select(col("id"),
+      TextHashOps.xxhash64Array(col("feats")).as("feats"))
     val result = cands
       .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
       .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
@@ -446,8 +454,10 @@ object Dedup {
     val jac = size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
       size(array_union(col("feats_a"), col("feats_b"))).cast("double")
     val result = cands
-      .join(sigA.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
-      .join(sigB.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
+      .join(sigA.select(col("id").as("id_a"),
+        TextHashOps.xxhash64Array(col("feats")).as("feats_a")), "id_a")
+      .join(sigB.select(col("id").as("id_b"),
+        TextHashOps.xxhash64Array(col("feats")).as("feats_b")), "id_b")
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .localCheckpoint(true)
@@ -499,7 +509,8 @@ object Dedup {
       .filter(col("id") =!= col("id_a"))
       .select(col("id_a"), col("id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val feats = sig.select(col("id"), col("feats"))
+    val feats = sig.select(col("id"),
+      TextHashOps.xxhash64Array(col("feats")).as("feats"))
     val result = cands
       .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
       .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
@@ -547,8 +558,10 @@ object Dedup {
     // joins — measured 7.5 s vs 4.0 s for dedup_clusters at sf0.1 when
     // this function briefly switched. ~tens of thousands of interpreted
     // set-ops are cheaper than the join fan-out.
-    val featsA = sig.select(col("id").as("id_a"), col("feats").as("feats_a"))
-    val featsB = sig.select(col("id").as("id_b"), col("feats").as("feats_b"))
+    val featsA = sig.select(col("id").as("id_a"),
+      TextHashOps.xxhash64Array(col("feats")).as("feats_a"))
+    val featsB = sig.select(col("id").as("id_b"),
+      TextHashOps.xxhash64Array(col("feats")).as("feats_b"))
     def verified(cands: DataFrame): DataFrame = // (id_a, id_b) -> + exact J
       cands.join(featsA, "id_a").join(featsB, "id_b")
         .select(col("id_a"), col("id_b"),
