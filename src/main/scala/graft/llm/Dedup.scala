@@ -74,11 +74,14 @@ object Dedup {
   def verifyPairsExact(docs: DataFrame, pairs: DataFrame, threshold: Double,
                        smallCap: Long = 8192L, idCol: String = "doc_id",
                        features: Column = null): DataFrame = {
+    // no checkpoint: `pairs` is materialized by contract, so re-running
+    // the canonical projection per consumer is one tiny shuffle — an
+    // eager checkpoint here billed ~2 task-CPU-s of pure job overhead to
+    // dedup_streaming_parity (r13 A/B) to save re-shuffles of ~200 rows
     val canon = pairs
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint(true) // counted + read by both join sides below
     if (threshold <= 0.0) return canon
     val feat = Option(features).getOrElse(shingleSet(col("text")))
     val ids = canon.select(col("id_a").as("id"))
@@ -540,7 +543,8 @@ object Dedup {
    * mutual strangers degrades to the Θ(d²) the clique miner always pays.
    */
   def minhashSpanningPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
-                           idCol: String = "doc_id", features: Column = null): DataFrame = {
+                           idCol: String = "doc_id", features: Column = null,
+                           pruneGate: Long = 4096L): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val sig = minhashSignatures(docs, k, idCol, features)
@@ -582,13 +586,13 @@ object Dedup {
     // verifies (the common dup-heavy case), probing the persisted verdicts
     // once (populating the cache hubPass reads anyway) skips those stages
     // outright instead of scheduling them to produce zero rows.
-    val anyFailed = !hubVerdicts.filter(col("jaccard") < threshold).isEmpty
-    val combined = if (!anyFailed) hubPass else {
+    val failedCount = hubVerdicts.filter(col("jaccard") < threshold).count()
+    val combined = if (failedCount == 0L) hubPass else {
       // members whose hub edge failed, in each bucket where it failed
       val failedMembers = hubEdges
         .join(hubVerdicts.filter(col("jaccard") < threshold), Seq("id_a", "id_b"))
         .select(col("band"), col("band_hash"), col("id_b").as("fid"))
-      val fallbackCands = failedMembers
+      val fallbackCandsRaw = failedMembers
         .join(banded, Seq("band", "band_hash"))
         .filter(col("id") =!= col("fid"))
         .select(least(col("fid"), col("id")).as("id_a"),
@@ -596,23 +600,31 @@ object Dedup {
         .dropDuplicates("id_a", "id_b")
         // hub edges (pass or fail) are already decided — don't re-verify
         .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-        .localCheckpoint(true) // small; read by the prune AND the anti below
-      // PASS-SET PRUNE (r12 verdict #6): a fallback pair whose endpoints
+      // PASS-SET PRUNE (r12 verdict #6), gated by the failed-edge count
+      // (free off the persisted verdicts): a fallback pair whose endpoints
       // BOTH carry a passing verified edge to the same node z is already
       // in one component through z — the direct edge adds nothing to CC
-      // (the only consumer contract), so skip its verification. In
-      // dup-heavy buckets (one stranger among near-dups) this removes
-      // ~the whole bucket's fallback re-verification. Exact: pruned pairs
-      // are provably connected via edges that ARE emitted (hubPass).
-      val adj = hubPass.select(col("id_a").as("_z"), col("id_b").as("_m"))
-        .unionByName(hubPass.select(col("id_b").as("_z"), col("id_a").as("_m")))
-      val prunable = fallbackCands
-        .join(adj.select(col("_z"), col("_m").as("id_a")), Seq("id_a"))
-        .join(adj.select(col("_z"), col("_m").as("id_b")), Seq("id_b", "_z"))
-        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-      val fallbackPass = verified(
-        fallbackCands.join(prunable, Seq("id_a", "id_b"), "left_anti"))
-        .filter(col("jaccard") >= threshold)
+      // (the only consumer contract), so its verification can be skipped.
+      // The prune costs a checkpoint + two adjacency joins, so it engages
+      // only when the fallback volume is large enough for the saved
+      // verifications to dominate (dup-heavy buckets at scale); below the
+      // gate the r12 shape — verify everything — is strictly cheaper
+      // (r13 A/B: the ungated prune billed +4 task-CPU-s to
+      // dedup_semantic at sf0.1 to save sub-second verification).
+      val fallbackPass = if (failedCount <= pruneGate) {
+        verified(fallbackCandsRaw).filter(col("jaccard") >= threshold)
+      } else {
+        val fallbackCands = fallbackCandsRaw
+          .localCheckpoint(true) // read by the prune AND the anti below
+        val adj = hubPass.select(col("id_a").as("_z"), col("id_b").as("_m"))
+          .unionByName(hubPass.select(col("id_b").as("_z"), col("id_a").as("_m")))
+        val prunable = fallbackCands
+          .join(adj.select(col("_z"), col("_m").as("id_a")), Seq("id_a"))
+          .join(adj.select(col("_z"), col("_m").as("id_b")), Seq("id_b", "_z"))
+          .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+        verified(fallbackCands.join(prunable, Seq("id_a", "id_b"), "left_anti"))
+          .filter(col("jaccard") >= threshold)
+      }
       hubPass.unionByName(fallbackPass).dropDuplicates("id_a", "id_b")
     }
     val result = combined

@@ -281,7 +281,8 @@ object Similarity {
    */
   def cosineSpanningPairs(vectors: DataFrame, threshold: Double, dim: Int,
                           bands: Int = 4, bitsPerBand: Int = 6,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          pruneGate: Long = 4096L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = base.select(col("id"),
@@ -306,13 +307,13 @@ object Similarity {
     // Driver-side gate (same shape as Dedup.minhashSpanningPairs): skip the
     // whole fallback subtree when no hub edge failed — the probe populates
     // the persisted verdicts hubPass reads anyway.
-    val anyFailed = !hubVerdicts.filter(col("cos_sim") < threshold).isEmpty
-    val combined = if (!anyFailed) hubPass else {
+    val failedCount = hubVerdicts.filter(col("cos_sim") < threshold).count()
+    val combined = if (failedCount == 0L) hubPass else {
       // members whose hub edge failed, in each bucket where it failed
       val failedMembers = hubEdges
         .join(hubVerdicts.filter(col("cos_sim") < threshold), Seq("id_a", "id_b"))
         .select(col("band"), col("bsig"), col("id_b").as("fid"))
-      val fallbackCands = failedMembers
+      val fallbackCandsRaw = failedMembers
         .join(banded, Seq("band", "bsig"))
         .filter(col("id") =!= col("fid"))
         .select(least(col("fid"), col("id")).as("id_a"),
@@ -320,21 +321,26 @@ object Similarity {
         .dropDuplicates("id_a", "id_b")
         // hub edges (pass or fail) are already decided — don't re-verify
         .join(hubVerdicts.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-        .localCheckpoint(true) // small; read by the prune AND the anti below
-      // PASS-SET PRUNE (r12 verdict #6, same as Dedup.minhashSpanningPairs):
-      // a fallback pair whose endpoints BOTH carry a passing verified edge
-      // to the same node z is already CC-connected through z — skip its
-      // verification; the direct edge can't change the only consumer
-      // contract (connected components). Exact by construction.
-      val adj = hubPass.select(col("id_a").as("_z"), col("id_b").as("_m"))
-        .unionByName(hubPass.select(col("id_b").as("_z"), col("id_a").as("_m")))
-      val prunable = fallbackCands
-        .join(adj.select(col("_z"), col("_m").as("id_a")), Seq("id_a"))
-        .join(adj.select(col("_z"), col("_m").as("id_b")), Seq("id_b", "_z"))
-        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-      val fallbackPass = verified(
-        fallbackCands.join(prunable, Seq("id_a", "id_b"), "left_anti"))
-        .filter(col("cos_sim") >= threshold)
+      // PASS-SET PRUNE (r12 verdict #6, same gate + rationale as
+      // Dedup.minhashSpanningPairs): pairs whose endpoints both hold a
+      // passing edge to a common node are already CC-connected — skip
+      // their verification, but only when the fallback volume is large
+      // enough that the saved cosines beat the prune's own joins (the
+      // ungated prune billed +4 task-CPU-s to dedup_semantic at sf0.1).
+      val fallbackPass = if (failedCount <= pruneGate) {
+        verified(fallbackCandsRaw).filter(col("cos_sim") >= threshold)
+      } else {
+        val fallbackCands = fallbackCandsRaw
+          .localCheckpoint(true) // read by the prune AND the anti below
+        val adj = hubPass.select(col("id_a").as("_z"), col("id_b").as("_m"))
+          .unionByName(hubPass.select(col("id_b").as("_z"), col("id_a").as("_m")))
+        val prunable = fallbackCands
+          .join(adj.select(col("_z"), col("_m").as("id_a")), Seq("id_a"))
+          .join(adj.select(col("_z"), col("_m").as("id_b")), Seq("id_b", "_z"))
+          .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+        verified(fallbackCands.join(prunable, Seq("id_a", "id_b"), "left_anti"))
+          .filter(col("cos_sim") >= threshold)
+      }
       hubPass.unionByName(fallbackPass).dropDuplicates("id_a", "id_b")
     }
     val out = combined

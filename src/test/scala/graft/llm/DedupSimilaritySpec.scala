@@ -549,6 +549,12 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.clusters(emb.select(col("vec_id")), pairs, idCol = "vec_id").collect()
         .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"))).toSet
     assert(cc(span) == cc(clique), "spanning+fallback CC diverged from clique CC")
+    // pruneGate = 0 forces the pass-set prune path (engaged at scale when
+    // the failed-edge count clears the gate): pruned edges are provably
+    // hub-connected, so CC equality must hold there too
+    val spanPruned = Similarity.cosineSpanningPairs(emb, t, dim, bands = 2,
+      bitsPerBand = 3, pruneGate = 0L)
+    assert(cc(spanPruned) == cc(clique), "pruned spanning CC diverged from clique CC")
 
     // precondition audit: the corpus genuinely contains the hub-transitivity
     // hazard — some bucket has a member whose hub edge fails while an edge to
@@ -601,6 +607,9 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.clusters(docsW, pairs).collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
     assert(cc(span) == cc(clique), "spanning+fallback CC diverged from clique CC")
+    // pruneGate = 0 forces the pass-set prune path (the scale shape)
+    val spanPruned = Dedup.minhashSpanningPairs(docsW, 0.5, features = feats, pruneGate = 0L)
+    assert(cc(spanPruned) == cc(clique), "pruned spanning CC diverged from clique CC")
 
     // precondition audit (driver side, from the same signatures/buckets the
     // miner uses): some bucket has a member whose hub edge is sub-threshold
