@@ -966,10 +966,19 @@ object Bench {
               case _ => ()
             }
           }
+          // The fresh pair binds only when it measured LOWER: the r8
+          // rationale (long-JVM phase inflates in-JVM reads) cuts one way,
+          // but a fresh child can itself land in a host storm (r13 run-2:
+          // dedup_clusters fresh 176.7 vs in-JVM 103.1 — the child carries
+          // no load gate). Both inflations are additive noise on the same
+          // plan, so min-of-pairs is the honest plan-cost estimator; both
+          // pairs stay in fresh_jvm_remeasured either way.
           val probedF = probed.map {
-            case (name, _, _) if fresh.contains(name) =>
+            case (name, r1, r10@Some((_, _, tcInJvm))) if fresh.contains(name) =>
               val (w1, tc1, w10, tc10, _) = fresh(name)
-              (name, Some((w1, Double.NaN, tc1)), Some((w10, Double.NaN, tc10)))
+              if (tc10 < tcInJvm)
+                (name, Some((w1, Double.NaN, tc1)), Some((w10, Double.NaN, tc10)))
+              else (name, r1, r10)
             case other => other
           }
           val okX = probedF.collect { case (k, Some((_, _, tc1)), Some((w, _, tc10))) =>

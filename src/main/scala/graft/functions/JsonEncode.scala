@@ -42,12 +42,13 @@ object JsonEncode {
   def fusedJson(struct: Column): Column = {
     import org.apache.spark.sql.classic.GraftBridge
     val e = GraftBridge.expression(struct)
+    val tz = GraftBridge.sessionTimeZone // temporal leaves format like to_json
     val expr = e match {
       case c: CreateNamedStruct => templateOf(c) match {
-        case Some((shape, leaves)) => FusedJsonTemplate(shape, leaves)
-        case None => FusedJsonEncode(e)
+        case Some((shape, leaves)) => FusedJsonTemplate(shape, leaves, tz)
+        case None => FusedJsonEncode(e, tz)
       }
-      case _ => FusedJsonEncode(e)
+      case _ => FusedJsonEncode(e, tz)
     }
     GraftBridge.column(expr)
   }
@@ -82,6 +83,9 @@ object JsonEncode {
   private val TRUE = "true".getBytes
   private val FALSE = "false".getBytes
   private val NULL = "null".getBytes
+  private val NAN_Q = "\"NaN\"".getBytes
+  private val INF_Q = "\"Infinity\"".getBytes
+  private val NINF_Q = "\"-Infinity\"".getBytes
 
   /** Minimal growable byte sink (ByteArrayOutputStream is synchronized). */
   private final class Buf(initial: Int) {
@@ -111,55 +115,94 @@ object JsonEncode {
     ("\"" + name + "\":").getBytes("UTF-8")
   }
 
-  /** Writer for a VALUE of type `dt` (non-null input). */
-  private def valueWriter(dt: DataType): Writer = dt match {
-    case StringType => (v, b) => writeEscaped(v.asInstanceOf[UTF8String], b)
-    case LongType => (v, b) => b.longNum(v.asInstanceOf[Long])
-    case IntegerType => (v, b) => b.longNum(v.asInstanceOf[Int].toLong)
-    case BooleanType => (v, b) =>
-      b.bytes(if (v.asInstanceOf[Boolean]) TRUE else FALSE)
-    case s: StructType =>
-      val w = structWriter(s)
-      (v, b) => w(v, b)
-    case ArrayType(et, _) =>
-      val ew = valueWriter(et)
-      val getter = InternalRow.getAccessor(et, nullable = true)
+  /** Per-expression writer factory: temporal leaves need the session time
+   * zone (captured at plan time), so writers live behind an instance.
+   * Formatters are created once per factory (executor-side, at lazy writer
+   * construction) via the SAME code path to_json's JacksonGenerator takes —
+   * byte-identity by construction. */
+  private final class WriterFactory(timeZoneId: String) extends Serializable {
+    @transient private lazy val temporal =
+      org.apache.spark.sql.classic.GraftBridge.jsonTemporalWriters(timeZoneId)
+    private def asciiQuoted(b: Buf, s: String): Unit = {
+      b.byte('"')
+      b.bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      b.byte('"')
+    }
+
+    /** Writer for a VALUE of type `dt` (non-null input). */
+    def valueWriter(dt: DataType): Writer = dt match {
+      case StringType => (v, b) => writeEscaped(v.asInstanceOf[UTF8String], b)
+      case LongType => (v, b) => b.longNum(v.asInstanceOf[Long])
+      case IntegerType => (v, b) => b.longNum(v.asInstanceOf[Int].toLong)
+      case BooleanType => (v, b) =>
+        b.bytes(if (v.asInstanceOf[Boolean]) TRUE else FALSE)
+      // doubles/floats: Jackson writeNumber == [Double|Float].toString;
+      // non-finite values are written as QUOTED strings (Jackson
+      // WRITE_NAN_AS_STRINGS default) — all spec-pinned vs to_json
+      case DoubleType => (v, b) => {
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isNaN(d)) b.bytes(NAN_Q)
+        else if (d == Double.PositiveInfinity) b.bytes(INF_Q)
+        else if (d == Double.NegativeInfinity) b.bytes(NINF_Q)
+        else b.bytes(java.lang.Double.toString(d)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+      case FloatType => (v, b) => {
+        val f = v.asInstanceOf[Float]
+        if (java.lang.Float.isNaN(f)) b.bytes(NAN_Q)
+        else if (f == Float.PositiveInfinity) b.bytes(INF_Q)
+        else if (f == Float.NegativeInfinity) b.bytes(NINF_Q)
+        else b.bytes(java.lang.Float.toString(f)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+      // temporal leaves: to_json writes them as JSON strings through its
+      // formatters — reproduced via the exact same formatter construction
+      case TimestampType => (v, b) => asciiQuoted(b, temporal._1(v.asInstanceOf[Long]))
+      case TimestampNTZType => (v, b) => asciiQuoted(b, temporal._2(v.asInstanceOf[Long]))
+      case DateType => (v, b) => asciiQuoted(b, temporal._3(v.asInstanceOf[Int]))
+      case s: StructType =>
+        val w = structWriter(s)
+        (v, b) => w(v, b)
+      case ArrayType(et, _) =>
+        val ew = valueWriter(et)
+        val getter = InternalRow.getAccessor(et, nullable = true)
+        (v, b) => {
+          val arr = v.asInstanceOf[ArrayData]
+          b.byte('[')
+          var i = 0
+          val m = arr.numElements()
+          while (i < m) {
+            if (i > 0) b.byte(',')
+            if (arr.isNullAt(i)) b.bytes(NULL)
+            else ew(getter(arr, i), b)
+            i += 1
+          }
+          b.byte(']')
+        }
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+    def structWriter(s: StructType): Writer = {
+      val names = s.fields.map(f => fieldNameBytes(f.name))
+      val writers = s.fields.map(f => valueWriter(f.dataType))
+      val getters = s.fields.map(f => InternalRow.getAccessor(f.dataType, nullable = true))
+      val n = s.fields.length
       (v, b) => {
-        val arr = v.asInstanceOf[ArrayData]
-        b.byte('[')
+        val row = v.asInstanceOf[InternalRow]
+        b.byte('{')
+        var first = true
         var i = 0
-        val m = arr.numElements()
-        while (i < m) {
-          if (i > 0) b.byte(',')
-          if (arr.isNullAt(i)) b.bytes(NULL)
-          else ew(getter(arr, i), b)
+        while (i < n) {
+          if (!row.isNullAt(i)) { // null fields OMITTED, like to_json
+            if (!first) b.byte(',')
+            first = false
+            b.bytes(names(i))
+            writers(i)(getters(i)(row, i), b)
+          }
           i += 1
         }
-        b.byte(']')
+        b.byte('}')
       }
-    case other => throw new IllegalStateException(s"unreachable: $other")
-  }
-
-  private def structWriter(s: StructType): Writer = {
-    val names = s.fields.map(f => fieldNameBytes(f.name))
-    val writers = s.fields.map(f => valueWriter(f.dataType))
-    val getters = s.fields.map(f => InternalRow.getAccessor(f.dataType, nullable = true))
-    val n = s.fields.length
-    (v, b) => {
-      val row = v.asInstanceOf[InternalRow]
-      b.byte('{')
-      var first = true
-      var i = 0
-      while (i < n) {
-        if (!row.isNullAt(i)) { // null fields OMITTED, like to_json
-          if (!first) b.byte(',')
-          first = false
-          b.bytes(names(i))
-          writers(i)(getters(i)(row, i), b)
-        }
-        i += 1
-      }
-      b.byte('}')
     }
   }
 
@@ -197,7 +240,8 @@ object JsonEncode {
   }
 
   private def unsupported(dt: DataType): Option[DataType] = dt match {
-    case StringType | LongType | IntegerType | BooleanType => None
+    case StringType | LongType | IntegerType | BooleanType | DoubleType |
+         FloatType | TimestampType | TimestampNTZType | DateType => None
     case s: StructType => s.fields.iterator.flatMap(f => unsupported(f.dataType)).nextOption()
     case a: ArrayType => unsupported(a.elementType)
     case other => Some(other)
@@ -208,7 +252,8 @@ object JsonEncode {
    * Used for struct-typed COLUMNS; `fusedJson` routes literal
    * `struct(...)` constructors to [[FusedJsonTemplate]] instead.
    */
-  case class FusedJsonEncode(child: Expression) extends UnaryExpression {
+  case class FusedJsonEncode(child: Expression,
+      timeZoneId: String = "UTC") extends UnaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = StringType
     override def prettyName: String = "fused_to_json"
@@ -224,7 +269,7 @@ object JsonEncode {
     }
 
     @transient private lazy val topWriter =
-      structWriter(child.dataType.asInstanceOf[StructType])
+      new WriterFactory(timeZoneId).structWriter(child.dataType.asInstanceOf[StructType])
     @transient private lazy val localBuf = new ThreadLocal[Buf] {
       override def initialValue(): Buf = new Buf(1024)
     }
@@ -258,7 +303,8 @@ object JsonEncode {
    * of three times (input → struct row → Jackson buffer → output).
    */
   case class FusedJsonTemplate private[JsonEncode] (
-      shape: Shape, children: Seq[Expression]) extends Expression {
+      shape: Shape, children: Seq[Expression],
+      timeZoneId: String = "UTC") extends Expression {
     override def nullable: Boolean = false
     override def dataType: DataType = StringType
     override def prettyName: String = "fused_to_json"
@@ -273,13 +319,14 @@ object JsonEncode {
     // (names-bytes, leaf writers) resolved once; the shape walk is encoded
     // as a flat instruction list over the leaf value array
     @transient private lazy val shapeWriter: (Array[Any], Buf) => Unit = {
+      val factory = new WriterFactory(timeZoneId)
       def compile(s: Shape): (Array[Any], Buf) => Unit = s match {
         case SLeaf(_) => throw new IllegalStateException("top shape must be an object")
         case SObj(fields) =>
           val parts = fields.map {
             case (name, SLeaf(idx)) =>
               val nb = fieldNameBytes(name)
-              val w = valueWriter(children(idx).dataType)
+              val w = factory.valueWriter(children(idx).dataType)
               (vals: Array[Any], b: Buf, first: Boolean) => {
                 val v = vals(idx)
                 if (v == null) first

@@ -52,8 +52,14 @@ object CdcSynth {
     val spread = if (table.rdd.getNumPartitions < par) table.repartition(par) else table
     val pk = col(pkCol)
     val op = opFor(pk)
+    // fused byte-level encode (to_json-identical by spec, incl. the
+    // double/timestamp leaves): the payload is evaluated in BOTH image
+    // `when`s below — and CollapseProject re-inlines it further downstream
+    // (PLANS rule 9) — so its per-eval cost is the multiplier on the whole
+    // drain family
     val payload = payloadOverride.getOrElse(
-      to_json(struct(spread.columns.map(col).toIndexedSeq: _*)))
+      graft.functions.JsonEncode.fusedJson(
+        struct(spread.columns.map(col).toIndexedSeq: _*)))
     val tsMs = tsCol
       .map(c => (col(c).cast(TimestampType).cast(DoubleType) * 1000).cast(LongType))
       .getOrElse(lit(1700000000000L) + pk)

@@ -11,4 +11,31 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * The EXACT timestamp/date formatters `to_json` (JacksonGenerator) uses
+   * for write, so the fused JSON encoder's temporal leaves are
+   * byte-identical to the builtin by construction: (timestampWriter(µs),
+   * timestampNtzWriter(µs), dateWriter(days)). Built from a default
+   * JSONOptions at `timeZoneId` — the same construction path
+   * JacksonGenerator takes (catalyst/json/JacksonGenerator.scala).
+   */
+  def jsonTemporalWriters(timeZoneId: String)
+      : (Long => String, Long => String, Int => String) = {
+    import org.apache.spark.sql.catalyst.json.JSONOptions
+    import org.apache.spark.sql.catalyst.util.{DateFormatter, TimestampFormatter}
+    import org.apache.spark.sql.catalyst.util.LegacyDateFormats.FAST_DATE_FORMAT
+    val opts = new JSONOptions(Map.empty[String, String], timeZoneId, "")
+    val ts = TimestampFormatter(opts.timestampFormatInWrite, opts.zoneId,
+      opts.locale, legacyFormat = FAST_DATE_FORMAT, isParsing = false)
+    val ntz = TimestampFormatter(opts.timestampNTZFormatInWrite, opts.zoneId,
+      legacyFormat = FAST_DATE_FORMAT, isParsing = false, forTimestampNTZ = true)
+    val date = DateFormatter(opts.dateFormatInWrite)
+    (ts.format(_: Long), ntz.format(_: Long), date.format(_: Int))
+  }
+
+  /** The session time zone id at plan time (what a TimeZoneAwareExpression
+   * would resolve to). */
+  def sessionTimeZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
 }

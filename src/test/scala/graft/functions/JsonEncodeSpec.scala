@@ -108,4 +108,37 @@ class JsonEncodeSpec extends SparkSpec {
         s"diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}")
     }
   }
+
+  test("double/float/timestamp/date leaves match to_json byte-for-byte") {
+    import spark.implicits._
+    // the CdcSynth payload shape: typed table columns through fusedJson —
+    // doubles across magnitudes/specials, floats, µs-precision timestamps
+    // (with and without zone), dates
+    val doubles = Seq(0.0, -0.0, 1.5, -4.5e2, 1.0e300, -1.7976931348623157e308,
+      5e-324, 0.1, 1.0000000000000002, 123456.789, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    val rows = doubles.zipWithIndex.map { case (d, i) =>
+      (i.toLong, d, d.toFloat,
+        f"2026-${1 + i % 9}%02d-${1 + i % 28}%02d ${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d.12345${i % 9}",
+        f"${1970 + i}%04d-${1 + i % 9}%02d-${1 + i % 28}%02d")
+    }
+    val df = rows.toDF("id", "d", "f", "ts_s", "date_s")
+      .select(col("id"), col("d"), col("f"),
+        col("ts_s").cast("timestamp").as("ts"),
+        col("ts_s").cast("timestamp_ntz").as("tsntz"),
+        col("date_s").cast("date").as("dt"))
+    val payload = struct(col("id"), col("d"), col("f"), col("ts"),
+      col("tsntz"), col("dt"))
+    val cmp = df.select(
+      graft.functions.JsonEncode.fusedJson(payload).as("fused"),
+      to_json(payload).as("jackson")).collect()
+    cmp.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
+    // struct-row path too (non-constructor input)
+    val cmp2 = df.select(payload.as("row")).select(col("row"))
+      .select(graft.functions.JsonEncode.fusedJson(col("row")).as("fused"),
+        to_json(col("row")).as("jackson")).collect()
+    cmp2.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"struct-row diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
+  }
 }
