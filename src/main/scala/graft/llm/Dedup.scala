@@ -363,19 +363,31 @@ object Dedup {
 
   /**
    * MinHash signatures via the fused native expression — one narrow pass,
-   * no shuffle. Output: (id, features, sig array<long> of k mins).
+   * no shuffle. Output: (id, feats array<long> of HASHED features, sig
+   * array<long> of k mins).
+   *
+   * `feats` carries the 64-bit xxhash64 of each feature, not the raw
+   * shingle strings: every downstream consumer (the exact-Jaccard
+   * verification joins) operates on the hashed sets, and emitting them
+   * here means each doc is hashed exactly ONCE — the signature expression
+   * and the feats column share the same hashing subexpression inside one
+   * Project (whole-stage codegen CSE), where re-hashing at the verify
+   * joins cost 2 extra full passes over the corpus (r13: +30 task-CPU-s
+   * at x10 where docs outnumber candidate pairs). Long arrays also halve
+   * the exchange bytes vs shingle strings. J over hashed sets is
+   * score-exact up to xxhash64 collisions ([[jaccardPairs]] argument).
    */
   def minhashSignatures(docs: DataFrame, k: Int, idCol: String = "doc_id",
                         features: Column = null): DataFrame = {
     val feat = Option(features).getOrElse(shingleSet(col("text")))
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    val hashed = TextHashOps.xxhash64Array(feat)
     // repartition AFTER computing the signature: the exchange materializes
-    // `sig`, stopping projection-collapse from inlining (and re-evaluating)
-    // the signature expression into every downstream band expression
+    // `sig` AND `feats`, stopping projection-collapse from inlining (and
+    // re-evaluating) either expression into downstream band expressions
     docs.repartition(par)
-      .select(col(idCol).as("id"), feat.as("feats"))
-      .withColumn("sig", TextHashOps.minhashSignature(
-        TextHashOps.xxhash64Array(col("feats")), k))
+      .select(col(idCol).as("id"), hashed.as("feats"),
+        TextHashOps.minhashSignature(hashed, k).as("sig"))
       .repartition(par, col("id"))
   }
 
@@ -411,8 +423,7 @@ object Dedup {
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val feats = sig.select(col("id"),
-      TextHashOps.xxhash64Array(col("feats")).as("feats"))
+    val feats = sig.select(col("id"), col("feats")) // already hashed (see minhashSignatures)
     val result = cands
       .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
       .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
@@ -457,10 +468,8 @@ object Dedup {
     val jac = size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
       size(array_union(col("feats_a"), col("feats_b"))).cast("double")
     val result = cands
-      .join(sigA.select(col("id").as("id_a"),
-        TextHashOps.xxhash64Array(col("feats")).as("feats_a")), "id_a")
-      .join(sigB.select(col("id").as("id_b"),
-        TextHashOps.xxhash64Array(col("feats")).as("feats_b")), "id_b")
+      .join(sigA.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
+      .join(sigB.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .localCheckpoint(true)
@@ -512,8 +521,7 @@ object Dedup {
       .filter(col("id") =!= col("id_a"))
       .select(col("id_a"), col("id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val feats = sig.select(col("id"),
-      TextHashOps.xxhash64Array(col("feats")).as("feats"))
+    val feats = sig.select(col("id"), col("feats")) // already hashed
     val result = cands
       .join(feats.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
       .join(feats.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
@@ -562,10 +570,8 @@ object Dedup {
     // joins — measured 7.5 s vs 4.0 s for dedup_clusters at sf0.1 when
     // this function briefly switched. ~tens of thousands of interpreted
     // set-ops are cheaper than the join fan-out.
-    val featsA = sig.select(col("id").as("id_a"),
-      TextHashOps.xxhash64Array(col("feats")).as("feats_a"))
-    val featsB = sig.select(col("id").as("id_b"),
-      TextHashOps.xxhash64Array(col("feats")).as("feats_b"))
+    val featsA = sig.select(col("id").as("id_a"), col("feats").as("feats_a"))
+    val featsB = sig.select(col("id").as("id_b"), col("feats").as("feats_b"))
     def verified(cands: DataFrame): DataFrame = // (id_a, id_b) -> + exact J
       cands.join(featsA, "id_a").join(featsB, "id_b")
         .select(col("id_a"), col("id_b"),
