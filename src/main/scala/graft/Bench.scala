@@ -537,6 +537,14 @@ object Bench {
     // collapse is attributable on sight instead of poisoning the headline.
     val (drainEarlyEps, drainEarlyDetail) =
       if (drainsOn) measureDrain("drain_early", ordersDrain) else (0L, "null")
+    // tpcc/kafka get the SAME A/B placement as orders (r13: the late-only
+    // tpcc number carried the full long-JVM phase penalty — 26.7 in-suite
+    // vs 8.8 fresh task-CPU-s for the identical chain; one placement is a
+    // phase sample, two bound it)
+    val (tpccEarlyEps, tpccEarlyDetail) =
+      if (drainsOn) measureDrain("drain_tpcc_early", tpccDrain) else (0L, "null")
+    val (kafkaEarlyEps, kafkaEarlyDetail) =
+      if (drainsOn) measureKafkaDrain("drain_kafka_early", ordersDrain) else (0L, "null")
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -592,12 +600,14 @@ object Bench {
     val (drainLateEps, drainLateDetail) =
       if (drainsOn) measureDrain("drain_late", ordersDrain) else (0L, "null")
     val drainEps = math.max(drainEarlyEps, drainLateEps)
-    val (drainTpccEps, drainTpccDetail) =
+    val (tpccLateEps, drainTpccDetail) =
       if (drainsOn) measureDrain("drain_tpcc", tpccDrain) else (0L, "null")
-    val (drainKafkaEps, drainKafkaDetail) =
+    val drainTpccEps = math.max(tpccEarlyEps, tpccLateEps)
+    val (kafkaLateEps, drainKafkaDetail) =
       if (drainsOn) measureKafkaDrain("drain_kafka_wire", ordersDrain) else (0L, "null")
+    val drainKafkaEps = math.max(kafkaEarlyEps, kafkaLateEps)
     val drainDetail =
-      s"""{"protocol":"orders drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max; per-rep objects carry wall/proc_cpu/task_cpu plus majflt delta, 1-min loadavg, MemAvailable and hypervisor steal_pct over the rep window (this box is a VM — steal shows in neither loadavg nor any per-process scan and is the residual contender when a drain slides on a process-quiet host); host_top_cpu names the top external processes by /proc CPU delta across the measurement window; kafka_wire drains the same chain through SocketProducer RecordBatch v2 + CRC32C into a loopback broker","early":$drainEarlyDetail,"late":$drainLateDetail,"tpcc":$drainTpccDetail,"kafka_wire":$drainKafkaDetail}"""
+      s"""{"protocol":"every drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max of the two placements; per-rep objects carry wall/proc_cpu/task_cpu plus majflt delta, 1-min loadavg, MemAvailable and hypervisor steal_pct over the rep window (this box is a VM — steal shows in neither loadavg nor any per-process scan and is the residual contender when a drain slides on a process-quiet host); host_top_cpu names the top external processes by /proc CPU delta across the measurement window; kafka_wire drains the same chain through SocketProducer RecordBatch v2 + CRC32C into a loopback broker","early":$drainEarlyDetail,"late":$drainLateDetail,"tpcc_early":$tpccEarlyDetail,"tpcc":$drainTpccDetail,"kafka_early":$kafkaEarlyDetail,"kafka_wire":$drainKafkaDetail}"""
 
     // ——— PHASE-1 artifact: suite + drains, BEFORE the ×10 scale probe ———
     // The r9 binding bench died mid-probe (OOM, exit 137) and the WHOLE
