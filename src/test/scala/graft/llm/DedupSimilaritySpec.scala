@@ -306,6 +306,33 @@ class DedupSimilaritySpec extends SparkSpec {
       fast(40L) == 39L && fast(0L) == 0L && fast(38L) == 38L)
   }
 
+  test("clusters: edge endpoints outside docs carry connectivity in BOTH paths") {
+    import spark.implicits._
+    // r12 ADVICE: connectivity must flow THROUGH non-doc nodes, cluster_id
+    // is the min reachable node id (doc or not), output rows = docs only —
+    // and the result must not depend on which side of smallGraphEdgeCap ran.
+    val ids = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val pairs = Seq(
+      (10L, 99L), (99L, 20L), // 10—20 connected only through non-doc 99
+      (30L, 5L)               // non-doc 5 is the component MIN → cluster_id 5
+    ).toDF("id_a", "id_b")
+    def run(cap: Long) = Dedup.clusters(ids, pairs, smallGraphEdgeCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(Long.MaxValue) // driver union-find
+    val loop = run(-1L)           // forced RDD fixpoint
+    assert(fast == loop, s"paths diverged on non-doc endpoints: fast=$fast loop=$loop")
+    assert(fast == Map(10L -> 10L, 20L -> 10L, 30L -> 5L, 40L -> 40L), fast.toString)
+    assert(!fast.contains(99L) && !fast.contains(5L), "non-doc nodes must not be output rows")
+  }
+
+  test("clusters: non-integral id columns fail loudly instead of nulling") {
+    import spark.implicits._
+    val strDocs = Seq("a", "b").toDF("doc_id")
+    val strPairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] { Dedup.clusters(strDocs, strPairs) }
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+  }
+
   test("substring dedup: shared passages mark exact interval-union coverage") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
