@@ -313,10 +313,15 @@ object SparkEntry {
       // plan spans LONGLONG/LONG/CHAR/NEWDECIMAL/DATETIME2/nullable
       // VARCHAR/DOUBLE/TINY/JSONB/BLOB; the oracle reconstructs every JSON
       // image byte-for-byte from the source columns.
-      sources.MysqlBinlogFixture.decodedOrders(t(s, dir, "orders"))
+      // orderedByKey + sortWithinPartitions == ORDER BY pos (pos is the
+      // source key and the narrow encode→decode preserves key ranges), but
+      // the range-bounds sampling runs on the RAW parquet rows instead of
+      // re-executing the full wire encode+decode — a post-decode orderBy
+      // measured exactly 2x the task-CPU at sf0.1
+      sources.MysqlBinlogFixture.decodedOrders(t(s, dir, "orders"), orderedByKey = true)
         .filter(col("op").isin("c", "u", "d"))
         .select(col("pos"), col("op"), col("before"), col("after"))
-        .orderBy("pos")
+        .sortWithinPartitions("pos")
     }),
 
     "cdc_pgoutput_decode" -> ((s, dir) => {

@@ -110,39 +110,84 @@ object MysqlBinlog {
   /** pre-rendered fragment (numbers/strings already in wire form) */
   case class JRaw(s: String) extends J
 
-  def escape(s: String): String = {
-    val sb = new StringBuilder(s.length + 2)
+  /** Append `s` JSON-escaped. Fast path: one scan finds no special chars →
+   * a single bulk append (the overwhelmingly common case for CDC images —
+   * the per-char StringBuilder walk showed up as a top term in the ×10
+   * decode profile). */
+  def escapeInto(s: String, sb: java.lang.StringBuilder): Unit = {
     var i = 0
-    while (i < s.length) {
+    val n = s.length
+    while (i < n) {
       val c = s.charAt(i)
-      c match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
+      if (c == '"' || c == '\\' || c < 0x20) {
+        // slow path from here on
+        c match {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\b' => sb.append("\\b")
+          case '\f' => sb.append("\\f")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c =>
+            sb.append("\\u00")
+            sb.append(Character.forDigit((c >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(c & 0xf, 16))
+        }
+        i += 1
+      } else {
+        // bulk-append the clean run [i, j)
+        var j = i + 1
+        while (j < n && { val d = s.charAt(j); d != '"' && d != '\\' && d >= 0x20 }) j += 1
+        sb.append(s, i, j)
+        i = j
       }
-      i += 1
     }
+  }
+
+  def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    escapeInto(s, sb)
     sb.toString
   }
 
-  def render(j: J): String = j match {
-    case JObj(fs) => fs.map { case (k, v) => "\"" + escape(k) + "\":" + render(v) }.mkString("{", ",", "}")
-    case JArr(xs) => xs.map(render).mkString("[", ",", "]")
-    case JStr(s) => "\"" + escape(s) + "\""
-    case JLong(v) => v.toString
-    case JDouble(v) => if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15) {
-      // serde prints integral doubles as "5.0"; Double.toString agrees
-      v.toString
-    } else v.toString
-    case JBool(v) => v.toString
-    case JNull => "null"
-    case JRaw(s) => s
+  /** Render into a caller-owned builder — zero intermediate strings (the
+   * recursive-concat `render` allocated ~3 strings per field and dominated
+   * the decode families' ×10 task-CPU alongside the Formatter-based
+   * temporal strings). */
+  def renderInto(j: J, sb: java.lang.StringBuilder): Unit = j match {
+    case JObj(fs) =>
+      sb.append('{')
+      var first = true
+      fs.foreach { case (k, v) =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"'); escapeInto(k, sb); sb.append('"'); sb.append(':')
+        renderInto(v, sb)
+      }
+      sb.append('}')
+    case JArr(xs) =>
+      sb.append('[')
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb.append(',')
+        first = false
+        renderInto(x, sb)
+      }
+      sb.append(']')
+    case JStr(s) => sb.append('"'); escapeInto(s, sb); sb.append('"')
+    case JLong(v) => sb.append(v)
+    // serde prints integral doubles as "5.0"; Double.toString agrees
+    case JDouble(v) => sb.append(v)
+    case JBool(v) => sb.append(v)
+    case JNull => sb.append("null")
+    case JRaw(s) => sb.append(s)
+  }
+
+  def render(j: J): String = {
+    val sb = new java.lang.StringBuilder(64)
+    renderInto(j, sb)
+    sb.toString
   }
 
   // ————————————————————————— NEWDECIMAL —————————————————————————
@@ -154,6 +199,16 @@ object MysqlBinlog {
     intg / 9 * 4 + dig2bytes(intg % 9) + scale / 9 * 4 + dig2bytes(scale % 9)
   }
 
+  /** Append `v` zero-padded to `width` decimal digits. */
+  private def padN(sb: java.lang.StringBuilder, v: Long, width: Int): Unit = {
+    var digits = 1
+    var t = v
+    while (t >= 10) { t /= 10; digits += 1 }
+    var p = width - digits
+    while (p > 0) { sb.append('0'); p -= 1 }
+    sb.append(v)
+  }
+
   /** Decode MySQL packed decimal → plain string ("-12345.67"), full scale
    * digits kept (reference emits Decimal as string, mysql_object.rs:33). */
   def decodeDecimal(raw: Array[Byte], precision: Int, scale: Int): String = {
@@ -163,26 +218,49 @@ object MysqlBinlog {
     if (!positive) { var i = 0; while (i < b.length) { b(i) = (~b(i)).toByte; i += 1 } }
     val r = new Reader(b, 0)
     val intg = precision - scale
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder(precision + 2)
+    if (!positive) sb.append('-')
+    val intStart = sb.length
     val lead = intg % 9
-    if (lead > 0) sb.append(r.beN(dig2bytes(lead)).toString.reverse.padTo(lead, '0').reverse)
-    for (_ <- 0 until intg / 9) sb.append(r.beN(4).toString.reverse.padTo(9, '0').reverse)
-    val intPart0 = sb.toString.dropWhile(_ == '0')
-    val intPart = if (intPart0.isEmpty) "0" else intPart0
-    val fsb = new StringBuilder
-    for (_ <- 0 until scale / 9) fsb.append(r.beN(4).toString.reverse.padTo(9, '0').reverse)
-    val tail = scale % 9
-    if (tail > 0) fsb.append(r.beN(dig2bytes(tail)).toString.reverse.padTo(tail, '0').reverse)
-    val sign = if (positive) "" else "-"
-    if (scale > 0) s"$sign$intPart.${fsb.toString}" else s"$sign$intPart"
+    if (lead > 0) padN(sb, r.beN(dig2bytes(lead)), lead)
+    for (_ <- 0 until intg / 9) padN(sb, r.beN(4), 9)
+    // strip leading zeros of the integer part in place ("000" → "0")
+    var z = intStart
+    val intEnd = sb.length
+    while (z < intEnd - 1 && sb.charAt(z) == '0') z += 1
+    if (z > intStart) sb.delete(intStart, z)
+    if (sb.length == intStart) sb.append('0') // intg == 0 (all-fraction decimals)
+    if (scale > 0) {
+      sb.append('.')
+      for (_ <- 0 until scale / 9) padN(sb, r.beN(4), 9)
+      val tail = scale % 9
+      if (tail > 0) padN(sb, r.beN(dig2bytes(tail)), tail)
+    }
+    sb.toString
   }
 
   // ————————————————————————— temporal decode —————————————————————————
 
+  // manual digit appends — f"" builds a java.util.Formatter per call
+  // (locale lookup + format-string parse), a top ×10 decode-CPU term for
+  // per-row temporal strings
+  private def pad2(sb: java.lang.StringBuilder, v: Long): Unit = {
+    if (v < 10) sb.append('0')
+    sb.append(v)
+  }
+  private def pad4(sb: java.lang.StringBuilder, v: Long): Unit = {
+    if (v < 1000) sb.append('0')
+    if (v < 100) sb.append('0')
+    if (v < 10) sb.append('0')
+    sb.append(v)
+  }
+
   /** DATE: 3-byte LE day|month<<5|year<<9 → "YYYY-MM-DD". */
   def decodeDate(v: Int): String = {
     val d = v & 0x1f; val m = (v >> 5) & 0x0f; val y = v >> 9
-    f"$y%04d-$m%02d-$d%02d"
+    val sb = new java.lang.StringBuilder(10)
+    pad4(sb, y); sb.append('-'); pad2(sb, m); sb.append('-'); pad2(sb, d)
+    sb.toString
   }
 
   /** DATETIME2: 5-byte BE packed (+0x8000000000 offset) → "YYYY-MM-DD HH:MM:SS". */
@@ -193,7 +271,11 @@ object MysqlBinlog {
     val year = ym / 13; val month = ym % 13
     val hms = v & 0x1ffff
     val h = (hms >> 12) & 0x1f; val mi = (hms >> 6) & 0x3f; val se = hms & 0x3f
-    f"$year%04d-$month%02d-$day%02d $h%02d:$mi%02d:$se%02d"
+    val sb = new java.lang.StringBuilder(19)
+    pad4(sb, year); sb.append('-'); pad2(sb, month); sb.append('-'); pad2(sb, day)
+    sb.append(' ')
+    pad2(sb, h); sb.append(':'); pad2(sb, mi); sb.append(':'); pad2(sb, se)
+    sb.toString
   }
 
   /** TIME2: 3-byte BE packed (+0x800000) → "HH:MM:SS" (negative supported). */
@@ -201,8 +283,10 @@ object MysqlBinlog {
     val v = packed - 0x800000L
     val a = math.abs(v)
     val h = (a >> 12) & 0x3ff; val mi = (a >> 6) & 0x3f; val se = a & 0x3f
-    val sign = if (v < 0) "-" else ""
-    f"$sign$h%02d:$mi%02d:$se%02d"
+    val sb = new java.lang.StringBuilder(9)
+    if (v < 0) sb.append('-')
+    pad2(sb, h); sb.append(':'); pad2(sb, mi); sb.append(':'); pad2(sb, se)
+    sb.toString
   }
 
   // ————————————————————————— JSONB —————————————————————————
@@ -317,27 +401,53 @@ object MysqlBinlog {
   private def bit(bitmap: Array[Byte], i: Int): Boolean =
     ((bitmap(i / 8) >> (i % 8)) & 1) != 0
 
+  /** Included-column indices for one rows event — computed ONCE per event,
+   * not per row image (the per-image range-filter allocated a fresh
+   * IndexedSeq for every one of the ×10 probe's ~1.5M images). */
+  private[sources] def includedIdx(included: Array[Byte], nCols: Int): Array[Int] = {
+    val out = new Array[Int](nCols)
+    var k = 0
+    var i = 0
+    while (i < nCols) {
+      if (bit(included, i)) { out(k) = i; k += 1 }
+      i += 1
+    }
+    if (k == nCols) out else java.util.Arrays.copyOf(out, k)
+  }
+
   /**
    * Decode one row image: null bitmap over INCLUDED columns, then values.
    * Mirrors `build_object` (mysql_object.rs:8-52): JSON keyed by name,
    * excluded columns absent, nulls explicit.
    */
   def decodeRowImage(r: Reader, tm: TableMapInfo, included: Array[Byte],
-                     names: IndexedSeq[String]): String = {
-    val nCols = tm.types.length
-    val incIdx = (0 until nCols).filter(bit(included, _))
-    val nullBitmap = r.bytes((incIdx.size + 7) / 8)
-    val fields = Vector.newBuilder[(String, J)]
+                     names: IndexedSeq[String]): String =
+    decodeRowImageInto(r, tm, includedIdx(included, tm.types.length), names,
+      new java.lang.StringBuilder(128))
+
+  /** Hot-path variant: caller hoists the include-index per rows EVENT and
+   * reuses one builder per segment; values render straight into it (no J
+   * tuple vector, no per-field string concat). Output byte-identical to
+   * the public wrapper. */
+  private def decodeRowImageInto(r: Reader, tm: TableMapInfo, incIdx: Array[Int],
+                                 names: IndexedSeq[String],
+                                 sb: java.lang.StringBuilder): String = {
+    val nullBitmap = r.bytes((incIdx.length + 7) / 8)
+    sb.setLength(0)
+    sb.append('{')
     var vi = 0
-    incIdx.foreach { ci =>
-      val name = if (ci < names.size) names(ci) else s"col$ci"
-      val v: J =
-        if (bit(nullBitmap, vi)) JNull
-        else decodeValue(r, tm.types(ci), tm.meta(ci))
+    while (vi < incIdx.length) {
+      val ci = incIdx(vi)
+      if (vi > 0) sb.append(',')
+      sb.append('"')
+      escapeInto(if (ci < names.size) names(ci) else s"col$ci", sb)
+      sb.append('"'); sb.append(':')
+      if (bit(nullBitmap, vi)) sb.append("null")
+      else renderInto(decodeValue(r, tm.types(ci), tm.meta(ci)), sb)
       vi += 1
-      fields += (name -> v)
     }
-    render(JObj(fields.result()))
+    sb.append('}')
+    sb.toString
   }
 
   def decodeValue(r: Reader, typ: Int, meta: Int): J = typ match {
@@ -502,6 +612,7 @@ object MysqlBinlog {
                     columns: (String, String) => IndexedSeq[String]): Seq[Record] = {
     val out = Vector.newBuilder[Record]
     val maps = scala.collection.mutable.Map[Long, TableMapInfo]()
+    val sb = new java.lang.StringBuilder(256) // reused across every row image
     var lastGtid: String = null
     // binlog_checksum trailer width (0 or 4). CRC32 is the MySQL default
     // since 5.6: every post-FDE event carries a 4-byte CRC INSIDE
@@ -603,18 +714,21 @@ object MysqlBinlog {
           maps.get(tableId) match {
             case Some(tm) =>
               val names = columns(tm.db, tm.table)
+              val incIdx1 = includedIdx(inc1, nCols)
+              val incIdx2 =
+                if (h.eventType == UPDATE_ROWS_V2) includedIdx(inc2, nCols) else incIdx1
               while (r.remaining(payloadEnd)) h.eventType match {
                 case WRITE_ROWS_V2 =>
-                  val after = decodeRowImage(r, tm, inc1, names)
+                  val after = decodeRowImageInto(r, tm, incIdx1, names, sb)
                   out += Record("c", tm.db, tm.table, null, after, tsMs,
                     h.nextPos, lastGtid, null, null, txEnd = false)
                 case UPDATE_ROWS_V2 =>
-                  val before = decodeRowImage(r, tm, inc1, names)
-                  val after = decodeRowImage(r, tm, inc2, names)
+                  val before = decodeRowImageInto(r, tm, incIdx1, names, sb)
+                  val after = decodeRowImageInto(r, tm, incIdx2, names, sb)
                   out += Record("u", tm.db, tm.table, before, after, tsMs,
                     h.nextPos, lastGtid, null, null, txEnd = false)
                 case DELETE_ROWS_V2 =>
-                  val before = decodeRowImage(r, tm, inc1, names)
+                  val before = decodeRowImageInto(r, tm, incIdx1, names, sb)
                   out += Record("d", tm.db, tm.table, before, null, tsMs,
                     h.nextPos, lastGtid, null, null, txEnd = false)
               }

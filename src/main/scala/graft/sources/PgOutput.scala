@@ -65,9 +65,25 @@ object PgOutput {
   case class PgText(bytes: Array[Byte]) extends PgValue
   case class PgBinary(bytes: Array[Byte]) extends PgValue
 
-  /** "X/Y" hex LSN rendering (pg convention, postgres_event.rs:355-366). */
-  def lsnString(lsn: Long): String =
-    f"${(lsn >>> 32).toHexString.toUpperCase}/${(lsn & 0xffffffffL).toHexString.toUpperCase}"
+  /** "X/Y" hex LSN rendering (pg convention, postgres_event.rs:355-366).
+   * Manual hex — an f"" interpolator builds a java.util.Formatter per call,
+   * and this runs once per decoded record. */
+  def lsnString(lsn: Long): String = {
+    val sb = new java.lang.StringBuilder(17)
+    appendUpperHex(sb, lsn >>> 32)
+    sb.append('/')
+    appendUpperHex(sb, lsn & 0xffffffffL)
+    sb.toString
+  }
+
+  private def appendUpperHex(sb: java.lang.StringBuilder, v: Long): Unit = {
+    if (v == 0) { sb.append('0'); return }
+    var shift = (63 - java.lang.Long.numberOfLeadingZeros(v)) / 4 * 4
+    while (shift >= 0) {
+      sb.append("0123456789ABCDEF".charAt(((v >>> shift) & 0xf).toInt))
+      shift -= 4
+    }
+  }
 
   /** Postgres epoch (2000-01-01) micros → unix millis. */
   def pgTimestampToUnixMs(micros: Long): Long = (micros + 946684800000000L) / 1000L
@@ -153,15 +169,37 @@ object PgOutput {
   /** Build the row JSON: every relation column, keyed by name
    * (postgres_object.rs:46-69 `build_object`). */
   def buildObject(columns: IndexedSeq[RelationColumn], values: IndexedSeq[PgValue]): String =
-    render(JObj(columns.zipWithIndex.map { case (c, i) =>
-      c.name -> convertValue(if (i < values.size) values(i) else PgNull, c.typeOid)
-    }))
+    buildObjectInto(columns, values, keysOnly = false, new java.lang.StringBuilder(128))
 
   /** Key-columns-only image (postgres_object.rs:72-88). */
   def buildKeyObject(columns: IndexedSeq[RelationColumn], values: IndexedSeq[PgValue]): String =
-    render(JObj(columns.zipWithIndex.collect { case (c, i) if c.isKey =>
-      c.name -> convertValue(if (i < values.size) values(i) else PgNull, c.typeOid)
-    }))
+    buildObjectInto(columns, values, keysOnly = true, new java.lang.StringBuilder(64))
+
+  /** Hot-path image build: per-column values render straight into a
+   * caller-owned builder (decodeSegment reuses one per segment) — no
+   * zipWithIndex tuple vector, no JObj wrapper, no per-field concat.
+   * Byte-identical to the public wrappers above. */
+  private def buildObjectInto(columns: IndexedSeq[RelationColumn],
+                              values: IndexedSeq[PgValue], keysOnly: Boolean,
+                              sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    sb.append('{')
+    var first = true
+    var i = 0
+    while (i < columns.length) {
+      val c = columns(i)
+      if (!keysOnly || c.isKey) {
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"'); MysqlBinlog.escapeInto(c.name, sb); sb.append('"'); sb.append(':')
+        MysqlBinlog.renderInto(
+          convertValue(if (i < values.size) values(i) else PgNull, c.typeOid), sb)
+      }
+      i += 1
+    }
+    sb.append('}')
+    sb.toString
+  }
 
   // ————————————————————————— tuple / message decode —————————————————————————
 
@@ -207,6 +245,7 @@ object PgOutput {
   def decodeSegment(seg: Array[Byte]): Seq[PgRecord] = {
     val out = Vector.newBuilder[PgRecord]
     val relations = scala.collection.mutable.Map[Long, RelationInfo]()
+    val sb = new java.lang.StringBuilder(256) // reused across every row image
     var txId = 0L
     var commitMs = 0L
     val top = new BeReader(seg, 0)
@@ -247,7 +286,7 @@ object PgOutput {
           relations.get(relId).foreach { rel =>
             val marker = r.u1().toChar
             if (marker == 'N') {
-              val after = buildObject(rel.columns, parseTupleData(r))
+              val after = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb)
               out += PgRecord("c", rel.schema, rel.table, null, after,
                 lsnString(walLsn), txId, commitMs, cascade = false,
                 restartIdentity = false, schemaChanged = false)
@@ -262,8 +301,8 @@ object PgOutput {
             var done = false
             while (!done && r.hasMore(msgEnd)) {
               r.u1().toChar match {
-                case 'K' | 'O' => before = buildObject(rel.columns, parseTupleData(r))
-                case 'N' => after = buildObject(rel.columns, parseTupleData(r)); done = true
+                case 'K' | 'O' => before = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb)
+                case 'N' => after = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb); done = true
                 case _ => done = true
               }
             }
@@ -278,7 +317,7 @@ object PgOutput {
           relations.get(relId).foreach { rel =>
             val marker = r.u1().toChar
             if (marker == 'K' || marker == 'O') {
-              val before = buildObject(rel.columns, parseTupleData(r))
+              val before = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb)
               out += PgRecord("d", rel.schema, rel.table, before, null,
                 lsnString(walLsn), txId, commitMs, cascade = false,
                 restartIdentity = false, schemaChanged = false)

@@ -17,14 +17,26 @@ import org.apache.spark.sql.functions._
 object PgOutputFixture {
 
   final class W {
-    private val buf = new java.io.ByteArrayOutputStream()
-    def u1(v: Int): W = { buf.write(v & 0xff); this }
+    // plain growable array — ByteArrayOutputStream.write(int) is
+    // synchronized and the encode half pays it per byte (same finding as
+    // MysqlBinlogFixture.W)
+    private var buf = new Array[Byte](64)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + n))
+    def u1(v: Int): W = { ensure(1); buf(len) = (v & 0xff).toByte; len += 1; this }
     def u2(v: Int): W = { u1(v >> 8); u1(v) }
     def i4(v: Int): W = { u1(v >> 24); u1(v >> 16); u1(v >> 8); u1(v) }
     def i8(v: Long): W = { i4((v >>> 32).toInt); i4(v.toInt) }
-    def raw(b: Array[Byte]): W = { buf.write(b, 0, b.length); this }
+    def raw(b: Array[Byte]): W = {
+      ensure(b.length)
+      System.arraycopy(b, 0, buf, len, b.length)
+      len += b.length
+      this
+    }
     def cstr(s: String): W = { raw(s.getBytes(StandardCharsets.UTF_8)); u1(0) }
-    def bytes: Array[Byte] = buf.toByteArray
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
   /** One framed message: [u64 lsn][u32 len][msg]. */
@@ -121,21 +133,30 @@ object PgOutputFixture {
 
   private def txt(s: String): PgValue = PgText(s.getBytes(StandardCharsets.UTF_8))
 
+  // hoisted per-row costs: ofPattern() compiles the pattern on every call,
+  // and f"%02x" builds a java.util.Formatter per call
+  private val TsFormat = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val HexDigits = "0123456789abcdef"
+
   /** Deterministic tuple values for one orders row (text protocol mode). */
   def orderValues(pk: Long, cust: Long, status: String, price: Double,
                   dateMs: Long, prio: String, toastUnchanged: Boolean): Seq[PgValue] = {
     val dt = java.time.LocalDateTime.ofInstant(
       java.time.Instant.ofEpochMilli(dateMs), java.time.ZoneOffset.UTC)
     val dec = java.math.BigDecimal.valueOf(price).setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    val b = (pk % 256).toInt
+    val bytea = new java.lang.StringBuilder(12).append("\\xdead")
+      .append(HexDigits.charAt(b >> 4)).append(HexDigits.charAt(b & 0xf))
+      .append("ff").toString
     Seq(
       txt(pk.toString), txt(cust.toString), txt(status), txt(dec),
-      txt(dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))),
+      txt(dt.format(TsFormat)),
       if (pk % 7 == 3) PgNull else txt(prio),
       txt(price.toString),
       txt(if (pk % 2 == 0) "t" else "f"),
       txt(s"{t${pk % 10},x}"),
       txt(s"""{"k":${pk % 100}}"""),
-      txt(f"\\xdead${pk % 256}%02xff"),
+      txt(bytea),
       if (toastUnchanged) PgUnchanged else txt(s"v$pk"))
   }
 
