@@ -57,7 +57,9 @@ object JsonDecode {
 
   def supported(s: StructType): Boolean = s.fields.forall { f =>
     f.dataType match {
-      case StringType | LongType | IntegerType | DoubleType | BooleanType => true
+      case StringType | LongType | IntegerType | DoubleType | BooleanType |
+           TimestampType => true
+      case _: DecimalType => true
       case _ => false
     }
   }
@@ -69,16 +71,22 @@ object JsonDecode {
   private val T_INT = 2
   private val T_DOUBLE = 3
   private val T_BOOL = 4
+  private val T_DECIMAL = 5
+  private val T_TIMESTAMP = 6
 
   private val TRUE_U8 = UTF8String.fromString("true")
   private val FALSE_U8 = UTF8String.fromString("false")
 
   /** One instance per row — holds the cursor as a field (no IntRef boxing
-   * in the hot loops). */
+   * in the hot loops). `precisions`/`scales` are per-field decimal params
+   * (unused slots 0); `tsParse` is the builtin-identical timestamp-string
+   * parse (null when the schema has no timestamp field). */
   private final class Parser(a: Array[Byte], names: Array[Array[Byte]],
-                             kinds: Array[Int]) {
+                             kinds: Array[Int], precisions: Array[Int],
+                             scales: Array[Int], tsParse: String => Long) {
     private val n = a.length
     private var i = 0
+    private var depth = 0 // container nesting (Jackson StreamReadConstraints)
 
     private def ws(): Unit = {
       while (i < n && (a(i) == ' ' || a(i) == '\t' || a(i) == '\n' || a(i) == '\r')) i += 1
@@ -259,6 +267,13 @@ object JsonDecode {
       else -v
     }
 
+    /** `Decimal(BigDecimal, p, s)` with the builtin's failure semantics:
+     * precision overflow / unparseable text → null FIELD. */
+    private def decimalOrNull(text: String, idx: Int): Any =
+      try org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(text), precisions(idx), scales(idx))
+      catch { case _: ArithmeticException | _: NumberFormatException => null }
+
     private def parseValueInto(row: GenericInternalRow, idx: Int): Unit = {
       val kind = kinds(idx)
       cur match {
@@ -275,6 +290,17 @@ object JsonDecode {
                 case "-Infinity" | "-INF" => row.update(idx, Double.NegativeInfinity)
                 case _ => row.update(idx, null)
               }
+            case T_DECIMAL =>
+              // builtin: string tokens of length >= 1 go through the locale
+              // decimal parser (US: plain BigDecimal); failures null the field
+              val t = stringValue(s, e, escaped).toString
+              row.update(idx, if (t.isEmpty) null else decimalOrNull(t, idx))
+            case T_TIMESTAMP =>
+              val t = stringValue(s, e, escaped).toString
+              row.update(idx,
+                if (t.isEmpty) null
+                else try Long.box(tsParse(t))
+                catch { case e if scala.util.control.NonFatal(e) => null })
             case _ => row.update(idx, null) // string into long/int/bool
           }
         case 't' =>
@@ -299,6 +325,19 @@ object JsonDecode {
           kind match {
             case T_LONG =>
               row.update(idx, if (isInt) parseLong(s, e) else null)
+            case T_DECIMAL =>
+              // int AND float tokens: Jackson getDecimalValue == BigDecimal
+              // over the token text
+              row.update(idx, decimalOrNull(
+                new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII), idx))
+            case T_TIMESTAMP =>
+              // builtin: int token = SECONDS since epoch, micros via a plain
+              // Java multiply (silently wraps on overflow — reproduced);
+              // beyond-long int tokens and float tokens null the field
+              if (isInt) {
+                val v = parseLong(s, e)
+                row.update(idx, if (v == null) null else Long.box(v.longValue() * 1000000L))
+              } else row.update(idx, null)
             case T_INT =>
               if (isInt) {
                 val v = parseLong(s, e)
@@ -347,27 +386,60 @@ object JsonDecode {
       }
     }
 
-    /** Skip one complete JSON value (string-aware structural walk). */
+    /** Skip one complete JSON value by FULL tokenization — a brace-depth
+     * walk accepted malformed content inside skipped values (e.g.
+     * `{"l":1,"x":{bogus##}}`) that the builtin's tokenizer rejects with an
+     * all-null row (r13 ADVICE). Containers recurse through the same token
+     * dispatch as parsed values; depth capped like Jackson's
+     * StreamReadConstraints (1000). */
     private def skipValue(): Unit = cur match {
       case '"' => stringExtent()
       case 't' => literal("true")
       case 'f' => literal("false")
       case 'n' => literal("null")
       case c if c == '-' || (c >= '0' && c <= '9') => numberExtent()
-      case '{' | '[' =>
-        var depth = 0
-        var more = true
-        while (more) {
-          if (i >= n) bad()
-          val c = a(i) & 0xff
-          if (c == '"') stringExtent()
-          else {
-            if (c == '{' || c == '[') depth += 1
-            else if (c == '}' || c == ']') { depth -= 1; if (depth == 0) more = false }
-            else if (c < 0x20 && c != '\t' && c != '\n' && c != '\r') bad()
+      case '{' =>
+        depth += 1
+        if (depth > 1000) bad()
+        i += 1
+        ws()
+        if (cur == '}') i += 1
+        else {
+          var more = true
+          while (more) {
+            ws()
+            if (cur != '"') bad()
+            stringExtent()
+            ws()
+            if (cur != ':') bad()
             i += 1
+            ws()
+            skipValue()
+            ws()
+            if (cur == ',') i += 1
+            else if (cur == '}') { i += 1; more = false }
+            else bad()
           }
         }
+        depth -= 1
+      case '[' =>
+        depth += 1
+        if (depth > 1000) bad()
+        i += 1
+        ws()
+        if (cur == ']') i += 1
+        else {
+          var more = true
+          while (more) {
+            ws()
+            skipValue()
+            ws()
+            if (cur == ',') i += 1
+            else if (cur == ']') { i += 1; more = false }
+            else bad()
+          }
+        }
+        depth -= 1
       case _ => bad()
     }
   }
@@ -378,17 +450,24 @@ object JsonDecode {
    * CodegenFallback alternative interprets the whole child subtree per row
    * — PLANS.md rule).
    */
-  case class FusedJsonToStruct(child: Expression, schema: StructType)
-      extends UnaryExpression {
+  case class FusedJsonToStruct(child: Expression, schema: StructType,
+      timeZoneId: Option[String] = None)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression {
     override def dataType: DataType = schema
     override def nullable: Boolean = true
     override def prettyName: String = "fused_from_json"
+    // timestamp string leaves parse in the session zone, resolved by
+    // analysis exactly like from_json (ResolveTimeZone)
+    override def withTimeZone(timeZoneId: String)
+        : org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression =
+      copy(timeZoneId = Option(timeZoneId))
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType =>
         if (supported(schema)) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"fused_from_json supports flat string/long/int/double/boolean schemas, got $schema")
+          s"fused_from_json supports flat string/long/int/double/boolean/decimal/timestamp schemas, got $schema")
       case other => TypeCheckResult.TypeCheckFailure(
         s"fused_from_json needs a string child, got $other")
     }
@@ -401,12 +480,27 @@ object JsonDecode {
       case IntegerType => T_INT
       case DoubleType => T_DOUBLE
       case BooleanType => T_BOOL
+      case _: DecimalType => T_DECIMAL
+      case TimestampType => T_TIMESTAMP
       case other => throw new IllegalStateException(s"unreachable: $other")
     })
+    @transient private lazy val precisions: Array[Int] = schema.fields.map(_.dataType match {
+      case d: DecimalType => d.precision
+      case _ => 0
+    })
+    @transient private lazy val scales: Array[Int] = schema.fields.map(_.dataType match {
+      case d: DecimalType => d.scale
+      case _ => 0
+    })
+    @transient private lazy val tsParse: String => Long =
+      if (schema.fields.exists(_.dataType == TimestampType))
+        org.apache.spark.sql.classic.GraftBridge.jsonTimestampParser(
+          timeZoneId.getOrElse("UTC"))
+      else null
 
     /** Called from generated code; null = SQL NULL result. */
     def parse(u: UTF8String): InternalRow =
-      new Parser(u.getBytes, nameBytes, kinds).parseTop()
+      new Parser(u.getBytes, nameBytes, kinds, precisions, scales, tsParse).parseTop()
 
     override protected def nullSafeEval(input: Any): Any =
       parse(input.asInstanceOf[UTF8String])

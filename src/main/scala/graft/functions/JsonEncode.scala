@@ -38,20 +38,43 @@ object JsonEncode {
 
   /** Column API: fused JSON of a struct column. A literal `struct(...)`
    * (CreateNamedStruct tree) is unwrapped into the zero-materialization
-   * template form; anything else takes the struct-row path. */
+   * template form; anything else takes the struct-row path. The session
+   * time zone is resolved by ANALYSIS (TimeZoneAwareExpression), exactly
+   * like to_json — not snapshotted at Column construction.
+   *
+   * Fallback: when the input's type is already resolvable here and carries
+   * a leaf outside the fused lattice, route to builtin `to_json` (the same
+   * never-change-semantics contract as [[JsonDecode.fusedFromJson]]).
+   * Unresolved inputs can't be type-checked at construction — callers that
+   * know the payload schema should use [[fusedJsonFor]]. */
   def fusedJson(struct: Column): Column = {
     import org.apache.spark.sql.classic.GraftBridge
     val e = GraftBridge.expression(struct)
-    val tz = GraftBridge.sessionTimeZone // temporal leaves format like to_json
+    def knownUnsupported(expr: Expression): Boolean =
+      try expr.resolved && unsupported(expr.dataType).isDefined
+      catch { case _: Throwable => false }
     val expr = e match {
+      case _ if knownUnsupported(e) => null // → builtin below
       case c: CreateNamedStruct => templateOf(c) match {
-        case Some((shape, leaves)) => FusedJsonTemplate(shape, leaves, tz)
-        case None => FusedJsonEncode(e, tz)
+        case Some((shape, leaves)) if !leaves.exists(knownUnsupported) =>
+          FusedJsonTemplate(shape, leaves)
+        case Some(_) => null
+        case None => FusedJsonEncode(e)
       }
-      case _ => FusedJsonEncode(e, tz)
+      case _ => FusedJsonEncode(e)
     }
-    GraftBridge.column(expr)
+    if (expr == null) org.apache.spark.sql.functions.to_json(struct)
+    else GraftBridge.column(expr)
   }
+
+  /** [[fusedJson]] when the struct's schema is known at call time (e.g. a
+   * whole-table payload built from a DataFrame): any leaf outside the
+   * fused lattice routes the WHOLE struct through builtin `to_json`, so
+   * call sites never change semantics by switching — the exact mirror of
+   * [[JsonDecode.fusedFromJson]]'s supported-schema gate. */
+  def fusedJsonFor(struct: Column, schema: StructType): Column =
+    if (unsupported(schema).isEmpty) fusedJson(struct)
+    else org.apache.spark.sql.functions.to_json(struct)
 
   /** Unwrap nested CreateNamedStruct trees into an object template whose
    * leaves are arbitrary non-struct-constructor expressions. Returns None
@@ -134,6 +157,22 @@ object JsonEncode {
       case StringType => (v, b) => writeEscaped(v.asInstanceOf[UTF8String], b)
       case LongType => (v, b) => b.longNum(v.asInstanceOf[Long])
       case IntegerType => (v, b) => b.longNum(v.asInstanceOf[Int].toLong)
+      case ShortType => (v, b) => b.longNum(v.asInstanceOf[Short].toLong)
+      case ByteType => (v, b) => b.longNum(v.asInstanceOf[Byte].toLong)
+      // decimals: JacksonGenerator writeNumber(toJavaBigDecimal) →
+      // BigDecimal.toString (scientific form for adjusted exponents < -6,
+      // exactly like the builtin — spec-pinned)
+      case _: DecimalType => (v, b) =>
+        b.bytes(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toString
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      // binary: Jackson writeBinary = base64, default variant (padding, no
+      // linefeeds) == java.util.Base64.getEncoder — spec-pinned
+      case BinaryType => (v, b) => {
+        b.byte('"')
+        b.bytes(java.util.Base64.getEncoder.encode(v.asInstanceOf[Array[Byte]]))
+        b.byte('"')
+      }
       case BooleanType => (v, b) =>
         b.bytes(if (v.asInstanceOf[Boolean]) TRUE else FALSE)
       // doubles/floats: Jackson writeNumber == [Double|Float].toString;
@@ -240,8 +279,10 @@ object JsonEncode {
   }
 
   private def unsupported(dt: DataType): Option[DataType] = dt match {
-    case StringType | LongType | IntegerType | BooleanType | DoubleType |
-         FloatType | TimestampType | TimestampNTZType | DateType => None
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         BooleanType | DoubleType | FloatType | BinaryType |
+         TimestampType | TimestampNTZType | DateType => None
+    case _: DecimalType => None
     case s: StructType => s.fields.iterator.flatMap(f => unsupported(f.dataType)).nextOption()
     case a: ArrayType => unsupported(a.elementType)
     case other => Some(other)
@@ -253,10 +294,18 @@ object JsonEncode {
    * `struct(...)` constructors to [[FusedJsonTemplate]] instead.
    */
   case class FusedJsonEncode(child: Expression,
-      timeZoneId: String = "UTC") extends UnaryExpression {
+      timeZoneId: Option[String] = None)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = StringType
     override def prettyName: String = "fused_to_json"
+    // time zone resolved by ANALYSIS (ResolveTimeZone), exactly like
+    // to_json — a construction-time SQLConf snapshot used a stale or
+    // default zone when the session zone changed before execution
+    override def withTimeZone(timeZoneId: String)
+        : org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression =
+      copy(timeZoneId = Option(timeZoneId))
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case s: StructType => unsupported(s) match {
@@ -269,7 +318,8 @@ object JsonEncode {
     }
 
     @transient private lazy val topWriter =
-      new WriterFactory(timeZoneId).structWriter(child.dataType.asInstanceOf[StructType])
+      new WriterFactory(timeZoneId.getOrElse("UTC"))
+        .structWriter(child.dataType.asInstanceOf[StructType])
     @transient private lazy val localBuf = new ThreadLocal[Buf] {
       override def initialValue(): Buf = new Buf(1024)
     }
@@ -304,10 +354,14 @@ object JsonEncode {
    */
   case class FusedJsonTemplate private[JsonEncode] (
       shape: Shape, children: Seq[Expression],
-      timeZoneId: String = "UTC") extends Expression {
+      timeZoneId: Option[String] = None) extends Expression
+      with org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression {
     override def nullable: Boolean = false
     override def dataType: DataType = StringType
     override def prettyName: String = "fused_to_json"
+    override def withTimeZone(timeZoneId: String)
+        : org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression =
+      copy(timeZoneId = Option(timeZoneId))
 
     override def checkInputDataTypes(): TypeCheckResult =
       children.iterator.flatMap(c => unsupported(c.dataType)).nextOption() match {
@@ -319,7 +373,7 @@ object JsonEncode {
     // (names-bytes, leaf writers) resolved once; the shape walk is encoded
     // as a flat instruction list over the leaf value array
     @transient private lazy val shapeWriter: (Array[Any], Buf) => Unit = {
-      val factory = new WriterFactory(timeZoneId)
+      val factory = new WriterFactory(timeZoneId.getOrElse("UTC"))
       def compile(s: Shape): (Array[Any], Buf) => Unit = s match {
         case SLeaf(_) => throw new IllegalStateException("top shape must be an object")
         case SObj(fields) =>

@@ -57,9 +57,12 @@ object CdcSynth {
     // `when`s below — and CollapseProject re-inlines it further downstream
     // (PLANS rule 9) — so its per-eval cost is the multiplier on the whole
     // drain family
+    // schema-gated: a table with a leaf outside the fused lattice (map,
+    // interval, …) routes the whole payload through builtin to_json
+    // instead of failing analysis
     val payload = payloadOverride.getOrElse(
-      graft.functions.JsonEncode.fusedJson(
-        struct(spread.columns.map(col).toIndexedSeq: _*)))
+      graft.functions.JsonEncode.fusedJsonFor(
+        struct(spread.columns.map(col).toIndexedSeq: _*), spread.schema))
     val tsMs = tsCol
       .map(c => (col(c).cast(TimestampType).cast(DoubleType) * 1000).cast(LongType))
       .getOrElse(lit(1700000000000L) + pk)

@@ -370,7 +370,7 @@ object ClickHouseWire {
    */
   def encodable(userSchema: StructType): Column = {
     val image = when(col("op") === ChangeEvent.Op.Delete, col("before")).otherwise(col("after"))
-    val parsed = from_json(image, userSchema)
+    val parsed = graft.functions.JsonDecode.fusedFromJson(image, userSchema)
     userSchema.fields.filterNot(_.nullable)
       .map(f => parsed.getField(f.name).isNotNull)
       .reduceOption(_ && _).getOrElse(lit(true))

@@ -38,4 +38,30 @@ object GraftBridge {
    * would resolve to). */
   def sessionTimeZone: String =
     org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
+  /**
+   * The EXACT timestamp-string parse `from_json` (JacksonParser) applies to
+   * a string token in a TimestampType field: the default-JSONOptions
+   * TimestampFormatter, with the 2.x-compat fallback through
+   * `cleanLegacyTimestampStr` + `stringToTimestamp` — so the fused decoder's
+   * timestamp leaves are parse-identical to the builtin by construction.
+   * Throws on unparseable input (the caller maps that to a null FIELD,
+   * PERMISSIVE partial-results semantics).
+   */
+  def jsonTimestampParser(timeZoneId: String): String => Long = {
+    import org.apache.spark.sql.catalyst.json.JSONOptions
+    import org.apache.spark.sql.catalyst.util.{DateTimeUtils, TimestampFormatter}
+    import org.apache.spark.sql.catalyst.util.LegacyDateFormats.FAST_DATE_FORMAT
+    val opts = new JSONOptions(Map.empty[String, String], timeZoneId, "")
+    val fmt = TimestampFormatter(opts.timestampFormatInRead, opts.zoneId,
+      opts.locale, legacyFormat = FAST_DATE_FORMAT, isParsing = true)
+    (s: String) =>
+      try fmt.parse(s)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          val str = DateTimeUtils.cleanLegacyTimestampStr(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          DateTimeUtils.stringToTimestamp(str, opts.zoneId).getOrElse(throw e)
+      }
+  }
 }

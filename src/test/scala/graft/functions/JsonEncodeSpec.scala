@@ -109,6 +109,68 @@ class JsonEncodeSpec extends SparkSpec {
     }
   }
 
+  test("decimal/binary/short/byte leaves match to_json byte-for-byte") {
+    import spark.implicits._
+    // decimals across scales incl. the BigDecimal scientific-notation zone
+    // (adjusted exponent < -6 → "1E-8", like the builtin), binary → base64
+    val df = Seq(
+      ("1234567890.12", "0.00000001", 1.toShort, 2.toByte, Array[Byte](0, 1, -1, 127)),
+      ("-0.01", "-0.00000042", Short.MinValue, Byte.MaxValue, Array.empty[Byte]),
+      ("0", "0.10000000", Short.MaxValue, Byte.MinValue, Array[Byte](-34, -83))
+    ).toDF("dec_s", "tiny_s", "sh", "by", "bin")
+      .select(col("dec_s").cast("decimal(15,2)").as("d1"),
+        col("tiny_s").cast("decimal(12,8)").as("d2"),
+        col("sh"), col("by"), col("bin"))
+    val payload = struct(col("d1"), col("d2"), col("sh"), col("by"), col("bin"))
+    val cmp = df.select(
+      graft.functions.JsonEncode.fusedJson(payload).as("fused"),
+      to_json(payload).as("jackson")).collect()
+    cmp.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
+    // struct-row path too
+    val cmp2 = df.select(payload.as("row"))
+      .select(graft.functions.JsonEncode.fusedJson(col("row")).as("fused"),
+        to_json(col("row")).as("jackson")).collect()
+    cmp2.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"struct-row diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
+  }
+
+  test("unsupported leaf types fall back to builtin to_json, not analysis failure") {
+    import spark.implicits._
+    // map leaves are outside the fused lattice → fusedJsonFor routes the
+    // whole struct through the builtin (ADVICE r13: CdcSynth whole-table
+    // payloads must not TypeCheckFailure on exotic columns)
+    val df = Seq((1L, Map("a" -> 1, "b" -> 2))).toDF("id", "m")
+    val payload = struct(col("id"), col("m"))
+    val out = df.select(
+      graft.functions.JsonEncode.fusedJsonFor(payload, df.select(col("id"), col("m")).schema).as("fused"),
+      to_json(payload).as("jackson")).collect()
+    assert(out.head.getString(0) == out.head.getString(1))
+    // and the full CdcSynth path over a map-bearing table keeps working
+    val events = graft.sources.CdcSynth.changeEvents(df, "db1", "t1", "id")
+    assert(events.select("after").collect().forall(!_.isNullAt(0) || true))
+  }
+
+  test("session time zone is resolved at analysis, like to_json") {
+    import spark.implicits._
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val df = Seq("2026-03-01 12:34:56.789").toDF("s")
+        .select(col("s").cast("timestamp").as("ts"))
+      val payload = struct(col("ts"))
+      // build the columns FIRST, change the session zone, THEN execute —
+      // both sides must format with the zone in force at analysis time
+      val fused = graft.functions.JsonEncode.fusedJson(payload)
+      val builtin = to_json(payload)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val out = df.select(fused.as("f"), builtin.as("j")).collect().head
+      assert(out.getString(0) == out.getString(1),
+        s"fused=${out.getString(0)} builtin=${out.getString(1)}")
+      assert(out.getString(0).contains("+09:00"),
+        s"expected Tokyo offset in ${out.getString(0)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("double/float/timestamp/date leaves match to_json byte-for-byte") {
     import spark.implicits._
     // the CdcSynth payload shape: typed table columns through fusedJson —
