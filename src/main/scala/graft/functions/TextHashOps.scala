@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -299,6 +299,91 @@ object TextHashOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /**
+   * `array<long>` → SORTED DISTINCT `array<long>` in one pass (sort +
+   * in-place dedup). Emitted once per doc at signature time so every
+   * downstream pair verification can count set intersections with a
+   * two-pointer MERGE instead of `array_intersect`/`array_union` (which
+   * build a hash set PER PAIR — measured as the top stage of the
+   * minhash-mining profile, ~12 task-CPU-s at sf0.1). Set semantics are
+   * unchanged: the inputs are hashed shingle SETS, and dedup here mirrors
+   * exactly what array_intersect/array_union did per pair.
+   */
+  case class SortedDistinctLongs(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "sorted_distinct_longs"
+
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextHashHelpers.sortedDistinct(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  graft.functions.TextHashHelpers.sortedDistinct($a));
+        |""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * text → SORTED DISTINCT xxhash64 hashes of word n-gram shingles, fused
+   * into one byte-level pass. Value-equal (up to the standing xxhash64
+   * collision argument) to `sorted_distinct_longs(hash_string_array_xxh64(
+   * text_ngrams(text, n)))` — spec-pinned — but with ZERO string
+   * allocation: the [[TextNgrams]]+[[HashStringArray]] chain decoded the
+   * UTF8String to a java String, substring'd every token, built every
+   * shingle through a StringBuilder→String→UTF8String round-trip and
+   * hash-set-deduped the strings, which profiled as the dominant
+   * DATA-SIZED term of the whole minhash family (~6 of ~20 task-CPU-s at
+   * sf0.1, ~60 at ×10). Here tokens are byte spans (0x20 never occurs
+   * inside a multi-byte UTF-8 sequence, so byte-level splitting equals the
+   * char-level split), shingles are assembled into one reused buffer, and
+   * xxhash64 runs over those bytes — identical bytes, identical seed,
+   * identical hash values as hashing the shingle string.
+   */
+  case class TextNgramsHashedSorted(child: Expression, n: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "text_ngrams_xxh64_sorted"
+
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextHashHelpers.ngramHashes64Sorted(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  graft.functions.TextHashHelpers.ngramHashes64Sorted($a, $n));
+        |""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * Intersection COUNT of two sorted-distinct long arrays — a branchy-but-
+   * allocation-free two-pointer merge per pair. With `|A∩B| = c`,
+   * `|A∪B| = |A|+|B|-c`, so exact Jaccard needs no materialized
+   * intersection/union arrays at all.
+   */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_long_intersect_count"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      TextHashHelpers.sortedIntersectCount(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.TextHashHelpers.sortedIntersectCount($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def simhash64(tokenHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
   def minhashSignature(tokenHashes: Column, k: Int): Column =
@@ -312,6 +397,16 @@ object TextHashOps {
   /** array<string> → array<long> via xxhash64 (seed 42, = `xxhash64()`). */
   def xxhash64Array(tokens: Column): Column =
     GraftBridge.column(HashStringArray(GraftBridge.expression(tokens), "xxh64"))
+  /** array<long> → sorted distinct array<long> (merge-verification form). */
+  def sortedDistinct(hashes: Column): Column =
+    GraftBridge.column(SortedDistinctLongs(GraftBridge.expression(hashes)))
+  /** text → sorted-distinct xxhash64 shingle hashes, one fused byte pass. */
+  def textNgramsXxh64Sorted(text: Column, n: Int): Column =
+    GraftBridge.column(TextNgramsHashedSorted(GraftBridge.expression(text), n))
+  /** |A∩B| over two sorted-distinct long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
   /** array<string> → array<long> via the md5-60-bit hash (DuckDB-reproducible). */
   def md5Hash60Array(tokens: Column): Column =
     GraftBridge.column(HashStringArray(GraftBridge.expression(tokens), "md5h60"))
@@ -339,5 +434,105 @@ object TextHashHelpers {
     var i = 0
     while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+
+  private val shingleBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 10)
+  }
+  private val spanBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](512)
+  }
+
+  /** Fused tokenize→shingle→xxhash64→sort→dedup over UTF-8 BYTES; hash
+   * values identical to xxh64 of the " "-joined shingle strings (same
+   * bytes, same seed 42). */
+  def ngramHashes64Sorted(u: UTF8String, n: Int): Array[Long] = {
+    val bytes = u.getBytes
+    val len = bytes.length
+    // token spans packed as (start, end) pairs
+    var spans = spanBuf.get()
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      val start = i
+      while (i < len && bytes(i) != ' ') i += 1
+      if (i > start) {
+        if (nTok * 2 + 2 > spans.length) {
+          spans = java.util.Arrays.copyOf(spans, spans.length * 2)
+          spanBuf.set(spans)
+        }
+        spans(nTok * 2) = start
+        spans(nTok * 2 + 1) = i
+        nTok += 1
+      }
+    }
+    val m = nTok - n + 1
+    if (m <= 0) return new Array[Long](0)
+    var buf = shingleBuf.get()
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var w = 0
+      var q = 0
+      while (q < n) {
+        val s = spans((j + q) * 2)
+        val e = spans((j + q) * 2 + 1)
+        val tl = e - s
+        if (w + tl + 1 > buf.length) {
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, w + tl + 1))
+          shingleBuf.set(buf)
+        }
+        if (q > 0) { buf(w) = ' '; w += 1 }
+        System.arraycopy(bytes, s, buf, w, tl)
+        w += tl
+        q += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, w, 42L)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var w2 = 0
+    var k = 0
+    while (k < m) {
+      if (w2 == 0 || out(k) != out(w2 - 1)) { out(w2) = out(k); w2 += 1 }
+      k += 1
+    }
+    if (w2 == m) out else java.util.Arrays.copyOf(out, w2)
+  }
+
+  /** Sort + in-place dedup of a long array (set canonicalization). */
+  def sortedDistinct(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == n) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Two-pointer |A∩B| over sorted-distinct long arrays. */
+  def sortedIntersectCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                           b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 }

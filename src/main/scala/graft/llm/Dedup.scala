@@ -42,6 +42,19 @@ object Dedup {
   def shingleSet(textCol: Column): Column = shingles(textCol, 3)
 
   /**
+   * Exact Jaccard over SORTED-DISTINCT hashed feature arrays (the form
+   * [[minhashSignatures]] emits): `|A∩B|` from one two-pointer merge, and
+   * `|A∪B| = |A|+|B|-|A∩B|` — value-identical to the old
+   * `array_intersect`/`array_union` formulation (both are set-semantics
+   * over the same hashes) with zero per-pair hash-set allocation, which
+   * profiled as the single largest stage of the minhash mining pipeline.
+   */
+  private def mergeJaccard(a: Column, b: Column): Column = {
+    val nc = TextHashOps.sortedIntersectCount(a, b).cast("double")
+    nc / (size(a) + size(b) - nc)
+  }
+
+  /**
    * Exact-Jaccard verification of an EXPLICIT candidate pair list, with the
    * verifier shape chosen by the (driver-known) candidate count:
    *
@@ -83,26 +96,26 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     if (threshold <= 0.0) return canon
-    val feat = Option(features).getOrElse(shingleSet(col("text")))
+    // same fused-vs-composable split as minhashSignatures
+    val hashedFeat =
+      if (features == null) TextHashOps.textNgramsXxh64Sorted(col("text"), 3)
+      else TextHashOps.sortedDistinct(TextHashOps.xxhash64Array(features))
     val ids = canon.select(col("id_a").as("id"))
       .unionByName(canon.select(col("id_b").as("id"))).distinct()
     if (canon.count() <= smallCap) {
       val pfeats = docs
         .join(broadcast(ids), docs(idCol) === ids("id"), "left_semi")
-        .select(col(idCol).as("id"),
-          TextHashOps.xxhash64Array(feat).as("feats"))
+        .select(col(idCol).as("id"), hashedFeat.as("feats"))
         .localCheckpoint(true) // <= 2·|pairs| rows; scan docs once
       val fa = pfeats.select(col("id").as("id_a"), col("feats").as("_fa"))
       val fb = pfeats.select(col("id").as("id_b"), col("feats").as("_fb"))
       canon.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
-        .filter(size(array_intersect(col("_fa"), col("_fb"))).cast("double") /
-          size(array_union(col("_fa"), col("_fb"))).cast("double") >= threshold)
+        .filter(mergeJaccard(col("_fa"), col("_fb")) >= threshold)
         .select("id_a", "id_b")
     } else {
       val posts = docs
         .join(ids, docs(idCol) === ids("id"), "left_semi")
-        .select(col(idCol).as("id"),
-          explode(TextHashOps.xxhash64Array(feat)).as("h"))
+        .select(col(idCol).as("id"), explode(hashedFeat).as("h"))
         .localCheckpoint(true) // read 3× (sizes + both join sides)
       val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
       canon
@@ -226,21 +239,22 @@ object Dedup {
       pruneKeep: (Column, Column, Column) => Column,
       hotOnlyKeep: (Column, Column) => Column,
       finish: DataFrame => DataFrame): DataFrame = {
-    val feat = Option(features).getOrElse(shingleSet(col("text")))
     // Two rules learned from the physical plan:
     // 1. repartition first — single-file inputs scan as ONE task;
     // 2. materialize before exploding — otherwise projection-collapse
     //    inlines the (interpreted) feature expression above the Generate
     //    and re-evaluates it per exploded row.
+    val hashedFeat =
+      if (features == null) TextHashOps.textNgramsXxh64Sorted(col("text"), 3)
+      else TextHashOps.sortedDistinct(TextHashOps.xxhash64Array(features))
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val posts = docs.repartition(par)
-      .select(col(idCol).as("id"), feat.as("feats"))
-      .repartition(par, col("id")) // materialization barrier
       // hash INSIDE the fused array expression before exploding: the
       // Generate emits primitive longs instead of shingle strings (smaller
-      // generator rows, no per-posting hash call); bit-equal to
-      // xxhash64(f) per row — same seed-42 xxh64
-      .select(col("id"), explode(TextHashOps.xxhash64Array(col("feats"))).as("h"))
+      // generator rows, no per-posting hash call); same seed-42 xxh64
+      .select(col(idCol).as("id"), hashedFeat.as("feats"))
+      .repartition(par, col("id")) // materialization barrier
+      .select(col("id"), explode(col("feats")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
     def sz(side: String, as: String) =
@@ -379,14 +393,22 @@ object Dedup {
    */
   def minhashSignatures(docs: DataFrame, k: Int, idCol: String = "doc_id",
                         features: Column = null): DataFrame = {
-    val feat = Option(features).getOrElse(shingleSet(col("text")))
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val hashed = TextHashOps.xxhash64Array(feat)
+    // default path: the fused byte-level shingle+hash expression (zero
+    // string allocation — the tokenize/substring/StringBuilder chain was
+    // the dominant data-sized term of the whole minhash family); explicit
+    // feature columns take the composable hash+sort chain. Both emit the
+    // SORTED-DISTINCT form so every downstream exact-J verification counts
+    // intersections with a two-pointer merge (no per-pair hash sets).
+    val hashed =
+      if (features == null) TextHashOps.textNgramsXxh64Sorted(col("text"), 3)
+      else TextHashOps.sortedDistinct(TextHashOps.xxhash64Array(features))
     // repartition AFTER computing the signature: the exchange materializes
     // `sig` AND `feats`, stopping projection-collapse from inlining (and
     // re-evaluating) either expression into downstream band expressions
     docs.repartition(par)
-      .select(col(idCol).as("id"), hashed.as("feats"),
+      .select(col(idCol).as("id"),
+        hashed.as("feats"),
         TextHashOps.minhashSignature(hashed, k).as("sig"))
       .repartition(par, col("id"))
   }
@@ -465,8 +487,7 @@ object Dedup {
     // broadcast threshold — the plan shape stays correct either way
     val cands = ba.join(broadcast(bb), Seq("band", "band_hash"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val jac = size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
-      size(array_union(col("feats_a"), col("feats_b"))).cast("double")
+    val jac = mergeJaccard(col("feats_a"), col("feats_b"))
     val result = cands
       .join(sigA.select(col("id").as("id_a"), col("feats").as("feats_a")), "id_a")
       .join(sigB.select(col("id").as("id_b"), col("feats").as("feats_b")), "id_b")
@@ -482,9 +503,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
                    idCol: String = "doc_id", features: Column = null): DataFrame = {
     minhashCandidates(docs, k, bands, idCol, features)
-      .withColumn("jaccard",
-        size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
-          size(array_union(col("feats_a"), col("feats_b"))).cast("double"))
+      .withColumn("jaccard", mergeJaccard(col("feats_a"), col("feats_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -557,11 +576,17 @@ object Dedup {
     val r = k / bands
     val sig = minhashSignatures(docs, k, idCol, features)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // cached: consumed by hubs (groupBy), the hub-edge join and the
+    // fallback scope join — uncached, the 32-band hash explode re-computed
+    // per consumer (~2 extra task-CPU-s/consumer at sf0.1). Columnar cache,
+    // not an RDD checkpoint: a checkpoint serializes FULL rows (no column
+    // pruning through it) and its write+read CPU exceeded the savings.
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
       }: _*)).as(Seq("band", "band_hash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Exact-Jaccard verification of an explicit CANDIDATE LIST stays in
     // the per-pair array_intersect shape on purpose: the posting-count
     // alternative (minedPairCounts' shape) wins when the posting join IS
@@ -575,8 +600,7 @@ object Dedup {
     def verified(cands: DataFrame): DataFrame = // (id_a, id_b) -> + exact J
       cands.join(featsA, "id_a").join(featsB, "id_b")
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("feats_a"), col("feats_b"))).cast("double") /
-            size(array_union(col("feats_a"), col("feats_b"))).cast("double")).as("jaccard"))
+          mergeJaccard(col("feats_a"), col("feats_b")).as("jaccard"))
 
     val hubs = banded.groupBy("band", "band_hash").agg(min(col("id")).as("id_a"))
     // hub edges WITH bucket provenance — needed to scope the fallback
@@ -637,6 +661,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
     sig.unpersist(false)
+    banded.unpersist(false)
     hubVerdicts.unpersist(false)
     result
   }

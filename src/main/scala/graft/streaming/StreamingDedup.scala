@@ -177,8 +177,10 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands
+    // fused byte-level shingle+hash (sorted-distinct form); signature
+    // values identical — the k-min is order-insensitive over the same set
     val sig = TextHashOps.minhashSignature(
-      TextHashOps.xxhash64Array(Dedup.shingleSet(col(textCol))), k)
+      TextHashOps.textNgramsXxh64Sorted(col(textCol), 3), k)
     docs
       .repartition(spark.sparkContext.defaultParallelism) // single-file scans stay 1-task otherwise
       .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
@@ -226,8 +228,10 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands
+    // fused byte-level shingle+hash (sorted-distinct form); signature
+    // values identical — the k-min is order-insensitive over the same set
     val sig = TextHashOps.minhashSignature(
-      TextHashOps.xxhash64Array(Dedup.shingleSet(col(textCol))), k)
+      TextHashOps.textNgramsXxh64Sorted(col(textCol), 3), k)
     val banded = docs
       .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
       .select(col("docId"), col("sig"),

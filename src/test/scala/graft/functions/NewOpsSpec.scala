@@ -10,6 +10,38 @@ import java.nio.file.Files
 
 class NewOpsSpec extends SparkSpec {
 
+  test("fused shingle+hash equals sorted-distinct xxhash64 of text_ngrams, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                       // repeated tokens → duplicate shingles
+      "  leading   and    multi  spaces ",
+      "two tokens",                      // fewer than n tokens → empty
+      "exactly three tokens",            // exactly n tokens → one shingle
+      "",                                // empty text
+      "unicode é 漢字 😀 mixed tokens here",
+      "x " * 500 + "tail")               // long doc, dup-heavy
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextHashOps.textNgramsXxh64Sorted(col("text"), 3).as("fused"),
+      TextHashOps.sortedDistinct(
+        TextHashOps.xxhash64Array(TextHashOps.textNgrams(col("text"), 3))).as("composed"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"diverged for <$t>")
+    }
+    // intersect-count agrees with array_intersect set semantics
+    val a = df.select(TextHashOps.textNgramsXxh64Sorted(col("text"), 3).as("h")).collect()
+    val pairs = for (x <- a; y <- a) yield (x.getSeq[Long](0), y.getSeq[Long](0))
+    pairs.foreach { case (x, y) =>
+      val expected = x.toSet.intersect(y.toSet).size
+      val dfp = Seq((x, y)).toDF("a", "b")
+      val got = dfp.select(TextHashOps.sortedIntersectCount(col("a"), col("b"))).collect()(0).getInt(0)
+      assert(got == expected, s"intersect count diverged: $got vs $expected")
+    }
+  }
+
   test("uuidv7: version/variant bits, embedded timestamp, time-ordering (lib.rs:980-1023)") {
     import spark.implicits._
     val before = System.currentTimeMillis()
