@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Fresh-JVM single-drain placement, spawned by [[Bench]] when both in-JVM
+ * placements of a drain ran in a bad window (quiesce gate timed out, or
+ * the binding rep ran at high load / hypervisor steal — r13 verdict #4:
+ * the binding orders headline halved vs the committed same-code run
+ * because BOTH its placements were window-hostage, and nothing could
+ * arbitrate).
+ *
+ * Protocol mirrors Bench.measureDrain: build the chain, one untimed
+ * warmup pass, then `reps` timed runs of the discard agg; the child
+ * additionally runs its own bounded load gate before measuring. Output:
+ * one JSON object line — events_per_s (max-of... min-wall convention,
+ * same as the parent), input_events, gate fields, per-rep objects.
+ *
+ * Args: <mode: orders|tpcc> <sfDir> <reps> <outFile> [cpus]
+ */
+object DrainOne {
+  private class TaskCpu extends org.apache.spark.scheduler.SparkListener {
+    private val ns = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) ns.addAndGet(m.executorCpuTime)
+    }
+    def drainSec(): Double = ns.getAndSet(0L) / 1e9
+  }
+
+  private def loadAvg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def num3(d: Double): String = {
+    val r = math.rint(d * 1000) / 1000
+    if (r.isNaN || r.isInfinite) "null" else r.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(mode, sfDir, repsS, outFile) = args.take(4)
+    val reps = repsS.toInt
+    val cpus = if (args.length > 4) args(4) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val taskCpu = new TaskCpu
+    spark.sparkContext.addSparkListener(taskCpu)
+    import org.apache.spark.sql.functions.{col, length, sum => fsum}
+
+    val (chain, inputEvents) = mode match {
+      case "orders" => Bench.buildOrdersDrain(spark, sfDir)
+      case "tpcc" => Bench.buildTpccDrain(spark)
+      case other => throw new IllegalArgumentException(s"unknown drain mode $other")
+    }
+    def job(): Unit = {
+      chain.agg(fsum(length(col("value"))) + fsum(length(col("topic")))).head()
+      ()
+    }
+    // bounded load gate — the whole point of the fresh placement is a
+    // clean window; give the host up to 90 s to calm down
+    val t0 = System.nanoTime()
+    var l = loadAvg1()
+    while (l >= 8.0 && (System.nanoTime() - t0) / 1e9 < 90) {
+      Thread.sleep(3000)
+      l = loadAvg1()
+    }
+    val gateWait = (System.nanoTime() - t0) / 1e9
+    job() // untimed warmup (JIT/codegen)
+    val rr = (1 to reps).map { _ =>
+      System.gc()
+      taskCpu.drainSec()
+      val s0 = System.nanoTime()
+      job()
+      val wall = (System.nanoTime() - s0) / 1e9
+      Thread.sleep(80)
+      (wall, taskCpu.drainSec(), loadAvg1())
+    }
+    spark.stop()
+    val eps = rr.map(_._1).min match {
+      case w if w > 0 => math.round(inputEvents / w)
+      case _ => 0L
+    }
+    val repsJson = rr.map { case (w, tc, ld) =>
+      s"""{"wall":${num3(w)},"task_cpu":${num3(tc)},"load1":${num3(ld)}}"""
+    }.mkString("[", ",", "]")
+    val pw = new java.io.PrintWriter(outFile)
+    try pw.println(
+      s"""{"events_per_s":$eps,"input_events":$inputEvents,"gate_wait_sec":${num3(gateWait)},"gate_load1":${num3(l)},"reps":$repsJson}""")
+    finally pw.close()
+  }
+}

@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
  * in-JVM value under fresh_jvm_remeasured.
  *
  * Args: <queryName> <x1Dir> <x10Dir> <reps> <outFile> [cpus]
+ * `x10Dir == "-"` measures x1Dir ONLY (the r14 requiet escape: one
+ * fresh-JVM wall for a suite query whose in-JVM requiet re-run still reads
+ * sick); output then ends `|-|-`.
  * Output: one line to outFile — name|x1_wall|x1_taskcpu|x10_wall|x10_taskcpu
  */
 object ProbeOne {
@@ -80,9 +83,11 @@ object ProbeOne {
     }
 
     val (w1, tc1) = measure(x1Dir)
-    val (w10, tc10) = measure(x10Dir)
+    val tail =
+      if (x10Dir == "-") "-|-"
+      else { val (w10, tc10) = measure(x10Dir); s"$w10|$tc10" }
     spark.stop()
     val pw = new java.io.PrintWriter(outFile)
-    try pw.println(s"$name|$w1|$tc1|$w10|$tc10") finally pw.close()
+    try pw.println(s"$name|$w1|$tc1|$tail") finally pw.close()
   }
 }
