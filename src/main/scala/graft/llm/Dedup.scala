@@ -576,17 +576,11 @@ object Dedup {
     val r = k / bands
     val sig = minhashSignatures(docs, k, idCol, features)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // cached: consumed by hubs (groupBy), the hub-edge join and the
-    // fallback scope join — uncached, the 32-band hash explode re-computed
-    // per consumer (~2 extra task-CPU-s/consumer at sf0.1). Columnar cache,
-    // not an RDD checkpoint: a checkpoint serializes FULL rows (no column
-    // pruning through it) and its write+read CPU exceeded the savings.
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
       }: _*)).as(Seq("band", "band_hash")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Exact-Jaccard verification of an explicit CANDIDATE LIST stays in
     // the per-pair array_intersect shape on purpose: the posting-count
     // alternative (minedPairCounts' shape) wins when the posting join IS
@@ -661,7 +655,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
     sig.unpersist(false)
-    banded.unpersist(false)
     hubVerdicts.unpersist(false)
     result
   }
