@@ -60,14 +60,34 @@ object DrainOne {
     import org.apache.spark.sql.functions.{col, length, sum => fsum}
 
     val (chain, inputEvents) = mode match {
-      case "orders" => Bench.buildOrdersDrain(spark, sfDir)
+      case "orders" | "kafka" => Bench.buildOrdersDrain(spark, sfDir)
       case "tpcc" => Bench.buildTpccDrain(spark)
       case other => throw new IllegalArgumentException(s"unknown drain mode $other")
     }
-    def job(): Unit = {
-      chain.agg(fsum(length(col("value"))) + fsum(length(col("topic")))).head()
-      ()
-    }
+    // kafka mode drains through the real SocketProducer into an in-process
+    // loopback broker — the same wire path the parent's kafka_wire drain
+    // measures (RecordBatch v2 + CRC32C + produce framing + broker ack)
+    val broker = if (mode == "kafka") new Bench.LoopbackBroker else null
+    val job: () => Unit =
+      if (mode == "kafka") {
+        val port = broker.port
+        val wire = chain.select(col("topic"), col("value"))
+        () => wire.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val p = new graft.streaming.KafkaWire.SocketProducer("127.0.0.1", port, "bench-drain")
+          rows.grouped(2000).foreach { chunk =>
+            p.beginTransaction()
+            chunk.foreach { r =>
+              p.send(graft.streaming.MessagingSinks.WireRecord(r.getString(0), null,
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8), Map.empty))
+            }
+            p.commitTransaction()
+          }
+        }
+      } else
+        () => {
+          chain.agg(fsum(length(col("value"))) + fsum(length(col("topic")))).head()
+          ()
+        }
     // bounded load gate — the whole point of the fresh placement is a
     // clean window; give the host up to 90 s to calm down
     val t0 = System.nanoTime()
@@ -81,19 +101,23 @@ object DrainOne {
     val rr = (1 to reps).map { _ =>
       System.gc()
       taskCpu.drainSec()
+      val r0 = if (broker != null) broker.records.get() else 0L
       val s0 = System.nanoTime()
       job()
       val wall = (System.nanoTime() - s0) / 1e9
       Thread.sleep(80)
-      (wall, taskCpu.drainSec(), loadAvg1())
+      (wall, taskCpu.drainSec(), loadAvg1(),
+        if (broker != null) broker.records.get() - r0 else -1L)
     }
     spark.stop()
+    if (broker != null) broker.close()
     val eps = rr.map(_._1).min match {
       case w if w > 0 => math.round(inputEvents / w)
       case _ => 0L
     }
-    val repsJson = rr.map { case (w, tc, ld) =>
-      s"""{"wall":${num3(w)},"task_cpu":${num3(tc)},"load1":${num3(ld)}}"""
+    val repsJson = rr.map { case (w, tc, ld, recs) =>
+      val audit = if (recs >= 0) s""","broker_records":$recs""" else ""
+      s"""{"wall":${num3(w)},"task_cpu":${num3(tc)},"load1":${num3(ld)}$audit}"""
     }.mkString("[", ",", "]")
     val pw = new java.io.PrintWriter(outFile)
     try pw.println(
