@@ -4,18 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Repurposable ad-hoc decomposition harness (not part of the library
- * surface): current experiment = cdc_binlog_decode ×10 anatomy in a FRESH
- * JVM — the full-suite probe measures 18.8× task-CPU growth (30→570 s)
- * under the symmetric layout-matched protocol; decompose encode (rows →
- * segments), decode (segments → rows), and the final sort at ×1 vs ×10 to
- * find whether the superlinearity is in the plan or in tail-of-JVM
- * allocation state the per-query quiesce can't clear. */
+ * surface): current experiment = dedup_clusters / dedup_survivors ×1/×10
+ * A/B after the r15 mining rework (Mersenne-folded minhash, fused band
+ * hashes, window-min hub edges). Baseline (same protocol, pre-rework):
+ * ×10 full_survivors 177.6/194.9, full_clusters 190.2/196.4, pairs_only
+ * 152.3, sig_only 26.2; ×1 full_clusters 20.3/23.0, sig_only 14.2. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,57 +37,53 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    import graft.sources.{MysqlBinlog, MysqlBinlogFixture => Fx}
-    val orders0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-
-    // the bench's ×N builder shape: key remap, same 32-file layout for both
+    import graft.llm.Dedup
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     def build(mult: Int): String = {
-      val dir = s"/tmp/probe_binlog_x$mult"
-      val repsArr = array((0 until mult).map(lit): _*)
-      orders0.withColumn("_rep", explode(repsArr))
-        .withColumn("o_orderkey",
-          (col("o_orderkey").cast("long") * mult + col("_rep")).cast("long"))
-        .drop("_rep")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(dir)
+      val dir = s"/tmp/probe_dedup_x$mult"
+      if (!new java.io.File(dir).exists()) {
+        val repsArr = array((0 until mult).map(lit): _*)
+        docs0.withColumn("_rep", explode(repsArr))
+          .withColumn("doc_id",
+            (col("doc_id").cast("long") * mult + col("_rep")).cast("long"))
+          .withColumn("text",
+            when(col("_rep") === 0, col("text")).otherwise(
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit("_"), col("_rep"))), " ")))
+          .drop("_rep")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(dir)
+      }
       dir
     }
 
     for (m <- Seq(1, 10); dir = build(m)) {
-      val orders = spark.read.parquet(dir)
-      val n = orders.count()
+      val docs = spark.read.parquet(dir)
+      val n = docs.count()
       for (rep <- 1 to 2) {
-        // full query as benched (encode + decode + filter + sort)
-        val (w1, c1) = timed {
-          noop(Fx.decodedOrders(orders)
-            .filter(col("op").isin("c", "u", "d"))
-            .select(col("pos"), col("op"), col("before"), col("after"))
-            .orderBy("pos"))
+        spark.catalog.clearCache(); System.gc()
+        val (w, c) = timed {
+          noop(Dedup.clusterSurvivors(docs, Dedup.minhashSpanningPairs(docs, 0.5))
+            .select(col("doc_id")))
         }
-        println(f"PROBE x$m rep$rep n=$n full wall=$w1%.2f taskCpu=$c1%.2f")
+        println(f"PROBE x$m rep$rep n=$n full_survivors wall=$w%.2f taskCpu=$c%.2f")
       }
-      // no final sort
-      val (w2, c2) = timed {
-        noop(Fx.decodedOrders(orders)
-          .filter(col("op").isin("c", "u", "d"))
-          .select(col("pos"), col("op"), col("before"), col("after")))
-      }
-      println(f"PROBE x$m noSort wall=$w2%.2f taskCpu=$c2%.2f")
-      // encode only: rows → segments (the fixture synthesis half)
-      val (w3, c3) = timed { noop(Fx.ordersSegments(orders).toDF("seg")) }
-      println(f"PROBE x$m encodeOnly wall=$w3%.2f taskCpu=$c3%.2f")
-      // decode only: segments materialized once (off the clock), then decoded
-      val segs = Fx.ordersSegments(orders).localCheckpoint(true)
-      val nSegs = segs.count()
       for (rep <- 1 to 2) {
-        val (w4, c4) = timed {
-          import spark.implicits._
-          val names = Fx.ordersCols.map(_.name).toIndexedSeq
-          noop(segs.flatMap(seg => MysqlBinlog.decodeSegment(seg, (_, _) => names)).toDF())
+        spark.catalog.clearCache(); System.gc()
+        val (w, c) = timed {
+          noop(Dedup.clusters(docs, Dedup.minhashSpanningPairs(docs, 0.5)))
         }
-        println(f"PROBE x$m rep$rep segs=$nSegs decodeOnly wall=$w4%.2f taskCpu=$c4%.2f")
+        println(f"PROBE x$m rep$rep full_clusters wall=$w%.2f taskCpu=$c%.2f")
       }
-      segs.unpersist(true)
+      spark.catalog.clearCache(); System.gc()
+      val (wp, cp) = timed { noop(Dedup.minhashSpanningPairs(docs, 0.5)) }
+      println(f"PROBE x$m pairs_only wall=$wp%.2f taskCpu=$cp%.2f")
+      spark.catalog.clearCache(); System.gc()
+      val (ws, cs) = timed { noop(Dedup.minhashSignatures(docs, 64)) }
+      println(f"PROBE x$m sig_only wall=$ws%.2f taskCpu=$cs%.2f")
+      // sanity: edge count must match the pre-rework graph (2462 at x10)
+      val ne = Dedup.minhashSpanningPairs(docs, 0.5).count()
+      println(s"PROBE x$m edges=$ne")
     }
     spark.stop()
   }

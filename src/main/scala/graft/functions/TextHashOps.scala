@@ -104,7 +104,14 @@ object TextHashOps {
         val x = java.lang.Math.floorMod(arr.getLong(i), P)
         var j = 0
         while (j < k) {
-          val v = java.lang.Math.floorMod(as(j) * x + bs(j), P)
+          // (a·x+b) mod P by Mersenne folding (P = 2³¹−1, y < 2⁶²):
+          // y ≡ (y>>>31)+(y&P), two folds land in [0, P+1] — VALUE-IDENTICAL
+          // to floorMod but division-free (the 64 divisions per feature were
+          // the dominant term of the whole minhash family's signature cost)
+          val y = as(j) * x + bs(j)
+          var v = (y >>> 31) + (y & P)
+          v = (v >>> 31) + (v & P)
+          if (v >= P) v -= P
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -119,13 +126,18 @@ object TextHashOps {
       nullSafeCodeGen(ctx, ev, a => {
         val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
         val j = ctx.freshName("j"); val x = ctx.freshName("x"); val v = ctx.freshName("v")
+        val y = ctx.freshName("y")
+        // Mersenne folding (see nullSafeEval) — division-free, value-identical
         s"""
            |long[] $mins = new long[$k];
            |java.util.Arrays.fill($mins, Long.MAX_VALUE);
            |for (int $i = 0; $i < $a.numElements(); $i++) {
            |  long $x = java.lang.Math.floorMod($a.getLong($i), ${P}L);
            |  for (int $j = 0; $j < $k; $j++) {
-           |    long $v = java.lang.Math.floorMod($asRef[$j] * $x + $bsRef[$j], ${P}L);
+           |    long $y = $asRef[$j] * $x + $bsRef[$j];
+           |    long $v = ($y >>> 31) + ($y & ${P}L);
+           |    $v = ($v >>> 31) + ($v & ${P}L);
+           |    if ($v >= ${P}L) $v -= ${P}L;
            |    if ($v < $mins[$j]) $mins[$j] = $v;
            |  }
            |}
@@ -133,6 +145,65 @@ object TextHashOps {
          """.stripMargin
       })
     }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * All LSH band hashes of a signature in ONE pass: out[b] =
+   * xxhash64(slice(sig, b·r+1, r), b) for b ∈ [0, bands), r = |sig|/bands —
+   * VALUE-IDENTICAL to the composed builtin chain (XXH64.hashLong folded
+   * over the slice from seed 42, then over the band literal; spec-pinned).
+   * The composed form evaluates 32 `slice` calls per row, each allocating
+   * an ArrayData copy before hashing 2 longs — this walks the signature
+   * array once with zero allocation beyond the output.
+   */
+  case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "band_hashes"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val k = arr.numElements()
+      val r = k / bands
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var j = b * r
+        val end = j + r
+        while (j < end) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(arr.getLong(j), h)
+          j += 1
+        }
+        // the band index is an Int literal in the composed chain → hashInt
+        out(b) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, h)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out"); val b = ctx.freshName("b")
+        val h = ctx.freshName("h"); val j = ctx.freshName("j")
+        val r = ctx.freshName("r"); val end = ctx.freshName("end")
+        val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+        s"""
+           |long[] $out = new long[$bands];
+           |int $r = $a.numElements() / $bands;
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $h = 42L;
+           |  int $end = $b * $r + $r;
+           |  for (int $j = $b * $r; $j < $end; $j++) {
+           |    $h = $xxh.hashLong($a.getLong($j), $h);
+           |  }
+           |  $out[$b] = $xxh.hashInt($b, $h);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -388,6 +459,9 @@ object TextHashOps {
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
   def minhashSignature(tokenHashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokenHashes), k))
+  /** array<long> signature → array<long> of `bands` LSH band hashes. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    GraftBridge.column(BandHashes(GraftBridge.expression(sig), bands))
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
   def textNgramsAll(text: Column, n: Int): Column =

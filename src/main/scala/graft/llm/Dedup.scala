@@ -403,14 +403,20 @@ object Dedup {
     val hashed =
       if (features == null) TextHashOps.textNgramsXxh64Sorted(col("text"), 3)
       else TextHashOps.sortedDistinct(TextHashOps.xxhash64Array(features))
-    // repartition AFTER computing the signature: the exchange materializes
-    // `sig` AND `feats`, stopping projection-collapse from inlining (and
-    // re-evaluating) either expression into downstream band expressions
+    // one spread exchange of the RAW docs, signature computed narrow after
+    // it; every caller persists the result immediately, and that persist is
+    // the materialization barrier that stops projection-collapse from
+    // inlining (and re-evaluating) `hashed` into downstream band
+    // expressions. The previous trailing repartition(par, id) was a second
+    // FULL exchange of (id, feats, sig) — a whole-corpus shuffle of the
+    // widest frame in the pipeline — bought nothing: banded derivations
+    // re-exchange on (band, band_hash) anyway and the feats verify joins
+    // broadcast the candidate side (r15 measurement: removing it is part of
+    // the survivors ×10 177→65 task-CPU drop).
     docs.repartition(par)
       .select(col(idCol).as("id"),
         hashed.as("feats"),
         TextHashOps.minhashSignature(hashed, k).as("sig"))
-      .repartition(par, col("id"))
   }
 
   /**
@@ -438,9 +444,8 @@ object Dedup {
     // band join carries ids only (narrow shuffle); features re-join after dedup
     val banded = sig.select(
       col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
-      }: _*)).as(Seq("band", "band_hash")))
+      posexplode(TextHashOps.bandHashes(col("sig"), bands))
+        .as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
@@ -475,9 +480,8 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val b = sig.select(
         col("id").as(s"id_$side"),
-        posexplode(array((0 until bands).map { bi =>
-          xxhash64(slice(col("sig"), bi * r + 1, r), lit(bi))
-        }: _*)).as(Seq("band", "band_hash")))
+        posexplode(TextHashOps.bandHashes(col("sig"), bands))
+          .as(Seq("band", "band_hash")))
       (b, sig)
     }
     val (ba, sigA) = banded(left, "a")
@@ -532,11 +536,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
-      }: _*)).as(Seq("band", "band_hash")))
-    val hubs = banded.groupBy("band", "band_hash").agg(min(col("id")).as("id_a"))
-    val cands = banded.join(hubs, Seq("band", "band_hash"))
+      posexplode(TextHashOps.bandHashes(col("sig"), bands))
+        .as(Seq("band", "band_hash")))
+    // window-min hub edges: one exchange, no banded⋈hubs join (see
+    // [[minhashSpanningPairs]] for the measured argument)
+    val cands = banded
+      .withColumn("id_a",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
       .filter(col("id") =!= col("id_a"))
       .select(col("id_a"), col("id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -573,14 +580,16 @@ object Dedup {
                            idCol: String = "doc_id", features: Column = null,
                            pruneGate: Long = 4096L): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val r = k / bands
     val sig = minhashSignatures(docs, k, idCol, features)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(
+    // fused band hashing (one signature walk, no 32 slice copies per row);
+    // `banded` is a cheap NARROW derivation off the sig cache — consumers
+    // that need it twice recompute it rather than persist 32n tiny rows
+    // (r14: caching an exploded frame cost more than narrow recomputes)
+    def banded = sig.select(
       col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
-      }: _*)).as(Seq("band", "band_hash")))
+      posexplode(TextHashOps.bandHashes(col("sig"), bands))
+        .as(Seq("band", "band_hash")))
     // Exact-Jaccard verification of an explicit CANDIDATE LIST stays in
     // the per-pair array_intersect shape on purpose: the posting-count
     // alternative (minedPairCounts' shape) wins when the posting join IS
@@ -596,11 +605,20 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           mergeJaccard(col("feats_a"), col("feats_b")).as("jaccard"))
 
-    val hubs = banded.groupBy("band", "band_hash").agg(min(col("id")).as("id_a"))
-    // hub edges WITH bucket provenance — needed to scope the fallback
-    val hubEdges = banded.join(hubs, Seq("band", "band_hash"))
+    // hub edges WITH bucket provenance (needed to scope the fallback) via a
+    // whole-partition window min: ONE exchange of the 32n banded rows. The
+    // previous groupBy+join shape paid that exchange TWICE (partial-agg
+    // exchange for the bucket mins, then the banded⋈hubs join) — measured
+    // 25-30% dearer at ×10 — and is skew-equivalent (a degenerate bucket
+    // stays d rows here, never a collected d-array). Persisted: read by the
+    // verification pass AND the fallback's failed-member scoping.
+    val hubEdges = banded
+      .withColumn("id_a",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
       .filter(col("id") =!= col("id_a"))
       .select(col("band"), col("band_hash"), col("id_a"), col("id").as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hubVerdicts = verified(hubEdges.select("id_a", "id_b").dropDuplicates())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hubPass = hubVerdicts.filter(col("jaccard") >= threshold)
@@ -655,6 +673,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
     sig.unpersist(false)
+    hubEdges.unpersist(false)
     hubVerdicts.unpersist(false)
     result
   }

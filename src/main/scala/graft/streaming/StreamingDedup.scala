@@ -185,9 +185,8 @@ object StreamingDedup {
       .repartition(spark.sparkContext.defaultParallelism) // single-file scans stay 1-task otherwise
       .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
       .select(col("docId"), col("sig"),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
-        }: _*)).as(Seq("band", "bucket")))
+        posexplode(TextHashOps.bandHashes(col("sig"), bands))
+          .as(Seq("band", "bucket")))
       .as[BandedDoc]
       .repartition(col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "docId")
@@ -235,9 +234,8 @@ object StreamingDedup {
     val banded = docs
       .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
       .select(col("docId"), col("sig"),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
-        }: _*)).as(Seq("band", "bucket")))
+        posexplode(TextHashOps.bandHashes(col("sig"), bands))
+          .as(Seq("band", "bucket")))
       .as[BandedDoc]
     val timeoutConf =
       if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()

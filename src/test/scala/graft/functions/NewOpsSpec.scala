@@ -42,6 +42,42 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("band_hashes equals composed xxhash64(slice(sig), band) chain, bit-for-bit") {
+    import spark.implicits._
+    // real-ish signatures: random long arrays of the suite's k=64, plus the
+    // r=4 (bands=16) streaming shape — the fused walk must reproduce
+    // xxhash64's fold (seed 42 over slice elements, then the band literal)
+    val rnd = new scala.util.Random(7)
+    val sigs = Seq.fill(50)(Seq.fill(64)(rnd.nextLong()))
+    val df = sigs.toDF("sig")
+    for (bands <- Seq(32, 16)) {
+      val r = 64 / bands
+      val rows = df.select(
+        TextHashOps.bandHashes(col("sig"), bands).as("fused"),
+        array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * r + 1, r), lit(b))
+        }: _*).as("composed")).collect()
+      rows.foreach { row =>
+        assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"diverged at bands=$bands")
+      }
+    }
+    // minhash signature: the Mersenne-folded (a·x+b) mod P must equal the
+    // floorMod formula — pin against a direct Scala recomputation
+    val featRows = Seq.fill(20)(Seq.fill(30)(rnd.nextLong()))
+    val P = TextHashOps.MinHashSignature.P
+    val as = Array.tabulate(8)(i => TextHashOps.coef(i, 0xA5A5L))
+    val bs = Array.tabulate(8)(i => TextHashOps.coef(i, 0x5A5AL))
+    val got = featRows.toDF("f")
+      .select(TextHashOps.minhashSignature(col("f"), 8)).collect()
+    featRows.zip(got).foreach { case (feats, row) =>
+      val expected = (0 until 8).map { j =>
+        feats.map(t => java.lang.Math.floorMod(
+          as(j) * java.lang.Math.floorMod(t, P) + bs(j), P)).min
+      }
+      assert(row.getSeq[Long](0) == expected, "minhash diverged from floorMod formula")
+    }
+  }
+
   test("uuidv7: version/variant bits, embedded timestamp, time-ordering (lib.rs:980-1023)") {
     import spark.implicits._
     val before = System.currentTimeMillis()
