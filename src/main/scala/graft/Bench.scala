@@ -228,7 +228,7 @@ object Bench {
    * faults to task threads (r10: cdc_binlog_decode x1 read 468 task-CPU-s
    * in a lazy child vs 155 — commit-fault accounting).
    */
-  private def childJvm(): (String, Seq[String], String) = {
+  private def childJvm(): Option[(String, Seq[String], String)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     def procMb(path: String, key: String): Long =
@@ -238,18 +238,29 @@ object Bench {
           .getOrElse(0L)
       } catch { case _: Throwable => 0L }
     val memTotalMb = procMb("/proc/meminfo", "MemTotal")
+    val memAvailMb = procMb("/proc/meminfo", "MemAvailable")
     val parentRssMb = procMb("/proc/self/status", "VmRSS")
-    val childHeapMb =
-      if (memTotalMb <= 0) 24576L
-      else math.max(4096L, math.min(24576L, memTotalMb - parentRssMb - 8192L))
+    // Clamp against MemAvailable too (r14 advice): MemTotal − parentRSS
+    // overstates what's actually mappable when the page cache or other
+    // processes hold the rest — a pre-touched child floored at 4g could
+    // still trip the OOM killer. If even the floor doesn't fit in
+    // MemAvailable − 2g headroom, the caller must SKIP the placement.
+    if (memAvailMb > 0 && memAvailMb - 2048L < 4096L) {
+      System.err.println(s"[bench] child JVM SKIPPED: MemAvailable=${memAvailMb}m cannot fit the 4g pre-touched floor + 2g headroom (MemTotal=${memTotalMb}m parentRss=${parentRssMb}m)")
+      return None
+    }
+    val budgetMb = math.min(
+      if (memTotalMb <= 0) 24576L else memTotalMb - parentRssMb - 8192L,
+      if (memAvailMb <= 0) 24576L else memAvailMb - 2048L)
+    val childHeapMb = math.max(4096L, math.min(24576L, budgetMb))
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
         a.startsWith("-Xms") || a.startsWith("-Xmx") ||
         a == "-XX:+AlwaysPreTouch") ++
       Seq(s"-Xms${childHeapMb}m", s"-Xmx${childHeapMb}m", "-XX:+AlwaysPreTouch")
-    System.err.println(s"[bench] child JVM heap: ${childHeapMb}m (MemTotal=${memTotalMb}m parentRss=${parentRssMb}m)")
-    (javaBin, jvmArgs, System.getProperty("java.class.path"))
+    System.err.println(s"[bench] child JVM heap: ${childHeapMb}m (MemTotal=${memTotalMb}m MemAvailable=${memAvailMb}m parentRss=${parentRssMb}m)")
+    Some((javaBin, jvmArgs, System.getProperty("java.class.path")))
   }
 
   /** Run a child-JVM main whose LAST arg-builder receives the temp result
@@ -260,7 +271,10 @@ object Bench {
     val log = java.io.File.createTempFile(s"child_${tag}_log", ".txt")
     try {
       import scala.jdk.CollectionConverters._
-      val (javaBin, jvmArgs, cp) = childJvm()
+      val (javaBin, jvmArgs, cp) = childJvm() match {
+        case Some(t) => t
+        case None => return None // doesn't fit — skip placement, logged above
+      }
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp) ++ argsFor(out)).asJava
       val p = new ProcessBuilder(cmd).redirectErrorStream(true)
         .redirectOutput(log).start()
@@ -673,10 +687,15 @@ object Bench {
     // verdict stops arguing with host noise. All values (prior, suite,
     // re-run rep, gate, contender snapshot) land in requieted_queries. ———
     var requietedEntries = List.empty[String]
+    // Requiet trigger (r14 verdict #3): ≥1 s queries use a 1.3× gate — the
+    // r14 dedup family's 1.37-1.60× drifts bound from loaded windows and
+    // sailed under the old 2× gate; sub-second queries stay at 2× (their
+    // walls are fixed-cost-dominated and 1.3× of 0.3 s is scheduler noise).
+    def requietGate(pw: Double): Double = if (pw >= 1.0) 1.3 else 2.0
     val resultsQ = results.zip(queryList).map {
       case ((name, Some((w, c, tc)), rr), (_, fn))
-          if prior.get(name).exists(pw => w > 2.0 * pw && w > 0.5) =>
-        System.err.println(f"[bench] $name wall $w%.2f s > 2x prior ${prior(name)}%.2f s — quiet-window re-measure")
+          if prior.get(name).exists(pw => w > requietGate(pw) * pw && w > 0.5) =>
+        System.err.println(f"[bench] $name wall $w%.2f s > ${requietGate(prior(name))}%.1fx prior ${prior(name)}%.2f s — quiet-window re-measure")
         quiesce(spark)
         val (gw, gl) = quiesceUntilCalm()
         val snap0 = procCpuTicks()
@@ -697,7 +716,7 @@ object Bench {
         // kept. A fresh wall CONFIRMING the slowdown means the regression
         // is real and binds as such.
         val freshLine =
-          if (inJvmBest > 2.0 * prior(name))
+          if (inJvmBest > requietGate(prior(name)) * prior(name))
             runChild(s"requiet_$name", 600) { out =>
               Seq("graft.ProbeOne", name, sfDir, "-", reps.toString,
                 out.getAbsolutePath, cpus)

@@ -106,6 +106,10 @@ object JsonDecode {
         return row
       try {
         if (cur != '{') bad()
+        // the parsed top-level object is nesting level 1 (r14 advice:
+        // counting only skipped-value nesting accepted documents one level
+        // deeper than Jackson's 1000-deep StreamReadConstraints)
+        depth = 1
         i += 1
         ws()
         if (cur == '}') { i += 1; return row }

@@ -83,6 +83,13 @@ object Dedup {
    * orientation (id_a < id_b). threshold ≤ 0 short-circuits to the
    * canonical pair list itself (J ≥ 0 always holds, including zero-overlap
    * pairs the posting join would silently drop).
+   *
+   * BEHAVIOR NOTE (r14, intentional): explicit `features` arrays are now
+   * `sortedDistinct`-hashed on BOTH branches, so duplicate-containing
+   * feature arrays get SET semantics everywhere. Before r14 the posting
+   * branch counted duplicates (multiset J) while the small branch did not —
+   * callers who tuned thresholds against the old large-path multiset
+   * numbers will see slightly higher J for dup-heavy features now.
    */
   def verifyPairsExact(docs: DataFrame, pairs: DataFrame, threshold: Double,
                        smallCap: Long = 8192L, idCol: String = "doc_id",

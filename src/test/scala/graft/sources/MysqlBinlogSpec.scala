@@ -245,4 +245,28 @@ class MysqlBinlogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(decoded.toSeq == Seq((0L, "c"), (3L, "c"), (6L, "u"), (9L, "d")))
   }
+
+  test("fixture invariant: decoded pos equals the source o_orderkey, row for row") {
+    // cdc_binlog_decode's plan replaces a post-decode global orderBy("pos")
+    // with repartitionByRange(o_orderkey) on the RAW rows +
+    // sortWithinPartitions("pos") after the narrow decode — equivalent ONLY
+    // because the fixture assigns pos = o_orderkey. This spec pins that
+    // invariant over a multi-segment spread so a fixture change to real
+    // byte offsets cannot silently invalidate the ordering claim
+    // (SparkEntry cdc_binlog_decode; r14 advice).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val orders = spark.range(0, 1000).select(
+      col("id").as("o_orderkey"), (col("id") * 7 % 97).as("o_custkey"),
+      lit("O").as("o_orderstatus"), (col("id") * 1.5).as("o_totalprice"),
+      timestamp_millis(lit(812332800000L)).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+    val got = Fx.decodedOrders(orders)
+      .filter("op in ('c','u','d')")
+      .select("pos").as[Long].collect().sorted
+    assert(got.length == 1000 && got.sameElements(0L until 1000L),
+      "decoded pos no longer equals the source o_orderkey — the " +
+        "repartitionByRange(o_orderkey)+sortWithinPartitions(pos) ordering " +
+        "contract in cdc_binlog_decode is broken")
+  }
 }
