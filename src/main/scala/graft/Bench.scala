@@ -324,6 +324,34 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Prior-round ×10 task-CPU map (`queries_taskcpu_x10` inside
+   * `scale_probe_x10`) — the fresh-remeasure trigger needs a per-query
+   * prior so an in-JVM ×10 read that jumps far above its own committed
+   * history gets a fresh-JVM arbitration even below the absolute
+   * threshold (r14: cdc_envelope bound 60.5 from long-JVM phase, 4× its
+   * r13 value, because 60.5 < the 100 s gate; fresh A/B measured ~18-20
+   * on BOTH r13 and r14 code). */
+  private def priorX10TaskCpu(path: String): Map[String, Double] =
+    try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val key = "\"queries_taskcpu_x10\":{"
+      val start = s.indexOf(key)
+      if (start < 0) Map.empty
+      else {
+        val from = start + key.length
+        val end = s.indexOf('}', from)
+        if (end < 0) Map.empty
+        else s.substring(from, end).split(",").iterator.flatMap { pair =>
+          pair.split(":") match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Per-rep detail objects — a host stall shows as wall >> proc_cpu (or a
    * majflt spike / loadavg pile-up) in the artifact itself, distinguishable
    * from a slow plan (r8 verdict #3; r10 verdict #1; r11 verdict #2). */
@@ -501,6 +529,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // prior-round walls MUST be read before phase-1 overwrites the artifact
     val prior = priorWalls(outPath)
+    val priorX10 = priorX10TaskCpu(outPath)
     val priorOrdersEps = priorDrainEps(outPath, "drain_events_per_s")
     val priorTpccEps = priorDrainEps(outPath, "drain_tpcc_events_per_s")
     val priorKafkaEps = priorDrainEps(outPath, "drain_kafka_wire_events_per_s")
@@ -919,7 +948,7 @@ object Bench {
       "cdc_pgoutput_decode" ->
         "inherent: full pgoutput wire decode of ~1.5M events; linear",
       "cdc_envelope" ->
-        "inherent: Debezium envelope to_json encode of the full x10 change stream (every before/after byte re-serialized); sublinear growth (~6x for 10x rows — the x1 base carries per-task fixed cost)",
+        "inherent: CloudEvents to_json encode of the full x10 change stream; fresh-JVM plan cost ~18-20 task-CPU-s (r15 controlled A/B, HEAD vs 882e31d interleaved both orders, 2 fresh children each side: 17.7/20.2 vs 19.6/20.1 — code identical across rounds; r14's 60.5 was long-JVM in-JVM phase below the fresh gate, r13's 14.8 a favorable window; the 2.5x-vs-prior fresh trigger now arbitrates this class)",
       "dedup_jaccard" ->
         "inherent: posting-join pair mining over the x10 corpus; sublinear growth (~1.9x) from ~40 at x1",
       "dedup_containment" ->
@@ -929,9 +958,9 @@ object Bench {
       "dedup_cross" ->
         "inherent: minhash signatures over both corpus splits + broadcast banded cross-join + exact-Jaccard verification; same family as dedup_minhash, train side streams once",
       "dedup_clusters" ->
-        "inherent: pair mining + diameter-bound CC rounds at x10; growth ~1.9x",
+        "inherent: pair mining + diameter-bound CC rounds at x10; r15 mining rework (Mersenne-folded minhash, fused band hashes, window-min hub edges, one fewer full-corpus exchange) cut the family's fresh x10 from ~190 to ~65-75 task-CPU-s",
       "dedup_survivors" ->
-        "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters",
+        "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters (r15 rework: fresh x10 ~65-70 task-CPU-s, was 106.5/130.8 in r14)",
       "dedup_semantic" ->
         "inherent: banded hyperplane-LSH candidate mining (4 bands, width adaptive to corpus size — expected bucket occupancy bounded, so distinct candidates grow ~linearly, not n^2/2^bits) + spanning-edge hub verification with intra-bucket fallback + CC rounds; composition of the dedup_minhash/dedup_clusters families over the x10 embedding corpus",
       "ann_pairs_lsh" ->
@@ -951,7 +980,7 @@ object Bench {
       "cdc_lake_project" ->
         "inherent: flat-envelope projection of the full x10 change stream; linear",
       "cdc_outbox" ->
-        "inherent: outbox JSON parse+route of the full x10 change stream; linear",
+        "inherent: outbox JSON parse+route of the full x10 change stream; linear. Fresh-JVM plan cost ~34-36 task-CPU-s (r15 A/B: HEAD 36.0 vs 882e31d 34.4 — the r14 fusedJsonFor routing changed nothing measurable; r13 32.9 / r14 38.6 bracket the same cost)",
       "cdc_json_extract" ->
         "inherent: JSON path extraction over the full x10 change stream; linear",
       "cdc_filter" ->
@@ -959,7 +988,7 @@ object Bench {
       "cdc_filter_changed" ->
         "inherent: changed-column diff over full before/after images at x10; linear",
       "cdc_scd2" ->
-        "inherent: per-key history window over the x10 stream (keys remapped per replica, history depth constant); linear",
+        "inherent: per-key history window over the x10 stream (keys remapped per replica, history depth constant); linear. Fresh-JVM plan cost ~33-35 task-CPU-s (r15 A/B: HEAD 32.7 vs 882e31d 35.0 — no code drift; r13's 23.8 was the favorable window, r14's 33.3 the real cost; the query contains no JSON encode at all)",
       "cdc_upsert" ->
         "inherent: per-key ReplacingMergeTree window over the full x10 change stream (one hash exchange on the key, deletes dropped before the final project); sublinear growth ~1.5x from ~20 at x1 (per-task fixed cost dominates the x1 base)",
       "text_metrics" ->
@@ -1111,9 +1140,19 @@ object Bench {
           // and read 2.3× the in-JVM task-CPU; 24g matches build.sbt's own
           // sizing — "8g thrashes GC once cached intermediates pile up").
           val fresh = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double, Double)]()
+          // Fresh-remeasure triggers: the absolute threshold, OR a ×10 read
+          // that jumped >2.5× above the prior COMMITTED ×10 for the same
+          // query (and isn't trivially small) — the r14 cdc_envelope lesson:
+          // a long-JVM phase inflated an in-JVM ×10 read 4× but it sat
+          // below the absolute gate, bound as-is, and shipped with a wrong
+          // "inherent" attribution; the controlled fresh A/B (HEAD vs prior
+          // round's code, interleaved) measured ~18-20 on both.
+          def freshTrigger(name: String, tc10: Double): Boolean =
+            tc10 > freshThreshold ||
+              (tc10 > 10.0 && priorX10.get(name).exists(p => tc10 > 2.5 * p))
           if (!sys.env.get("SPARK_GRAFT_FRESH_PROBE").contains("0")) {
             probed.foreach {
-              case (name, _, Some((_, _, tc10))) if tc10 > freshThreshold =>
+              case (name, _, Some((_, _, tc10))) if freshTrigger(name, tc10) =>
                 runChild(s"probe_$name", 900) { out =>
                   Seq("graft.ProbeOne", name, x1RDir, x10Dir, reps.toString,
                     out.getAbsolutePath, cpus)
