@@ -983,6 +983,8 @@ object Bench {
         "inherent: outbox JSON parse+route of the full x10 change stream; linear. Fresh-JVM plan cost ~34-36 task-CPU-s (r15 A/B: HEAD 36.0 vs 882e31d 34.4 — the r14 fusedJsonFor routing changed nothing measurable; r13 32.9 / r14 38.6 bracket the same cost)",
       "cdc_json_extract" ->
         "inherent: JSON path extraction over the full x10 change stream; linear",
+      "cdc_nested_decode" ->
+        "inherent: nested-payload JSON encode + fused nested decode round trip over the full x10 stream; linear (fused nested decode measured 2-4.5x cheaper than builtin from_json on this shape)",
       "cdc_filter" ->
         "inherent: 13-predicate gate over the full x10 change stream; linear",
       "cdc_filter_changed" ->

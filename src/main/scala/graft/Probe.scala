@@ -2,20 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Repurposable ad-hoc decomposition harness (not part of the library
- * surface): current experiment = dedup_clusters / dedup_survivors ×1/×10
- * A/B after the r15 mining rework (Mersenne-folded minhash, fused band
- * hashes, window-min hub edges). Baseline (same protocol, pre-rework):
- * ×10 full_survivors 177.6/194.9, full_clusters 190.2/196.4, pairs_only
- * 152.3, sig_only 26.2; ×1 full_clusters 20.3/23.0, sig_only 14.2. */
+ * surface): current experiment = fused NESTED JSON decode (r15) vs builtin
+ * from_json on a nested change-payload shape at ×10 (1.5M rows), fresh
+ * JVM, min-of-2 with clearCache+gc per rep. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,53 +35,40 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    import graft.llm.Dedup
-    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    def build(mult: Int): String = {
-      val dir = s"/tmp/probe_dedup_x$mult"
-      if (!new java.io.File(dir).exists()) {
-        val repsArr = array((0 until mult).map(lit): _*)
-        docs0.withColumn("_rep", explode(repsArr))
-          .withColumn("doc_id",
-            (col("doc_id").cast("long") * mult + col("_rep")).cast("long"))
-          .withColumn("text",
-            when(col("_rep") === 0, col("text")).otherwise(
-              array_join(transform(split(col("text"), " "),
-                t => concat(t, lit("_"), col("_rep"))), " ")))
-          .drop("_rep")
-          .repartition(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(dir)
-      }
-      dir
-    }
-
-    for (m <- Seq(1, 10); dir = build(m)) {
-      val docs = spark.read.parquet(dir)
-      val n = docs.count()
-      for (rep <- 1 to 2) {
-        spark.catalog.clearCache(); System.gc()
-        val (w, c) = timed {
-          noop(Dedup.clusterSurvivors(docs, Dedup.minhashSpanningPairs(docs, 0.5))
-            .select(col("doc_id")))
-        }
-        println(f"PROBE x$m rep$rep n=$n full_survivors wall=$w%.2f taskCpu=$c%.2f")
-      }
-      for (rep <- 1 to 2) {
-        spark.catalog.clearCache(); System.gc()
-        val (w, c) = timed {
-          noop(Dedup.clusters(docs, Dedup.minhashSpanningPairs(docs, 0.5)))
-        }
-        println(f"PROBE x$m rep$rep full_clusters wall=$w%.2f taskCpu=$c%.2f")
-      }
+    val o = spark.read.parquet("/tmp/ab_x10/orders.parquet")
+    // nested payload: struct order{id,status,price}, array<long> items,
+    // array<struct{k,v}> attrs — the reference's List<T> envelope shape
+    val payload = to_json(struct(
+      struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price")).as("order"),
+      array(col("o_orderkey"), col("o_custkey"), col("o_orderkey") % 7).as("items"),
+      array(
+        struct(lit("prio").as("k"), col("o_orderpriority").as("v")),
+        struct(lit("stat").as("k"), col("o_orderstatus").as("v"))).as("attrs")))
+    val src = o.select(col("o_orderkey"), payload.as("j")).localCheckpoint(true)
+    println(s"rows=${src.count()}")
+    val sch = StructType(Seq(
+      StructField("order", StructType(Seq(
+        StructField("id", LongType), StructField("status", StringType),
+        StructField("price", DoubleType)))),
+      StructField("items", ArrayType(LongType)),
+      StructField("attrs", ArrayType(StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType)))))))
+    def projected(parsed: org.apache.spark.sql.Column) =
+      src.select(col("o_orderkey"), parsed.as("p"))
+        .select(col("o_orderkey"), col("p.order.id").as("id"),
+          col("p.order.price").as("price"), col("p.items").as("items"),
+          col("p.attrs").as("attrs"))
+    // warmups
+    noop(projected(graft.functions.JsonDecode.fusedFromJson(col("j"), sch)))
+    noop(projected(from_json(col("j"), sch)))
+    for (rep <- 1 to 2) {
       spark.catalog.clearCache(); System.gc()
-      val (wp, cp) = timed { noop(Dedup.minhashSpanningPairs(docs, 0.5)) }
-      println(f"PROBE x$m pairs_only wall=$wp%.2f taskCpu=$cp%.2f")
+      val (wf, cf) = timed { noop(projected(graft.functions.JsonDecode.fusedFromJson(col("j"), sch))) }
+      println(f"PROBE rep$rep fused_nested wall=$wf%.2f taskCpu=$cf%.2f")
       spark.catalog.clearCache(); System.gc()
-      val (ws, cs) = timed { noop(Dedup.minhashSignatures(docs, 64)) }
-      println(f"PROBE x$m sig_only wall=$ws%.2f taskCpu=$cs%.2f")
-      // sanity: edge count must match the pre-rework graph (2462 at x10)
-      val ne = Dedup.minhashSpanningPairs(docs, 0.5).count()
-      println(s"PROBE x$m edges=$ne")
+      val (wb, cb) = timed { noop(projected(from_json(col("j"), sch))) }
+      println(f"PROBE rep$rep builtin_nested wall=$wb%.2f taskCpu=$cb%.2f")
     }
     spark.stop()
   }

@@ -235,6 +235,44 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // NESTED fused decode (r15): encode a nested change payload — struct
+    // order{...}, array<long> items, array<struct{k,v}> attrs (the
+    // reference's List<T> lake-envelope shape, s3/encoder.rs:1-19) — then
+    // decode it back through JsonDecode.fusedFromJson with a NESTED schema
+    // (previously flat-only → Jackson fallback; fused measured 2-4.5×
+    // cheaper at ×10) and project scalars out of every nesting level. The
+    // oracle is round-trip IDENTITY on the source columns: any divergence
+    // in either the fused encoder or the nested decoder breaks equality.
+    "cdc_nested_decode" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val par = s.sparkContext.defaultParallelism
+      val payload = to_json(struct(
+        struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("order"),
+        array(col("o_orderkey"), col("o_custkey"), pmod(col("o_orderkey"), lit(7))).as("items"),
+        array(
+          struct(lit("prio").as("k"), col("o_orderpriority").as("v")),
+          struct(lit("stat").as("k"), col("o_orderstatus").as("v"))).as("attrs")))
+      val sch = StructType(Seq(
+        StructField("order", StructType(Seq(
+          StructField("id", LongType), StructField("status", StringType),
+          StructField("price", DoubleType)))),
+        StructField("items", ArrayType(LongType)),
+        StructField("attrs", ArrayType(StructType(Seq(
+          StructField("k", StringType), StructField("v", StringType)))))))
+      o.repartition(par) // per-row encode+decode: spread single-file scans
+        .select(col("o_orderkey").cast(LongType).as("o_orderkey"), payload.as("j"))
+        .select(col("o_orderkey"),
+          graft.functions.JsonDecode.fusedFromJson(col("j"), sch).as("p"))
+        .select(col("o_orderkey"),
+          col("p.order.id").as("id"), col("p.order.status").as("status"),
+          col("p.order.price").as("price"),
+          element_at(col("p.items"), 2).as("item_cust"),
+          size(col("p.items")).cast(LongType).as("n_items"),
+          element_at(col("p.attrs"), 1).getField("v").as("attr_prio"))
+        .orderBy("o_orderkey")
+    }),
+
     "cdc_envelope" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val op = CdcSynth.opFor(col("o_orderkey"))
@@ -1441,6 +1479,20 @@ object SparkEntry {
         |        prio := o_orderpriority)) AS j
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // round-trip identity: the Spark side encodes a nested payload and
+    // decodes it back, so the oracle is the source columns themselves —
+    // any encoder/decoder divergence (numbers, escapes, array order)
+    // breaks the hash match
+    "cdc_nested_decode" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(o_orderkey AS BIGINT) AS id,
+        | o_orderstatus AS status,
+        | o_totalprice AS price,
+        | CAST(o_custkey AS BIGINT) AS item_cust,
+        | CAST(3 AS BIGINT) AS n_items,
+        | o_orderpriority AS attr_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "cdc_envelope" ->
       """SELECT o_orderkey, concat(

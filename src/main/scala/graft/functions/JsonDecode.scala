@@ -5,22 +5,25 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Fused JSON→struct decoder — the decode twin of [[JsonEncode]] (r12's
- * fused encoder), for FLAT schemas of string / long / int / double /
- * boolean fields: one hand-rolled byte-level pass over the payload, no
- * Jackson, no UTF8String→String conversion for clean strings, no generic
- * parser machinery per field.
+ * fused encoder), for schemas of string / long / int / double / boolean /
+ * decimal / timestamp leaves nested arbitrarily under struct and array
+ * (r15 — previously flat-only): one hand-rolled byte-level pass over the
+ * payload, no Jackson, no UTF8String→String conversion for clean strings,
+ * no generic parser machinery per field.
  *
  * Why not `from_json`: the lake projection (`cdc_lake_project`) parses two
  * images per change event through Jackson, and that parse is the largest
  * CPU term of the cdc decode/project family at ×10 (r12 verdict #8 names
  * it). The reference decodes each image once into typed Arrow columns
- * (crates/deltaforge-core/src/encoding/arrow_schema.rs:31-139); this
+ * (crates/deltaforge-core/src/encoding/arrow_schema.rs:31-139 — incl. the
+ * nested List<T> envelopes of crates/sinks/src/s3/encoder.rs:1-19); this
  * kernel restores that single-pass cost model on the Spark side.
  *
  * Replicated `from_json` (PERMISSIVE, partial-results) semantics, pinned
@@ -31,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - a field whose VALUE doesn't convert (string in a long field, float
  *    token in a long field, long overflow) → that field null, parsing
  *    continues (Spark's enablePartialResults behavior);
+ *  - NESTED failure propagation (empirically pinned against the builtin,
+ *    r15): coercion failures are absorbed at the nearest enclosing STRUCT
+ *    (that field nulls, siblings keep); ARRAYS propagate — any failed
+ *    element (or a wrong-token element) nulls the WHOLE array value, which
+ *    then propagates to ITS nearest struct. Struct elements inside arrays
+ *    absorb their own leaf failures ([{"a":1},{"a":"x"}] → [[1],[null]]);
+ *    a non-object element under array<struct> fails the whole array.
+ *    Explicit JSON `null` elements/fields are values, never failures;
  *  - missing fields null; unknown fields skipped (nested values skipped
  *    structurally); duplicate keys → LAST occurrence wins;
  *  - strings unescaped exactly (incl. \uXXXX surrogate pairs — escaped
@@ -47,24 +58,30 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object JsonDecode {
 
-  /** Column API: fused parse when the schema qualifies (flat, supported
-   * leaf types), builtin `from_json` otherwise — call sites never change
-   * semantics by switching. */
+  /** Column API: fused parse when the schema qualifies (supported leaf
+   * types under any struct/array nesting), builtin `from_json` otherwise —
+   * call sites never change semantics by switching. */
   def fusedFromJson(json: Column, schema: StructType): Column =
     if (supported(schema))
       GraftBridge.column(FusedJsonToStruct(GraftBridge.expression(json), schema))
     else org.apache.spark.sql.functions.from_json(json, schema)
 
-  def supported(s: StructType): Boolean = s.fields.forall { f =>
-    f.dataType match {
-      case StringType | LongType | IntegerType | DoubleType | BooleanType |
-           TimestampType => true
-      case _: DecimalType => true
-      case _ => false
-    }
+  def supported(s: StructType): Boolean = s.fields.forall(f => supportedType(f.dataType))
+
+  private def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | BooleanType |
+         TimestampType => true
+    case _: DecimalType => true
+    case st: StructType => supported(st)
+    case ArrayType(et, _) => supportedType(et)
+    case _ => false // map / interval / binary / date … → builtin
   }
 
   private object BadJson extends Exception with scala.util.control.NoStackTrace
+
+  /** Distinguished coercion-failure sentinel — explicit JSON `null` is a
+   * VALUE (never a failure), so `null` can't carry the signal. */
+  private object Fail
 
   private val T_STRING = 0
   private val T_LONG = 1
@@ -73,68 +90,130 @@ object JsonDecode {
   private val T_BOOL = 4
   private val T_DECIMAL = 5
   private val T_TIMESTAMP = 6
+  private val T_STRUCT = 7
+  private val T_ARRAY = 8
 
   private val TRUE_U8 = UTF8String.fromString("true")
   private val FALSE_U8 = UTF8String.fromString("false")
 
+  /** Compiled mirror of one schema position: scalar leaf params, struct
+   * member tables, or the array element spec. */
+  private final class VSpec(val kind: Int,
+                            val precision: Int, val scale: Int,
+                            val names: Array[Array[Byte]], // T_STRUCT
+                            val fields: Array[VSpec],      // T_STRUCT
+                            val elem: VSpec)               // T_ARRAY
+
+  private def leaf(kind: Int, p: Int = 0, s: Int = 0): VSpec =
+    new VSpec(kind, p, s, null, null, null)
+
+  private def compile(dt: DataType): VSpec = dt match {
+    case StringType => leaf(T_STRING)
+    case LongType => leaf(T_LONG)
+    case IntegerType => leaf(T_INT)
+    case DoubleType => leaf(T_DOUBLE)
+    case BooleanType => leaf(T_BOOL)
+    case d: DecimalType => leaf(T_DECIMAL, d.precision, d.scale)
+    case TimestampType => leaf(T_TIMESTAMP)
+    case st: StructType =>
+      new VSpec(T_STRUCT, 0, 0,
+        st.fields.map(_.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        st.fields.map(f => compile(f.dataType)), null)
+    case ArrayType(et, _) => new VSpec(T_ARRAY, 0, 0, null, null, compile(et))
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
   /** One instance per row — holds the cursor as a field (no IntRef boxing
-   * in the hot loops). `precisions`/`scales` are per-field decimal params
-   * (unused slots 0); `tsParse` is the builtin-identical timestamp-string
-   * parse (null when the schema has no timestamp field). */
-  private final class Parser(a: Array[Byte], names: Array[Array[Byte]],
-                             kinds: Array[Int], precisions: Array[Int],
-                             scales: Array[Int], tsParse: String => Long) {
+   * in the hot loops). `tsParse` is the builtin-identical timestamp-string
+   * parse (null when the schema has no timestamp leaf). */
+  private final class Parser(a: Array[Byte], root: VSpec, tsParse: String => Long) {
     private val n = a.length
     private var i = 0
-    private var depth = 0 // container nesting (Jackson StreamReadConstraints)
+    private var depth = 0 // TOTAL container nesting, parsed AND skipped
+                          // (Jackson StreamReadConstraints, 1000)
 
     private def ws(): Unit = {
       while (i < n && (a(i) == ' ' || a(i) == '\t' || a(i) == '\n' || a(i) == '\r')) i += 1
     }
     private def cur: Int = if (i < n) a(i) & 0xff else -1
     private def bad(): Nothing = throw BadJson
+    private def enter(): Unit = { depth += 1; if (depth > 1000) bad() }
 
     /** null = NULL result; otherwise the decoded row (all-null on a
      * structural error). */
     def parseTop(): InternalRow = {
       ws()
       if (i >= n) return null // empty / whitespace-only → SQL NULL
-      val row = new GenericInternalRow(names.length)
       // top-level JSON `null` literal → all-null ROW (from_json parity —
       // distinct from empty input, which is SQL NULL; spec-pinned)
       if (cur == 'n' && i + 4 <= n && a(i + 1) == 'u' && a(i + 2) == 'l' && a(i + 3) == 'l')
-        return row
+        return new GenericInternalRow(root.names.length)
       try {
         if (cur != '{') bad()
-        // the parsed top-level object is nesting level 1 (r14 advice:
-        // counting only skipped-value nesting accepted documents one level
-        // deeper than Jackson's 1000-deep StreamReadConstraints)
-        depth = 1
+        parseStruct(root)
+      } catch { case BadJson => new GenericInternalRow(root.names.length) }
+    }
+
+    /** Cursor on '{'. Parses one object against `spec` — partial results:
+     * a failed member VALUE nulls that member only (the struct boundary
+     * absorbs failures, builtin-pinned). Structural errors throw. */
+    private def parseStruct(spec: VSpec): GenericInternalRow = {
+      enter()
+      val row = new GenericInternalRow(spec.names.length)
+      i += 1
+      ws()
+      if (cur == '}') { i += 1; depth -= 1; return row }
+      var more = true
+      while (more) {
+        ws()
+        if (cur != '"') bad()
+        val idx = parseNameMatch(spec)
+        ws()
+        if (cur != ':') bad()
         i += 1
         ws()
-        if (cur == '}') { i += 1; return row }
-        var more = true
-        while (more) {
-          ws()
-          if (cur != '"') bad()
-          val idx = parseNameMatch()
-          ws()
-          if (cur != ':') bad()
-          i += 1
-          ws()
-          if (idx >= 0) parseValueInto(row, idx) else skipValue()
-          ws()
-          if (cur == ',') i += 1
-          else if (cur == '}') { i += 1; more = false }
-          else bad()
-        }
-        row
-      } catch { case BadJson => new GenericInternalRow(names.length) }
+        if (idx >= 0) {
+          val v = parseValue(spec.fields(idx))
+          row.update(idx, if (v.asInstanceOf[AnyRef] eq Fail) null else v)
+        } else skipValue()
+        ws()
+        if (cur == ',') i += 1
+        else if (cur == '}') { i += 1; more = false }
+        else bad()
+      }
+      depth -= 1
+      row
+    }
+
+    /** Cursor on '['. Parses one array of `elem` values. ANY failed
+     * element fails the WHOLE array (builtin-pinned: arrays propagate,
+     * structs absorb) — but the array is still consumed structurally so
+     * parsing continues behind it. Explicit null elements are values. */
+    private def parseArray(elem: VSpec): Any = {
+      enter()
+      i += 1
+      ws()
+      if (cur == ']') { i += 1; depth -= 1; return new GenericArrayData(new Array[Any](0)) }
+      val buf = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var failed = false
+      var more = true
+      while (more) {
+        ws()
+        val v = parseValue(elem)
+        if (v.asInstanceOf[AnyRef] eq Fail) failed = true else buf += v
+        ws()
+        if (cur == ',') i += 1
+        else if (cur == ']') { i += 1; more = false }
+        else bad()
+      }
+      depth -= 1
+      if (failed) Fail else new GenericArrayData(buf.toArray)
     }
 
     /** Consume a string token starting at the opening quote; return the
      * index of the matching field, or -1. */
-    private def parseNameMatch(): Int = {
+    private def parseNameMatch(spec: VSpec): Int = {
+      val names = spec.names
       val (s, e, escaped) = stringExtent()
       if (!escaped) {
         val len = e - s
@@ -272,85 +351,87 @@ object JsonDecode {
     }
 
     /** `Decimal(BigDecimal, p, s)` with the builtin's failure semantics:
-     * precision overflow / unparseable text → null FIELD. */
-    private def decimalOrNull(text: String, idx: Int): Any =
+     * precision overflow / unparseable text → coercion failure. */
+    private def decimalOrFail(text: String, spec: VSpec): Any =
       try org.apache.spark.sql.types.Decimal(
-        new java.math.BigDecimal(text), precisions(idx), scales(idx))
-      catch { case _: ArithmeticException | _: NumberFormatException => null }
+        new java.math.BigDecimal(text), spec.precision, spec.scale)
+      catch { case _: ArithmeticException | _: NumberFormatException => Fail }
 
-    private def parseValueInto(row: GenericInternalRow, idx: Int): Unit = {
-      val kind = kinds(idx)
+    /** Parse one value against `spec`. Returns the decoded value, `null`
+     * for an explicit JSON null, or [[Fail]] for a coercion failure — the
+     * token is ALWAYS fully consumed either way. Structural errors throw. */
+    private def parseValue(spec: VSpec): Any = {
+      val kind = spec.kind
       cur match {
         case '"' =>
           val (s, e, escaped) = stringExtent()
           kind match {
-            case T_STRING => row.update(idx, stringValue(s, e, escaped))
+            case T_STRING => stringValue(s, e, escaped)
             case T_DOUBLE =>
               // Spark's quoted non-numeric specials (allowNonNumericNumbers)
-              val t = stringValue(s, e, escaped).toString
-              t match {
-                case "NaN" => row.update(idx, Double.NaN)
-                case "Infinity" | "+Infinity" | "+INF" => row.update(idx, Double.PositiveInfinity)
-                case "-Infinity" | "-INF" => row.update(idx, Double.NegativeInfinity)
-                case _ => row.update(idx, null)
+              stringValue(s, e, escaped).toString match {
+                case "NaN" => Double.NaN
+                case "Infinity" | "+Infinity" | "+INF" => Double.PositiveInfinity
+                case "-Infinity" | "-INF" => Double.NegativeInfinity
+                case _ => Fail
               }
             case T_DECIMAL =>
               // builtin: string tokens of length >= 1 go through the locale
-              // decimal parser (US: plain BigDecimal); failures null the field
+              // decimal parser (US: plain BigDecimal); failures fail the field
               val t = stringValue(s, e, escaped).toString
-              row.update(idx, if (t.isEmpty) null else decimalOrNull(t, idx))
+              if (t.isEmpty) Fail else decimalOrFail(t, spec)
             case T_TIMESTAMP =>
               val t = stringValue(s, e, escaped).toString
-              row.update(idx,
-                if (t.isEmpty) null
-                else try Long.box(tsParse(t))
-                catch { case e if scala.util.control.NonFatal(e) => null })
-            case _ => row.update(idx, null) // string into long/int/bool
+              if (t.isEmpty) Fail
+              else try Long.box(tsParse(t))
+              catch { case e if scala.util.control.NonFatal(e) => Fail }
+            case _ => Fail // string into long/int/bool/struct/array
           }
         case 't' =>
           literal("true")
           kind match {
-            case T_BOOL => row.update(idx, true)
-            case T_STRING => row.update(idx, TRUE_U8)
-            case _ => row.update(idx, null)
+            case T_BOOL => java.lang.Boolean.TRUE
+            case T_STRING => TRUE_U8
+            case _ => Fail
           }
         case 'f' =>
           literal("false")
           kind match {
-            case T_BOOL => row.update(idx, false)
-            case T_STRING => row.update(idx, FALSE_U8)
-            case _ => row.update(idx, null)
+            case T_BOOL => java.lang.Boolean.FALSE
+            case T_STRING => FALSE_U8
+            case _ => Fail
           }
         case 'n' =>
           literal("null")
-          row.update(idx, null) // explicit null (duplicate-key: last wins)
+          null // explicit null is a VALUE everywhere (duplicate-key: last wins)
         case c if c == '-' || (c >= '0' && c <= '9') =>
           val (s, e, isInt) = numberExtent()
           kind match {
             case T_LONG =>
-              row.update(idx, if (isInt) parseLong(s, e) else null)
+              if (isInt) { val v = parseLong(s, e); if (v == null) Fail else v }
+              else Fail
             case T_DECIMAL =>
               // int AND float tokens: Jackson getDecimalValue == BigDecimal
               // over the token text
-              row.update(idx, decimalOrNull(
-                new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII), idx))
+              decimalOrFail(
+                new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII), spec)
             case T_TIMESTAMP =>
               // builtin: int token = SECONDS since epoch, micros via a plain
               // Java multiply (silently wraps on overflow — reproduced);
-              // beyond-long int tokens and float tokens null the field
+              // beyond-long int tokens and float tokens fail the field
               if (isInt) {
                 val v = parseLong(s, e)
-                row.update(idx, if (v == null) null else Long.box(v.longValue() * 1000000L))
-              } else row.update(idx, null)
+                if (v == null) Fail else Long.box(v.longValue() * 1000000L)
+              } else Fail
             case T_INT =>
               if (isInt) {
                 val v = parseLong(s, e)
                 if (v != null && v.longValue() >= Int.MinValue && v.longValue() <= Int.MaxValue)
-                  row.update(idx, v.intValue())
-                else row.update(idx, null)
-              } else row.update(idx, null)
+                  Int.box(v.intValue())
+                else Fail
+              } else Fail
             case T_DOUBLE =>
-              row.update(idx, java.lang.Double.parseDouble(
+              Double.box(java.lang.Double.parseDouble(
                 new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)))
             case T_STRING =>
               // Jackson copyCurrentStructure RE-SERIALIZES numbers into a
@@ -360,24 +441,35 @@ object JsonDecode {
               // "-4.5e2" → "-450.0"). Reproduce exactly.
               if (isInt) {
                 val v = parseLong(s, e)
-                row.update(idx, if (v != null)
-                  UTF8String.fromString(java.lang.Long.toString(v.longValue()))
-                else UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, e)))
+                if (v != null) UTF8String.fromString(java.lang.Long.toString(v.longValue()))
+                else UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, e))
               } else {
                 val d = java.lang.Double.parseDouble(
                   new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII))
-                row.update(idx, UTF8String.fromString(java.lang.Double.toString(d)))
+                UTF8String.fromString(java.lang.Double.toString(d))
               }
-            case T_BOOL => row.update(idx, null)
+            case _ => Fail // number into bool/struct/array
           }
-        case '{' | '[' =>
-          val s = i
-          skipValue()
-          // raw source slice — byte-equal to Jackson's re-serialization for
-          // the compact JSON the pipeline produces (scaladoc)
-          if (kind == T_STRING)
-            row.update(idx, UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, i)))
-          else row.update(idx, null)
+        case '{' =>
+          kind match {
+            case T_STRUCT => parseStruct(spec)
+            case T_STRING =>
+              // raw source slice — byte-equal to Jackson's re-serialization
+              // for the compact JSON the pipeline produces (scaladoc)
+              val s = i
+              skipValue()
+              UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, i))
+            case _ => skipValue(); Fail // object into scalar/array
+          }
+        case '[' =>
+          kind match {
+            case T_ARRAY => parseArray(spec.elem)
+            case T_STRING =>
+              val s = i
+              skipValue()
+              UTF8String.fromBytes(java.util.Arrays.copyOfRange(a, s, i))
+            case _ => skipValue(); Fail // array into scalar/struct
+          }
         case _ => bad()
       }
     }
@@ -395,7 +487,7 @@ object JsonDecode {
      * `{"l":1,"x":{bogus##}}`) that the builtin's tokenizer rejects with an
      * all-null row (r13 ADVICE). Containers recurse through the same token
      * dispatch as parsed values; depth capped like Jackson's
-     * StreamReadConstraints (1000). */
+     * StreamReadConstraints (1000, parsed + skipped levels combined). */
     private def skipValue(): Unit = cur match {
       case '"' => stringExtent()
       case 't' => literal("true")
@@ -403,8 +495,7 @@ object JsonDecode {
       case 'n' => literal("null")
       case c if c == '-' || (c >= '0' && c <= '9') => numberExtent()
       case '{' =>
-        depth += 1
-        if (depth > 1000) bad()
+        enter()
         i += 1
         ws()
         if (cur == '}') i += 1
@@ -427,8 +518,7 @@ object JsonDecode {
         }
         depth -= 1
       case '[' =>
-        depth += 1
-        if (depth > 1000) bad()
+        enter()
         i += 1
         ws()
         if (cur == ']') i += 1
@@ -471,40 +561,28 @@ object JsonDecode {
       case StringType =>
         if (supported(schema)) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"fused_from_json supports flat string/long/int/double/boolean/decimal/timestamp schemas, got $schema")
+          s"fused_from_json supports string/long/int/double/boolean/decimal/timestamp leaves under struct/array nesting, got $schema")
       case other => TypeCheckResult.TypeCheckFailure(
         s"fused_from_json needs a string child, got $other")
     }
 
-    @transient private lazy val nameBytes: Array[Array[Byte]] =
-      schema.fields.map(_.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    @transient private lazy val kinds: Array[Int] = schema.fields.map(_.dataType match {
-      case StringType => T_STRING
-      case LongType => T_LONG
-      case IntegerType => T_INT
-      case DoubleType => T_DOUBLE
-      case BooleanType => T_BOOL
-      case _: DecimalType => T_DECIMAL
-      case TimestampType => T_TIMESTAMP
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    })
-    @transient private lazy val precisions: Array[Int] = schema.fields.map(_.dataType match {
-      case d: DecimalType => d.precision
-      case _ => 0
-    })
-    @transient private lazy val scales: Array[Int] = schema.fields.map(_.dataType match {
-      case d: DecimalType => d.scale
-      case _ => 0
-    })
+    @transient private lazy val root: VSpec = compile(schema)
+
+    private def hasTimestamp(dt: DataType): Boolean = dt match {
+      case TimestampType => true
+      case st: StructType => st.fields.exists(f => hasTimestamp(f.dataType))
+      case ArrayType(et, _) => hasTimestamp(et)
+      case _ => false
+    }
     @transient private lazy val tsParse: String => Long =
-      if (schema.fields.exists(_.dataType == TimestampType))
+      if (hasTimestamp(schema))
         org.apache.spark.sql.classic.GraftBridge.jsonTimestampParser(
           timeZoneId.getOrElse("UTC"))
       else null
 
     /** Called from generated code; null = SQL NULL result. */
     def parse(u: UTF8String): InternalRow =
-      new Parser(u.getBytes, nameBytes, kinds, precisions, scales, tsParse).parseTop()
+      new Parser(u.getBytes, root, tsParse).parseTop()
 
     override protected def nullSafeEval(input: Any): Any =
       parse(input.asInstanceOf[UTF8String])
