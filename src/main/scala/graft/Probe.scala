@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Repurposable ad-hoc decomposition harness (not part of the library
- * surface): current experiment = fused NESTED JSON decode (r15) vs builtin
- * from_json on a nested change-payload shape at ×10 (1.5M rows), fresh
- * JVM, min-of-2 with clearCache+gc per rep. */
+ * surface): current experiment = ×10 cost of the r15-reworked DSIR
+ * (2-pass feature stream, was 5-pass) and dedup_semantic (window-min hub
+ * edges). Committed r14 in-JVM ×10 baselines: data_dsir_weights 63.4,
+ * data_dsir_sample 64.0, dedup_semantic 63.3 task-CPU-s. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -17,6 +17,7 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val taskNs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -35,40 +36,41 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val o = spark.read.parquet("/tmp/ab_x10/orders.parquet")
-    // nested payload: struct order{id,status,price}, array<long> items,
-    // array<struct{k,v}> attrs — the reference's List<T> envelope shape
-    val payload = to_json(struct(
-      struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-        col("o_totalprice").as("price")).as("order"),
-      array(col("o_orderkey"), col("o_custkey"), col("o_orderkey") % 7).as("items"),
-      array(
-        struct(lit("prio").as("k"), col("o_orderpriority").as("v")),
-        struct(lit("stat").as("k"), col("o_orderstatus").as("v"))).as("attrs")))
-    val src = o.select(col("o_orderkey"), payload.as("j")).localCheckpoint(true)
-    println(s"rows=${src.count()}")
-    val sch = StructType(Seq(
-      StructField("order", StructType(Seq(
-        StructField("id", LongType), StructField("status", StringType),
-        StructField("price", DoubleType)))),
-      StructField("items", ArrayType(LongType)),
-      StructField("attrs", ArrayType(StructType(Seq(
-        StructField("k", StringType), StructField("v", StringType)))))))
-    def projected(parsed: org.apache.spark.sql.Column) =
-      src.select(col("o_orderkey"), parsed.as("p"))
-        .select(col("o_orderkey"), col("p.order.id").as("id"),
-          col("p.order.price").as("price"), col("p.items").as("items"),
-          col("p.attrs").as("attrs"))
-    // warmups
-    noop(projected(graft.functions.JsonDecode.fusedFromJson(col("j"), sch)))
-    noop(projected(from_json(col("j"), sch)))
-    for (rep <- 1 to 2) {
-      spark.catalog.clearCache(); System.gc()
-      val (wf, cf) = timed { noop(projected(graft.functions.JsonDecode.fusedFromJson(col("j"), sch))) }
-      println(f"PROBE rep$rep fused_nested wall=$wf%.2f taskCpu=$cf%.2f")
-      spark.catalog.clearCache(); System.gc()
-      val (wb, cb) = timed { noop(projected(from_json(col("j"), sch))) }
-      println(f"PROBE rep$rep builtin_nested wall=$wb%.2f taskCpu=$cb%.2f")
+    val dir = "/tmp/probe_x10full"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val repsArr = array((0 until 10).map(lit): _*)
+      docs0.withColumn("_rep", explode(repsArr))
+        .withColumn("doc_id", (col("doc_id").cast("long") * 10 + col("_rep")).cast("long"))
+        .withColumn("text",
+          when(col("_rep") === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("_rep"))), " ")))
+        .withColumn("source", col("source")) // keep source for isTarget
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      emb0.withColumn("_rep", explode(repsArr))
+        .withColumn("vec_id", (col("vec_id").cast("long") * 10 + col("_rep")).cast("long"))
+        .withColumn("embedding",
+          when(col("_rep") === 0, col("embedding")).otherwise(
+            zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+              (x, i) => x * (pmod(hash(col("_rep") * 1024 + i), lit(2)) * 2 - 1).cast("float"))))
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    for (q <- Seq("data_dsir_weights", "data_dsir_sample", "dedup_semantic",
+                  "dedup_clusters", "dedup_survivors")) {
+      val fn = SparkEntry.queries(q)
+      try { spark.catalog.clearCache(); noop(fn(spark, dir)) } catch { case e: Throwable =>
+        System.err.println(s"warmup $q: ${e.getMessage}") }
+      for (rep <- 1 to 2) {
+        spark.catalog.clearCache(); System.gc()
+        val (w, c) = timed { noop(fn(spark, dir)) }
+        println(f"PROBE x10 rep$rep $q wall=$w%.2f taskCpu=$c%.2f")
+      }
     }
     spark.stop()
   }

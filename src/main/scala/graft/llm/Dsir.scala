@@ -33,46 +33,57 @@ import org.apache.spark.sql.types._
  */
 object Dsir {
 
-  /** (doc_id, b) feature-bucket occurrences: unigrams + bigrams, with
-   * multiplicity, hashed md5-60 mod `buckets`. */
-  private def featureOccurrences(docs: DataFrame, buckets: Int,
+  /** (doc_id, t, b) feature-bucket occurrences with the target flag:
+   * unigrams + bigrams, with multiplicity, hashed md5-60 mod `buckets`.
+   * The flag is computed in the SAME projection so both passes over the
+   * stream know the doc's side without any semi/anti join. */
+  private def featureOccurrences(docs: DataFrame, isTarget: Column, buckets: Int,
                                  idCol: String, textCol: String): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), isTarget.as("t"),
         explode(concat(
           TextHashOps.md5Hash60Array(TextHashOps.textNgramsAll(col(textCol), 1)),
           TextHashOps.md5Hash60Array(TextHashOps.textNgramsAll(col(textCol), 2))))
           .as("h"))
-      .select(col("doc_id"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .select(col("doc_id"), col("t"), pmod(col("h"), lit(buckets.toLong)).as("b"))
 
   /**
    * Per-raw-doc DSIR log importance weights.
    *
    * `isTarget` splits `docs`; output is one row per NON-target doc:
    * (doc_id, n_feats, logw) with logw rounded to 4 decimals.
+   *
+   * Cost shape (r15): the md5 feature stream — the data-sized term — runs
+   * exactly TWICE: pass A aggregates BOTH models (target and raw bucket
+   * counts) in one map-side-combined groupBy, with the corpus totals
+   * derived from the materialized B-row count table rather than their own
+   * corpus passes; pass B joins the broadcast log-ratio model back onto
+   * the stream for the per-doc sums. The previous shape re-executed the
+   * feature chain five times (two models + two totals + per-doc).
    */
   def importanceWeights(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val feats = featureOccurrences(docs, buckets, idCol, textCol)
-    val targetIds = docs.filter(isTarget).select(col(idCol).as("doc_id"))
-    val tFeats = feats.join(broadcast(targetIds), Seq("doc_id"), "left_semi")
-    val rFeats = feats.join(broadcast(targetIds), Seq("doc_id"), "left_anti")
-    val ct = tFeats.groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = rFeats.groupBy("b").agg(count(lit(1)).as("cr"))
-    // <= `buckets` rows each; the totals are 1-row cross-joined literals
-    val tTot = tFeats.agg(count(lit(1)).as("tn"))
-    val rTot = rFeats.agg(count(lit(1)).as("rn"))
-    val llr = ct.join(cr, Seq("b"), "full_outer")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+    val feats = featureOccurrences(docs, isTarget, buckets, idCol, textCol)
+    // pass A: both add-1 models in ONE aggregation; <= `buckets` rows,
+    // eagerly cut (localCheckpoint) so the totals and the log-ratio model
+    // derive from the B-row table, not from fresh corpus passes
+    val counts = feats.groupBy("b").agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint(true)
+    val tots = counts.agg(sum(col("ct")).as("tn"), sum(col("cr")).as("rn"))
+    val llr = counts
+      .crossJoin(broadcast(tots))
       .select(col("b"),
         round(
-          log((coalesce(col("ct"), lit(0L)) + lit(1)).cast(DoubleType) /
+          log((col("ct") + lit(1)).cast(DoubleType) /
             (col("tn") + lit(buckets)).cast(DoubleType)) -
-          log((coalesce(col("cr"), lit(0L)) + lit(1)).cast(DoubleType) /
+          log((col("cr") + lit(1)).cast(DoubleType) /
             (col("rn") + lit(buckets)).cast(DoubleType)), 9)
           .cast(DecimalType(28, 10)).as("llr"))
-    val perDoc = rFeats.join(broadcast(llr), "b")
+    // pass B: the broadcast model back onto the raw side of the stream
+    val perDoc = feats.filter(!col("t")).join(broadcast(llr), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("llr")).as("w"))
     docs.filter(!isTarget).select(col(idCol).as("doc_id"))

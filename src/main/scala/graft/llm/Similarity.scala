@@ -224,8 +224,10 @@ object Similarity {
     val banded = vectors.select(col(idCol).as("id"),
       posexplode(lshBandSignatures(col(vecCol), dim, bands, bitsPerBand))
         .as(Seq("band", "bsig")))
-    val hubs = banded.groupBy("band", "bsig").agg(min(col("id")).as("id_a"))
-    banded.join(hubs, Seq("band", "bsig"))
+    banded
+      .withColumn("id_a",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bsig")))
       .filter(col("id") =!= col("id_a"))
       .select(col("id_a"), col("id").as("id_b")).dropDuplicates()
   }
@@ -295,11 +297,18 @@ object Similarity {
       cands.join(vecsA, "id_a").join(vecsB, "id_b")
         .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
 
-    val hubs = banded.groupBy("band", "bsig").agg(min(col("id")).as("id_a"))
     // hub edges with their bucket provenance (needed to scope the fallback)
-    val hubEdges = banded.join(hubs, Seq("band", "bsig"))
+    // via a whole-partition window min — ONE exchange of the banded rows
+    // where the groupBy+join shape paid it twice (the r15 minhash-miner
+    // measurement, same pattern); persisted: read by the verification pass
+    // AND the fallback's failed-member scoping
+    val hubEdges = banded
+      .withColumn("id_a",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bsig")))
       .filter(col("id") =!= col("id_a"))
       .select(col("band"), col("bsig"), col("id_a"), col("id").as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hubVerdicts = verified(hubEdges.select("id_a", "id_b").dropDuplicates())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hubPass = hubVerdicts.filter(col("cos_sim") >= threshold)
@@ -347,6 +356,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .localCheckpoint(true)
     banded.unpersist(false)
+    hubEdges.unpersist(false)
     hubVerdicts.unpersist(false)
     out
   }
