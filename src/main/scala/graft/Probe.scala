@@ -61,8 +61,9 @@ object Probe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
-    for (q <- Seq("data_dsir_weights", "data_dsir_sample", "dedup_semantic",
-                  "dedup_clusters", "dedup_survivors")) {
+    for (q <- Seq("dedup_simhash", "dedup_jaccard", "dedup_containment",
+                  "dedup_substring", "dedup_streaming_parity", "dedup_minhash",
+                  "dedup_cross")) {
       val fn = SparkEntry.queries(q)
       try { spark.catalog.clearCache(); noop(fn(spark, dir)) } catch { case e: Throwable =>
         System.err.println(s"warmup $q: ${e.getMessage}") }

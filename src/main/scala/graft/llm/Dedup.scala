@@ -892,10 +892,14 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               tokenHasher: Column => Column = xxhashTokens): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // one spread exchange of the raw docs; the fingerprint compute is
+    // narrow after it and [[simhashPairs]] persists the result — the
+    // persist is the materialization barrier (the old trailing
+    // repartition(par, id) was a second full exchange bought for nothing,
+    // same finding as minhashSignatures r15)
     docs.repartition(par).select(col(idCol).as("id"),
       TextHashOps.simhash64(
         tokenHasher(TextHashOps.textNgrams(col(textCol), 1))).as("simhash"))
-      .repartition(par, col("id")) // materialize fingerprints before banding
   }
 
   /**
