@@ -958,9 +958,9 @@ object Bench {
       "dedup_cross" ->
         "inherent: minhash signatures over both corpus splits + broadcast banded cross-join + exact-Jaccard verification; same family as dedup_minhash, train side streams once",
       "dedup_clusters" ->
-        "inherent: pair mining + diameter-bound CC rounds at x10; r15 mining rework (Mersenne-folded minhash, fused band hashes, window-min hub edges, one fewer full-corpus exchange) cut the family's fresh x10 from ~190 to ~65-75 task-CPU-s",
+        "inherent: pair mining + diameter-bound CC rounds at x10; r15 mining rework (Mersenne-folded minhash, fused band hashes, window-min hub edges, one fewer full-corpus exchange) + pass-set-prune gate raised to 64k (direct merge verification beat the prune's checkpoint+joins at the probe's 19k failed hub edges in an interleaved fresh-JVM A/B): fresh x10 47.5 task-CPU-s min-of-3 (r14: 95.9)",
       "dedup_survivors" ->
-        "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters (r15 rework: fresh x10 ~65-70 task-CPU-s, was 106.5/130.8 in r14)",
+        "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters (r15 rework + prune-gate raise: fresh x10 76.6 task-CPU-s min-of-3, was 106.5/130.8 in r14)",
       "dedup_semantic" ->
         "inherent: banded hyperplane-LSH candidate mining (4 bands, width adaptive to corpus size — expected bucket occupancy bounded, so distinct candidates grow ~linearly, not n^2/2^bits) + spanning-edge hub verification with intra-bucket fallback + CC rounds; composition of the dedup_minhash/dedup_clusters families over the x10 embedding corpus",
       "ann_pairs_lsh" ->

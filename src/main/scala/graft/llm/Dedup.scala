@@ -585,7 +585,7 @@ object Dedup {
    */
   def minhashSpanningPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
                            idCol: String = "doc_id", features: Column = null,
-                           pruneGate: Long = 4096L): DataFrame = {
+                           pruneGate: Long = 65536L): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val sig = minhashSignatures(docs, k, idCol, features)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -659,7 +659,12 @@ object Dedup {
       // verifications to dominate (dup-heavy buckets at scale); below the
       // gate the r12 shape — verify everything — is strictly cheaper
       // (r13 A/B: the ungated prune billed +4 task-CPU-s to
-      // dedup_semantic at sf0.1 to save sub-second verification).
+      // dedup_semantic at sf0.1 to save sub-second verification; r15:
+      // with merge-based verification a fallback pair costs ~50 µs to
+      // verify, so at the ×10 probe's 19k failures the prune's fixed
+      // cost lost to direct verification in an interleaved fresh-JVM A/B
+      // — gate raised 4096 → 65536; above it the checkpoint+joins still
+      // guard the degenerate-bucket blowup a 100 TB corpus can hit).
       val fallbackPass = if (failedCount <= pruneGate) {
         verified(fallbackCandsRaw).filter(col("jaccard") >= threshold)
       } else {
