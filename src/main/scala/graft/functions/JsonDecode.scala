@@ -5,16 +5,18 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Fused JSON→struct decoder — the decode twin of [[JsonEncode]] (r12's
- * fused encoder), for schemas of string / long / int / double / boolean /
- * decimal / timestamp leaves nested arbitrarily under struct and array
- * (r15 — previously flat-only): one hand-rolled byte-level pass over the
+ * fused encoder), for schemas of string / long / int / double / float /
+ * boolean / decimal / timestamp / date leaves nested arbitrarily under
+ * struct, array and string-keyed map (r15 — previously flat-only; map /
+ * date / float landed later in r15, each builtin-probed on 4.1.2): one
+ * hand-rolled byte-level pass over the
  * payload, no Jackson, no UTF8String→String conversion for clean strings,
  * no generic parser machinery per field.
  *
@@ -69,12 +71,13 @@ object JsonDecode {
   def supported(s: StructType): Boolean = s.fields.forall(f => supportedType(f.dataType))
 
   private def supportedType(dt: DataType): Boolean = dt match {
-    case StringType | LongType | IntegerType | DoubleType | BooleanType |
-         TimestampType => true
+    case StringType | LongType | IntegerType | DoubleType | FloatType |
+         BooleanType | TimestampType | DateType => true
     case _: DecimalType => true
     case st: StructType => supported(st)
     case ArrayType(et, _) => supportedType(et)
-    case _ => false // map / interval / binary / date … → builtin
+    case MapType(StringType, vt, _) => supportedType(vt) // builtin: string keys only
+    case _ => false // interval / binary / non-string-keyed map … → builtin
   }
 
   private object BadJson extends Exception with scala.util.control.NoStackTrace
@@ -92,6 +95,9 @@ object JsonDecode {
   private val T_TIMESTAMP = 6
   private val T_STRUCT = 7
   private val T_ARRAY = 8
+  private val T_MAP = 9
+  private val T_DATE = 10
+  private val T_FLOAT = 11
 
   private val TRUE_U8 = UTF8String.fromString("true")
   private val FALSE_U8 = UTF8String.fromString("false")
@@ -115,18 +121,22 @@ object JsonDecode {
     case BooleanType => leaf(T_BOOL)
     case d: DecimalType => leaf(T_DECIMAL, d.precision, d.scale)
     case TimestampType => leaf(T_TIMESTAMP)
+    case DateType => leaf(T_DATE)
+    case FloatType => leaf(T_FLOAT)
     case st: StructType =>
       new VSpec(T_STRUCT, 0, 0,
         st.fields.map(_.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
         st.fields.map(f => compile(f.dataType)), null)
     case ArrayType(et, _) => new VSpec(T_ARRAY, 0, 0, null, null, compile(et))
+    case MapType(StringType, vt, _) => new VSpec(T_MAP, 0, 0, null, null, compile(vt))
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
   /** One instance per row — holds the cursor as a field (no IntRef boxing
-   * in the hot loops). `tsParse` is the builtin-identical timestamp-string
-   * parse (null when the schema has no timestamp leaf). */
-  private final class Parser(a: Array[Byte], root: VSpec, tsParse: String => Long) {
+   * in the hot loops). `tsParse` / `dateParse` are the builtin-identical
+   * timestamp/date string parses (null when the schema has no such leaf). */
+  private final class Parser(a: Array[Byte], root: VSpec,
+                             tsParse: String => Long, dateParse: String => Int) {
     private val n = a.length
     private var i = 0
     private var depth = 0 // TOTAL container nesting, parsed AND skipped
@@ -208,6 +218,48 @@ object JsonDecode {
       }
       depth -= 1
       if (failed) Fail else new GenericArrayData(buf.toArray)
+    }
+
+    /** Cursor on '{'. Parses one object as a map of `elem` values.
+     * Builtin-pinned (probed on 4.1.2): ANY failed entry VALUE fails the
+     * WHOLE map — maps propagate like arrays, struct VALUES inside still
+     * absorb their own leaf failures. Explicit null values are entries;
+     * duplicate keys are BOTH appended (Jackson convertMap appends in
+     * document order — last wins only at external Map conversion). */
+    private def parseMap(elem: VSpec): Any = {
+      enter()
+      i += 1
+      ws()
+      if (cur == '}') {
+        i += 1; depth -= 1
+        return new ArrayBasedMapData(
+          new GenericArrayData(new Array[Any](0)), new GenericArrayData(new Array[Any](0)))
+      }
+      val keys = new scala.collection.mutable.ArrayBuffer[Any](8)
+      val vals = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var failed = false
+      var more = true
+      while (more) {
+        ws()
+        if (cur != '"') bad()
+        val (ks, ke, kesc) = stringExtent()
+        val k = stringValue(ks, ke, kesc)
+        ws()
+        if (cur != ':') bad()
+        i += 1
+        ws()
+        val v = parseValue(elem)
+        if (v.asInstanceOf[AnyRef] eq Fail) failed = true
+        else { keys += k; vals += v }
+        ws()
+        if (cur == ',') i += 1
+        else if (cur == '}') { i += 1; more = false }
+        else bad()
+      }
+      depth -= 1
+      if (failed) Fail
+      else new ArrayBasedMapData(
+        new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
     }
 
     /** Consume a string token starting at the opening quote; return the
@@ -385,7 +437,20 @@ object JsonDecode {
               if (t.isEmpty) Fail
               else try Long.box(tsParse(t))
               catch { case e if scala.util.control.NonFatal(e) => Fail }
-            case _ => Fail // string into long/int/bool/struct/array
+            case T_DATE =>
+              val t = stringValue(s, e, escaped).toString
+              if (t.isEmpty) Fail
+              else try Int.box(dateParse(t))
+              catch { case e if scala.util.control.NonFatal(e) => Fail }
+            case T_FLOAT =>
+              // builtin's exact special set (same as double, probed)
+              stringValue(s, e, escaped).toString match {
+                case "NaN" => Float.NaN
+                case "Infinity" | "+Infinity" | "+INF" => Float.PositiveInfinity
+                case "-Infinity" | "-INF" => Float.NegativeInfinity
+                case _ => Fail
+              }
+            case _ => Fail // string into long/int/bool/struct/array/map
           }
         case 't' =>
           literal("true")
@@ -433,6 +498,13 @@ object JsonDecode {
             case T_DOUBLE =>
               Double.box(java.lang.Double.parseDouble(
                 new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)))
+            case T_FLOAT =>
+              // Jackson getFloatValue is correctly-rounded from the token
+              // TEXT (FastFloatParser) — Float.parseFloat matches bit-for-
+              // bit incl. the double-narrowing traps (probed: 3.402823567…e38
+              // → MaxValue not Inf; 7.00649232…e-46 → MinValue not 0)
+              Float.box(java.lang.Float.parseFloat(
+                new String(a, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)))
             case T_STRING =>
               // Jackson copyCurrentStructure RE-SERIALIZES numbers into a
               // string field: int tokens via writeNumber(long) (so "-0" →
@@ -453,6 +525,7 @@ object JsonDecode {
         case '{' =>
           kind match {
             case T_STRUCT => parseStruct(spec)
+            case T_MAP => parseMap(spec.elem)
             case T_STRING =>
               // raw source slice — byte-equal to Jackson's re-serialization
               // for the compact JSON the pipeline produces (scaladoc)
@@ -561,28 +634,34 @@ object JsonDecode {
       case StringType =>
         if (supported(schema)) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"fused_from_json supports string/long/int/double/boolean/decimal/timestamp leaves under struct/array nesting, got $schema")
+          s"fused_from_json supports string/long/int/double/float/boolean/decimal/timestamp/date leaves under struct/array/map nesting, got $schema")
       case other => TypeCheckResult.TypeCheckFailure(
         s"fused_from_json needs a string child, got $other")
     }
 
     @transient private lazy val root: VSpec = compile(schema)
 
-    private def hasTimestamp(dt: DataType): Boolean = dt match {
-      case TimestampType => true
-      case st: StructType => st.fields.exists(f => hasTimestamp(f.dataType))
-      case ArrayType(et, _) => hasTimestamp(et)
+    private def hasLeaf(dt: DataType, p: DataType => Boolean): Boolean = dt match {
+      case t if p(t) => true
+      case st: StructType => st.fields.exists(f => hasLeaf(f.dataType, p))
+      case ArrayType(et, _) => hasLeaf(et, p)
+      case MapType(_, vt, _) => hasLeaf(vt, p)
       case _ => false
     }
     @transient private lazy val tsParse: String => Long =
-      if (hasTimestamp(schema))
+      if (hasLeaf(schema, _ == TimestampType))
         org.apache.spark.sql.classic.GraftBridge.jsonTimestampParser(
           timeZoneId.getOrElse("UTC"))
+      else null
+    // dates are zone-less (builtin DateFormatter + stringToDate chain)
+    @transient private lazy val dateParse: String => Int =
+      if (hasLeaf(schema, _ == DateType))
+        org.apache.spark.sql.classic.GraftBridge.jsonDateParser()
       else null
 
     /** Called from generated code; null = SQL NULL result. */
     def parse(u: UTF8String): InternalRow =
-      new Parser(u.getBytes, root, tsParse).parseTop()
+      new Parser(u.getBytes, root, tsParse, dateParse).parseTop()
 
     override protected def nullSafeEval(input: Any): Any =
       parse(input.asInstanceOf[UTF8String])

@@ -41,7 +41,10 @@ class PipelineManager(spark: SparkSession, baseDir: String) {
       .option("path", p.spec.source.path)
       .options(p.spec.source.maxLinesPerTrigger.map(n => Map("maxLinesPerTrigger" -> n.toString)).getOrElse(Map.empty))
       .load()
-      .select(from_json(col("value"), ChangeEvent.schema).as("e"))
+      // full envelope schema (incl. the map<string,string> routing headers)
+      // qualifies for the fused byte-level decoder since r15 — from_json-
+      // identical by spec, one pass, no Jackson
+      .select(graft.functions.JsonDecode.fusedFromJson(col("value"), ChangeEvent.schema).as("e"))
       .select("e.*")
     val cfg = CdcPipeline.Config(
       sinks = PipelineSpec.buildSinks(p.spec),

@@ -64,4 +64,33 @@ object GraftBridge {
           DateTimeUtils.stringToTimestamp(str, opts.zoneId).getOrElse(throw e)
       }
   }
+
+  /**
+   * The EXACT date-string parse `from_json` (JacksonParser) applies to a
+   * string token in a DateType field (dates are zone-less): the
+   * default-JSONOptions DateFormatter, then the 2.x-compat fallback through
+   * `cleanLegacyTimestampStr` + `stringToDate`, then the 1.5-compat
+   * days-as-string fallback with the Julian→Gregorian rebase — verified
+   * against the 4.1.2 bytecode (JacksonParser makeConverter, DateType arm).
+   * Throws on unparseable input (caller maps to a null FIELD).
+   */
+  def jsonDateParser(): String => Int = {
+    import org.apache.spark.sql.catalyst.json.JSONOptions
+    import org.apache.spark.sql.catalyst.util.{DateFormatter, DateTimeUtils, RebaseDateTime}
+    import org.apache.spark.sql.catalyst.util.LegacyDateFormats.FAST_DATE_FORMAT
+    val opts = new JSONOptions(Map.empty[String, String], "UTC", "")
+    val fmt = DateFormatter(opts.dateFormatInRead, opts.locale,
+      legacyFormat = FAST_DATE_FORMAT, isParsing = true)
+    (s: String) =>
+      try fmt.parse(s)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          val str = DateTimeUtils.cleanLegacyTimestampStr(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          DateTimeUtils.stringToDate(str).getOrElse {
+            try RebaseDateTime.rebaseJulianToGregorianDays(s.toInt)
+            catch { case _: NumberFormatException => throw e }
+          }
+      }
+  }
 }
