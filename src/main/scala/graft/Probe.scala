@@ -38,6 +38,50 @@ object Probe {
       df.write.mode("overwrite").format("noop").save()
 
     val dir = sys.env.getOrElse("PROBE_DIR", "/tmp/probe_x10full")
+
+    // PROBE_BUILD=<mult> rebuilds the scaled tables into PROBE_DIR (the
+    // exact Bench buildXN recipe — keys remapped per replica, documents
+    // re-tokened, embeddings sign-flipped) and exits. The bench deletes
+    // its own x10 dirs on completion, so ad-hoc A/Bs rebuild here.
+    sys.env.get("PROBE_BUILD").foreach { multS =>
+      val mult = multS.toInt
+      val sfDir = sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.1")
+      val repsArr = array((0 until mult).map(lit): _*)
+      def scale(table: String, keyCols: Seq[String],
+                extra: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
+        val df = spark.read.parquet(s"$sfDir/$table.parquet")
+        val replicated = df.withColumn("_rep", explode(repsArr))
+        val keyed = keyCols.foldLeft(replicated) { (d, k) =>
+          d.withColumn(k,
+            (col(k).cast("long") * mult + col("_rep")).cast(df.schema(k).dataType))
+        }
+        extra(keyed).drop("_rep")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      }
+      scale("region", Seq("r_regionkey"))
+      scale("nation", Seq("n_nationkey", "n_regionkey"))
+      scale("customer", Seq("c_custkey", "c_nationkey"))
+      scale("supplier", Seq("s_suppkey", "s_nationkey"))
+      scale("part", Seq("p_partkey"))
+      scale("orders", Seq("o_orderkey", "o_custkey"))
+      scale("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      scale("events", Seq("event_id", "user_id"))
+      scale("documents", Seq("doc_id"), d => d.withColumn("text",
+        when(col("_rep") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("_rep"))), " "))))
+      scale("embeddings", Seq("vec_id"), d => d.withColumn("embedding",
+        when(col("_rep") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x * (pmod(hash(col("_rep") * 1024 + i), lit(2)) * 2 - 1)
+              .cast("float")))))
+      println(s"BUILT x$mult at $dir")
+      spark.stop()
+      return
+    }
+
     val q = sys.env.getOrElse("PROBE_QUERY", "dedup_survivors")
     val fn = SparkEntry.queries(q)
     // untimed warmup

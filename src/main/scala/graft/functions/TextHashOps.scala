@@ -432,6 +432,52 @@ object TextHashOps {
   }
 
   /**
+   * The POSITIONAL variant of [[TextNgramsHashedSorted]]: every w-gram's
+   * xxhash64 in document order, multiplicity kept — the fused form of
+   * `xxhash64Array(textNgramsAll(text, n))` (value-identical: same
+   * " "-joined shingle bytes, same seed 42, same order), with zero string
+   * allocation. For span probes that need the gram POSITION
+   * ([[graft.llm.SubstringDedup]]'s duplicated-range marking).
+   */
+  case class TextNgramsHashedAll(child: Expression, n: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "text_ngrams_xxh64_all"
+
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextHashHelpers.ngramHashes64All(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  graft.functions.TextHashHelpers.ngramHashes64All($a, $n));
+        |""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * Whitespace token count in one byte walk — the fused form of
+   * `size(textNgramsAll(text, 1))` (value-identical: runs of 0x20 split,
+   * empties dropped) without materializing a string per token.
+   */
+  case class TokenCount(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "token_count"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashHelpers.tokenCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashHelpers.tokenCount($a);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
    * Intersection COUNT of two sorted-distinct long arrays — a branchy-but-
    * allocation-free two-pointer merge per pair. With `|A∩B| = c`,
    * `|A∪B| = |A|+|B|-c`, so exact Jaccard needs no materialized
@@ -477,6 +523,12 @@ object TextHashOps {
   /** text → sorted-distinct xxhash64 shingle hashes, one fused byte pass. */
   def textNgramsXxh64Sorted(text: Column, n: Int): Column =
     GraftBridge.column(TextNgramsHashedSorted(GraftBridge.expression(text), n))
+  /** text → ALL xxhash64 shingle hashes in document order (positions kept). */
+  def textNgramsXxh64All(text: Column, n: Int): Column =
+    GraftBridge.column(TextNgramsHashedAll(GraftBridge.expression(text), n))
+  /** text → whitespace token count, one fused byte walk. */
+  def tokenCount(text: Column): Column =
+    GraftBridge.column(TokenCount(GraftBridge.expression(text)))
   /** |A∩B| over two sorted-distinct long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedLongIntersectCount(
@@ -521,6 +573,23 @@ object TextHashHelpers {
    * values identical to xxh64 of the " "-joined shingle strings (same
    * bytes, same seed 42). */
   def ngramHashes64Sorted(u: UTF8String, n: Int): Array[Long] = {
+    val out = ngramHashes64All(u, n)
+    val m = out.length
+    if (m == 0) return out
+    java.util.Arrays.sort(out)
+    var w2 = 0
+    var k = 0
+    while (k < m) {
+      if (w2 == 0 || out(k) != out(w2 - 1)) { out(w2) = out(k); w2 += 1 }
+      k += 1
+    }
+    if (w2 == m) out else java.util.Arrays.copyOf(out, w2)
+  }
+
+  /** The positional core of [[ngramHashes64Sorted]]: every n-gram's xxh64
+   * in document order, duplicates kept (= xxh64 of each " "-joined shingle
+   * of `textNgramsAll`). */
+  def ngramHashes64All(u: UTF8String, n: Int): Array[Long] = {
     val bytes = u.getBytes
     val len = bytes.length
     // token spans packed as (start, end) pairs
@@ -566,14 +635,21 @@ object TextHashHelpers {
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, w, 42L)
       j += 1
     }
-    java.util.Arrays.sort(out)
-    var w2 = 0
-    var k = 0
-    while (k < m) {
-      if (w2 == 0 || out(k) != out(w2 - 1)) { out(w2) = out(k); w2 += 1 }
-      k += 1
+    out
+  }
+
+  /** Whitespace (0x20-run) token count over UTF-8 bytes, empties dropped —
+   * = `size(textNgramsAll(text, 1))` without the per-token strings. */
+  def tokenCount(u: UTF8String): Int = {
+    val bytes = u.getBytes
+    val len = bytes.length
+    var c = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      if (i < len) { c += 1; while (i < len && bytes(i) != ' ') i += 1 }
     }
-    if (w2 == m) out else java.util.Arrays.copyOf(out, w2)
+    c
   }
 
   /** Sort + in-place dedup of a long array (set canonicalization). */

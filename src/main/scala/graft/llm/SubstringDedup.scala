@@ -53,8 +53,9 @@ object SubstringDedup {
     val grams = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
-        posexplode(TextHashOps.xxhash64Array(
-          TextHashOps.textNgramsAll(col(textCol), w))).as(Seq("pos", "h")))
+        // fused byte-level positional gram hashes (r15) — value-identical
+        // to xxhash64Array(textNgramsAll(text, w)), zero string allocation
+        posexplode(TextHashOps.textNgramsXxh64All(col(textCol), w)).as(Seq("pos", "h")))
     // posexplode drops docs shorter than w tokens; they re-enter with
     // zero counts via the left join onto the doc spine below.
     val dupGrams = grams.groupBy("h").agg(count(lit(1)).as("c"))
@@ -70,7 +71,7 @@ object SubstringDedup {
       .agg(count(lit(1)).as("dup_grams"), sum("contrib").as("dup_tokens"),
         sum("newspan").as("n_dup_spans"))
     val spine = docs.select(col(idCol).as("doc_id"),
-      size(TextHashOps.textNgramsAll(col(textCol), 1)).cast("long").as("n_tokens"))
+      TextHashOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     spine.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),

@@ -42,6 +42,35 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("positional fused gram hashes + token count equal composed forms, bit-for-bit (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                       // duplicates MUST be kept, in order
+      "  leading   and    multi  spaces ",
+      "two tokens",
+      "",
+      "unicode é 漢字 😀 mixed tokens here",
+      "x " * 500 + "tail")
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 3, 16)) {
+      val rows = df.select(
+        TextHashOps.textNgramsXxh64All(col("text"), n).as("fused"),
+        TextHashOps.xxhash64Array(TextHashOps.textNgramsAll(col("text"), n)).as("composed"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"diverged for <$t> n=$n")
+      }
+    }
+    val tc = df.select(
+      TextHashOps.tokenCount(col("text")).as("fused"),
+      size(TextHashOps.textNgramsAll(col("text"), 1)).as("composed")).collect()
+    tc.zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) == r.getInt(1), s"token count diverged for <$t>")
+    }
+  }
+
   test("band_hashes equals composed xxhash64(slice(sig), band) chain, bit-for-bit") {
     import spark.implicits._
     // real-ish signatures: random long arrays of the suite's k=64, plus the
