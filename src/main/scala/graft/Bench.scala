@@ -950,9 +950,9 @@ object Bench {
       "cdc_envelope" ->
         "inherent: CloudEvents to_json encode of the full x10 change stream; fresh-JVM plan cost ~18-20 task-CPU-s (r15 controlled A/B, HEAD vs 882e31d interleaved both orders, 2 fresh children each side: 17.7/20.2 vs 19.6/20.1 — code identical across rounds; r14's 60.5 was long-JVM in-JVM phase below the fresh gate, r13's 14.8 a favorable window; the 2.5x-vs-prior fresh trigger now arbitrates this class)",
       "dedup_jaccard" ->
-        "inherent: posting-join pair mining over the x10 corpus; sublinear growth (~1.9x) from ~40 at x1",
+        "inherent: exact AllPairs/PPJoin prefix+positional candidate mining + merge verification over the x10 corpus (r15 rewrite: interleaved fresh-JVM A/B vs the posting-join recount shape measured x10 34.2/35.1 vs 45.8-56.0, x1 task-CPU ~-35%)",
       "dedup_containment" ->
-        "inherent: same posting-join pair mining as dedup_jaccard with the containment prune; same family, same growth",
+        "inherent: same prefix-filter core as dedup_jaccard with the min-side-prefix asymmetric join the containment bound dictates (r15 A/B: x10 28.6/29.6 vs 40.6-43.7)",
       "dedup_streaming_parity" ->
         "inherent: minhash signatures + banded bucket fold (dedup_minhash's shuffle shape) + exact-Jaccard edge verification + CC rounds over the x10 corpus; composition of attributed families",
       "dedup_cross" ->

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.functions.TextHashOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 
@@ -138,32 +139,44 @@ object Dedup {
   }
 
   /**
-   * N-gram Jaccard near-dup pairs ≥ threshold via inverted-index self-join on
-   * shared features (the PPJoin/Vernica-et-al count-then-filter shape).
+   * N-gram Jaccard near-dup pairs >= threshold - EXACT prefix-filtered
+   * candidate generation (the AllPairs/PPJoin family: Bayardo, Ma &
+   * Srikant WWW'07; Xiao et al. WWW'08) plus sorted-merge verification.
    *
-   * Shape: shingles are hashed to 64-bit longs per posting row (narrow
-   * shuffle, primitive join keys — NEVER per-pair array ops, which cost
-   * O(|A|·|B|) interpreted string compares per candidate and were measured
-   * at ~6300 CPU-s for 1.1M candidates at sf0.1). The per-pair common count
-   * `nc` falls out of the posting self-join as a `groupBy(id_a,id_b).count`,
-   * and `J = nc / (|A|+|B|-nc)` — one exchange, all codegen.
+   * Shape: each doc's shingles are hashed and sorted ONCE into a
+   * sorted-distinct long array (the [[minhashSignatures]] feature form -
+   * the hash order doubles as the global canonical feature order the
+   * prefix theorem needs). A qualifying pair must place its SMALLEST
+   * shared feature inside both docs' (|F| - ceil(t*|F|) + 1)-element
+   * prefixes (if it sat deeper on either side, fewer than the required
+   * nc >= ceil(t*|F|) shared features would fit behind it), so candidate
+   * generation self-joins PREFIX postings only - at t=0.5 half the
+   * posting rows and ~2x fewer candidates than the full inverted-index
+   * self-join, with the exact size filter min(|A|,|B|) >= t*max(|A|,|B|)
+   * pruning the join output before the distinct. Verification then
+   * recomputes the TRUE overlap per surviving candidate with a
+   * two-pointer merge over the full sorted arrays
+   * ([[TextHashOps.sortedIntersectCount]]) - no posting-join recount, no
+   * per-pair hash sets (which cost O(|A|*|B|) interpreted compares per
+   * candidate - measured ~6300 CPU-s for 1.1M candidates at sf0.1), and
+   * J = nc / (|A|+|B|-nc).
    *
-   * Scale guard `maxDf`: a feature shared by d docs contributes d² rows to
-   * the self-join, so one stop-shingle makes it quadratic in corpus size.
-   * With a cap, candidate generation uses only features with df ≤ cap; the
-   * prune bound stays EXACT by also counting each doc's over-cap ("hot")
-   * features: true_nc ≤ nc_capped + min(hot_a, hot_b), so any pair the
-   * bound keeps has its true count recomputed from the full posting lists
-   * (restricted to survivors — bounded work), and emitted scores are
-   * cap-independent. Pairs whose ENTIRE intersection is hot (the capped
-   * join emits no row for them — the boilerplate-in-boilerplate case) are
-   * recovered through the hot-dominated-doc path (see [[minedPairCounts]]),
-   * so the capped result equals the uncapped result for both metrics.
-   * API default is None (complete recall); pass a cap explicitly at scale.
+   * Scale guard `maxDf`: a feature shared by d docs contributes d^2 rows
+   * to the prefix self-join, so one stop-shingle still goes quadratic in
+   * corpus size. With a cap, candidate postings use only features with
+   * df <= cap, and exactness is preserved by two adjustments (proof in
+   * [[minedPairCounts]]): hot-DOMINATED docs (hot >= t*|F| - the only
+   * docs whose required overlap can hide entirely inside stop-features)
+   * post their whole capped list instead of a prefix, and pairs whose
+   * ENTIRE intersection is hot are recovered through the dominated x hot
+   * join. Scoring is cap-independent either way: merge verification
+   * always runs over the FULL feature arrays, so capped == uncapped
+   * exactly. API default is None (complete recall); pass a cap
+   * explicitly at scale.
    *
    * 64-bit feature hashing is score-exact up to xxhash64 collisions
-   * (expected collisions ≈ F²/2⁶⁵ for F distinct features — ~3 total at
-   * F=10¹⁰, each perturbing one pair's count by 1).
+   * (expected collisions ~ F^2/2^65 for F distinct features - ~3 total
+   * at F=10^10, each perturbing one pair's count by 1).
    */
   def jaccardPairs(
       docs: DataFrame,
@@ -174,25 +187,25 @@ object Dedup {
     val t = threshold
     val jac = col("nc").cast("double") /
       (col("sa") + col("sb") - col("nc")).cast("double")
-    // exact-safe prune bound for J ≥ t: J ≥ t ⟺ nc·(1+t) ≥ t·(|A|+|B|)
-    // hot-dominated bound: for a hot-only pair, nc·(1+t) ≥ t·(sa+sb) with
-    // sb ≥ nc gives nc ≥ t·sa, and nc ≤ hot_a — so hot ≥ t·sz on BOTH sides
-    minedPairCounts(docs, idCol, features, maxDf,
-      (ncU, sa, sb) => ncU.cast("double") * (1.0 + t) >= lit(t) * (sa + sb) - 1e-9,
-      (hot, sz) => hot.cast("double") >= lit(t) * sz - 1e-9,
+    minedPairCounts(docs, idCol, features, maxDf, t, symmetric = true,
       scored => scored.filter(jac >= t)
         .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard")))
   }
 
   /**
-   * N-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold —
-   * the subset-duplicate metric Jaccard misses (a short doc embedded
-   * verbatim in a much longer one has high containment but low Jaccard;
-   * the standard C4/RefinedWeb-style decontamination check). Same
-   * inverted-index posting-join scale shape as [[jaccardPairs]], same
-   * exact-safe `maxDf` stop-feature guard with the containment-specific
-   * prune bound: C ≥ t ⟺ nc ≥ t·min(|A|,|B|), and
-   * true_nc ≤ nc_capped + min(hot_a, hot_b).
+   * N-gram CONTAINMENT pairs: C(A,B) = |A cap B| / min(|A|,|B|) >=
+   * threshold - the subset-duplicate metric Jaccard misses (a short doc
+   * embedded verbatim in a much longer one has high containment but low
+   * Jaccard; the standard C4/RefinedWeb-style decontamination check).
+   * Same exact prefix-filter + merge-verify shape as [[jaccardPairs]],
+   * with the asymmetric prefix the containment bound dictates: only the
+   * MIN-size side of a pair carries a per-doc overlap bound
+   * (nc >= ceil(t*min) says nothing about the larger doc), so min-side
+   * PREFIX postings join against the other side's FULL posting list,
+   * size-ordered - at t=0.9 that is ~10x fewer probe postings and ~8x
+   * fewer candidates than the symmetric full self-join. Same `maxDf`
+   * stop-feature guard and dominated/recovery machinery
+   * ([[minedPairCounts]]).
    */
   def containmentPairs(
       docs: DataFrame,
@@ -202,183 +215,233 @@ object Dedup {
       maxDf: Option[Long] = None): DataFrame = {
     val t = threshold
     val cont = col("nc").cast("double") / least(col("sa"), col("sb")).cast("double")
-    // hot-dominated bound: a hot-only pair has nc ≥ t·min(sa,sb) and
-    // nc ≤ hot_min — so the MIN-size side satisfies hot ≥ t·sz
-    minedPairCounts(docs, idCol, features, maxDf,
-      (ncU, sa, sb) => ncU.cast("double") >= lit(t) * least(sa, sb) - 1e-9,
-      (hot, sz) => hot.cast("double") >= lit(t) * sz - 1e-9,
+    minedPairCounts(docs, idCol, features, maxDf, t, symmetric = false,
       scored => scored.filter(cont >= t)
         .select(col("id_a"), col("id_b"), round(cont, 4).as("containment")))
   }
 
   /**
-   * Shared pair-mining core for the n-gram set-similarity family:
-   * inverted-index posting self-join → per-pair common counts `nc` with
-   * both set sizes (`sa`, `sb`) attached. `pruneKeep(ncUpper, sa, sb)` is
-   * the metric's exact-safe survivor bound under the `maxDf` stop-feature
-   * cap, where `ncUpper = nc_capped + min(hot_a, hot_b)` upper-bounds the
-   * true common count (so pruning can never drop a qualifying pair; the
-   * survivors' true counts are recomputed from the full posting lists).
+   * Shared pair-mining core for the n-gram set-similarity family: exact
+   * prefix-filtered candidate generation + full-array merge verification.
    *
-   * Hot-only recovery: a qualifying pair can hide ENTIRELY inside the
-   * stop-feature set (every shared shingle has df > cap) — the capped
-   * self-join then produces NO row for it, and no prune bound can save a
-   * pair that never becomes a candidate. But such a pair's min-size side
-   * must be HOT-DOMINATED — `hotOnlyKeep(hot, sz)` is the metric's
-   * necessary per-doc condition (hot ≥ t·sz for both Jaccard and
-   * containment) — and hot-dominated docs are few (a doc made almost
-   * entirely of boilerplate). Candidates for those docs are re-mined from
-   * the HOT posting lists with one side restricted to the dominated set;
-   * the join is output-bounded: a boilerplate doc genuinely contained in
-   * many docs has a proportionally large TRUE pair set, so the recovery
-   * work scales with real answers, not with corpus size. Recovered
-   * candidates enter the same prune + exact-recount pipeline (ncc = 0,
-   * bound = min(hot_a, hot_b)), keeping capped == uncapped exact.
+   * CANONICAL ORDER + PREFIX THEOREM. Features are sorted-distinct
+   * 64-bit hashes, ascending - a global total order uncorrelated with
+   * df. For a doc with |F| = sz features, both metrics give the per-doc
+   * REQUIRED OVERLAP T = ceil(t*sz) on any qualifying pair (Jaccard:
+   * J >= t and nc <= sb give nc >= t*sa; containment: T holds on the
+   * min side only). If every shared feature sat outside the doc's first
+   * sz - T + 1 features, at most T - 1 could be shared - so the smallest
+   * shared feature lies in the PREFIX of sz - T + 1 elements on BOTH
+   * bounded sides simultaneously (it is the same feature). Candidate
+   * generation therefore joins prefix postings (symmetric for Jaccard,
+   * plus the exact size filter min >= t*max; min-side prefix x full
+   * list for containment, orientation fixed by (sz, id) order), dedupes,
+   * and hands every candidate to the exact merge verifier. eps = 1e-9
+   * biases T downward - a too-LONG prefix is always exact, a too-short
+   * one is not.
    *
-   * Returns (id_a, id_b, nc, sa, sb) with id_a < id_b; caller applies the
-   * final score + threshold and cuts lineage.
+   * STOP-FEATURE CAP (maxDf). Hot features (df > cap) are excluded from
+   * candidate-generation postings; with h = |hot(A)| the shared CAPPED
+   * count obeys s_c >= T - h, so for docs with h < T ("non-dominated")
+   * the prefix argument survives on the capped sublist with UNCHANGED
+   * cut length sz - T + 1 (the hot count cancels:
+   * |C| - (T - h) + 1 = sz - T + 1). Dominated docs (h >= T, condition
+   * hot >= t*sz; only docs made mostly of boilerplate) post their
+   * ENTIRE capped list, and pairs sharing NOTHING capped - possible
+   * only when a bounded side is dominated - are recovered by re-mining
+   * the hot postings with one side restricted to the dominated set
+   * (output-bounded: a boilerplate doc genuinely contained in many docs
+   * has a proportionally large TRUE pair set). Verification always runs
+   * on FULL arrays (hot included), so scores are cap-independent and
+   * capped == uncapped exactly.
+   *
+   * Returns finish(id_a, id_b, nc, sa, sb) with id_a < id_b.
    */
   private def minedPairCounts(
       docs: DataFrame,
       idCol: String,
       features: Column,
       maxDf: Option[Long],
-      pruneKeep: (Column, Column, Column) => Column,
-      hotOnlyKeep: (Column, Column) => Column,
+      threshold: Double,
+      symmetric: Boolean,
       finish: DataFrame => DataFrame): DataFrame = {
     // Two rules learned from the physical plan:
-    // 1. repartition first — single-file inputs scan as ONE task;
-    // 2. materialize before exploding — otherwise projection-collapse
-    //    inlines the (interpreted) feature expression above the Generate
-    //    and re-evaluates it per exploded row.
+    // 1. repartition first - single-file inputs scan as ONE task;
+    // 2. persist the spine before deriving postings - otherwise
+    //    projection-collapse inlines the (fused) feature expression above
+    //    each Generate and re-evaluates it per exploded row.
     val hashedFeat =
       if (features == null) TextHashOps.textNgramsXxh64Sorted(col("text"), 3)
       else TextHashOps.sortedDistinct(TextHashOps.xxhash64Array(features))
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val posts = docs.repartition(par)
-      // hash INSIDE the fused array expression before exploding: the
-      // Generate emits primitive longs instead of shingle strings (smaller
-      // generator rows, no per-posting hash call); same seed-42 xxh64
+    val spine = docs.repartition(par)
       .select(col(idCol).as("id"), hashedFeat.as("feats"))
-      .repartition(par, col("id")) // materialization barrier
-      .select(col("id"), explode(col("feats")).as("h"))
+      .select(col("id"), col("feats"), size(col("feats")).as("sz"))
+      .filter(col("sz") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = posts.groupBy("id").agg(count(lit(1)).as("sz"))
-    def sz(side: String, as: String) =
-      sizes.select(col("id").as(side), col("sz").as(as))
-    def pairCounts(p: DataFrame, cnt: String) =
-      p.select(col("id").as("id_a"), col("h"))
-        .join(p.select(col("id").as("id_b"), col("h")), "h")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as(cnt))
+    // per-doc prefix cut: sz - ceil(t*sz) + 1 (eps biases the ceil DOWN -
+    // longer prefix - which is the exact-safe direction)
+    val prefLen = col("sz") -
+      ceil(lit(threshold) * col("sz") - 1e-9).cast("int") + 1
+    // exact size filter (Jaccard only): J >= t implies min >= t*max
+    def sizeKeep(sa: Column, sb: Column): Column =
+      if (symmetric)
+        least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb) - 1e-9
+      else lit(true)
+    // min-side orientation for the asymmetric (containment) join
+    def minFirst(sa: Column, ia: Column, sb: Column, ib: Column): Column =
+      sa < sb || (sa === sb && ia < ib)
+    // the pair's required overlap: Jaccard J >= t implies
+    // nc >= t*(sa+sb)/(1+t); containment implies nc >= t*min(sa,sb)
+    def pairNeed(sa: Column, sb: Column): Column =
+      if (symmetric)
+        ceil(lit(threshold) * (sa + sb) / (1.0 + threshold) - 1e-9)
+      else ceil(lit(threshold) * least(sa, sb) - 1e-9)
+    // PPJoin POSITIONAL filter: at the smallest shared feature, matched
+    // at 0-based positions (pa, pb), every shared feature lies at-or-
+    // after the match on both sides, so nc <= min(sa-pa, sb-pb) - a
+    // qualifying pair's smallest-match row always clears its required
+    // overlap, so filtering each join row by its own positions keeps
+    // candidate generation exact while cutting the surviving rows ~2x
+    // beyond the prefix cut (measured at sf0.1, t=0.5)
+    def posKeep(rem: Column, sa: Column, sb: Column): Column =
+      rem >= pairNeed(sa, sb)
+
     var hotCache: Option[DataFrame] = None
-    var hotPostsCache: Option[DataFrame] = None
-    var survCache: Option[DataFrame] = None
-    val scored = maxDf match {
-      case None =>
-        pairCounts(posts, "nc").join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
+    var cappedCache: Option[DataFrame] = None
+
+    def candidatesNoHot: DataFrame = {
+      val pre = spine
+        .select(col("id"), col("sz"), posexplode(slice(col("feats"), lit(1), prefLen)))
+        .withColumnRenamed("col", "h")
+      if (symmetric)
+        pre.select(col("id").as("id_a"), col("sz").as("sa"), col("pos").as("pa"), col("h"))
+          .join(pre.select(col("id").as("id_b"), col("sz").as("sb"), col("pos").as("pb"),
+            col("h")), "h")
+          .filter(col("id_a") < col("id_b") && sizeKeep(col("sa"), col("sb")) &&
+            posKeep(least(col("sa") - col("pa"), col("sb") - col("pb")),
+              col("sa"), col("sb")))
+          .select("id_a", "id_b")
+      else {
+        val full = spine
+          .select(col("id"), col("sz"), posexplode(col("feats")))
+          .withColumnRenamed("col", "h")
+        pre.select(col("id").as("id_a"), col("sz").as("sa"), col("pos").as("pa"), col("h"))
+          .join(full.select(col("id").as("id_b"), col("sz").as("sb"), col("pos").as("pb"),
+            col("h")), "h")
+          .filter(minFirst(col("sa"), col("id_a"), col("sb"), col("id_b")) &&
+            posKeep(least(col("sa") - col("pa"), col("sb") - col("pb")),
+              col("sa"), col("sb")))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+      }
+    }
+
+    val candidates = maxDf match {
+      case None => candidatesNoHot
       case Some(cap) =>
-        // The stop-feature ("hot", df > cap) set is SMALL by construction:
-        // |hot| ≤ total_postings / cap (each hot feature owns > cap posting
-        // rows), and in text corpora it's vocabulary-bounded boilerplate.
-        // So materialize ONLY the hot keys and broadcast them: `capped`
-        // becomes a narrow anti-join over the cached postings instead of a
-        // full posting-table shuffle against the df table — which mattered
-        // doubly because the self-join below evaluates `capped` twice.
-        // (If cap is ever set so low that hot outgrows the broadcast limit,
-        // raise cap proportionally with corpus size — the guard's purpose
-        // is stop-features, and df>cap rows per feature keep |hot| ≤ P/cap.)
-        val hotFeats = posts.groupBy("h").agg(count(lit(1)).as("df"))
+        val hotFeats = spine.select(explode(col("feats")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("h")
           .persist(StorageLevel.MEMORY_AND_DISK)
         hotCache = Some(hotFeats)
-        // Driver-side gate, level 0: with NO hot features the cap is
-        // inactive and the ENTIRE capped pipeline is identity overhead —
-        // capped == posts, every prune bound is ncc + 0, and the survivor
-        // recount recomputes counts that are already exact. Run the
-        // uncapped shape instead (one self-join, no prune, no recount).
-        // The probe populates the persisted hotFeats either way.
-        if (hotFeats.isEmpty) {
-          pairCounts(posts, "nc")
-            .join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
-        } else {
-        val capped = posts.join(broadcast(hotFeats), Seq("h"), "left_anti")
-        // hot postings read three times (hot counts, dominated-side
-        // restriction, recovery join) — cache once, release at the end
-        val hotPosts = posts.join(broadcast(hotFeats), Seq("h"), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        hotPostsCache = Some(hotPosts)
-        val hot = hotPosts.groupBy("id").agg(count(lit(1)).as("hot"))
-        def hc(side: String, as: String) =
-          hot.select(col("id").as(side), col("hot").as(as))
-        // hot-only recovery (scaladoc above): candidates whose every
-        // shared feature is hot never appear in the capped self-join —
-        // re-mine them from the hot postings with one side restricted to
-        // the (few) hot-dominated docs. Empty dominated set ⇒ near-free.
-        val domIds = hot.join(sizes, "id")
-          .filter(hotOnlyKeep(col("hot"), col("sz"))).select("id")
-        // Driver-side gate (the zero-row-repair-subtree rule): with NO
-        // hot-dominated docs — the common case on non-degenerate corpora —
-        // the recovery join would stream the hot postings and, worse, the
-        // union would re-shuffle EVERY capped candidate pair through a
-        // second groupBy just to max() against zero rows. The probe costs
-        // one aggregation pass over the cached postings.
-        val anyDominated = !domIds.isEmpty
-        val allCands = if (!anyDominated) pairCounts(capped, "ncc") else {
-          val domPosts = hotPosts.join(broadcast(domIds), Seq("id"), "left_semi")
-          val recovered = domPosts.select(col("id").as("id_x"), col("h"))
-            .join(hotPosts.select(col("id").as("id_y"), col("h")), "h")
-            .filter(col("id_x") =!= col("id_y"))
-            .select(least(col("id_x"), col("id_y")).as("id_a"),
-              greatest(col("id_x"), col("id_y")).as("id_b"))
-            .dropDuplicates("id_a", "id_b")
-            .withColumn("ncc", lit(0L))
-          // union BEFORE the prune: a pair present in both keeps its real
-          // capped count (max of ncc and the recovery sentinel 0)
-          pairCounts(capped, "ncc").unionByName(recovered)
-            .groupBy("id_a", "id_b").agg(max("ncc").as("ncc"))
-        }
-        // exact-safe prune via the metric's own bound (pruneKeep), with
-        // true_nc ≤ ncc + min(hot_a, hot_b) as the upper bound
-        // persisted: survivors are read three times below (survIds, the
-        // trueNc probe join, and the final score join) — without the cache
-        // each consumer re-runs the whole pairCounts self-join pipeline
-        val surv = allCands
-          .join(sz("id_a", "sa"), "id_a").join(sz("id_b", "sb"), "id_b")
-          .join(hc("id_a", "hot_a"), Seq("id_a"), "left")
-          .join(hc("id_b", "hot_b"), Seq("id_b"), "left")
-          .na.fill(0L, Seq("hot_a", "hot_b"))
-          .filter(pruneKeep(col("ncc") + least(col("hot_a"), col("hot_b")),
-            col("sa"), col("sb")))
-          .select("id_a", "id_b", "sa", "sb")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // true common counts for survivors only (|surv| × |feats_a| bounded);
-        // restrict the posting table to survivor ids FIRST (broadcast
-        // semi-join — survivor count is pair-bounded) so the (id_b, h)
-        // equi-join shuffles only survivor postings, not the whole corpus
-        val survIds = surv.select(col("id_a").as("id"))
-          .union(surv.select(col("id_b").as("id"))).distinct()
-        val survPosts = posts.join(broadcast(survIds), Seq("id"), "left_semi")
-        val trueNc = surv.select("id_a", "id_b")
-          .join(survPosts.select(col("id").as("id_a"), col("h")), "id_a")
-          .join(survPosts.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("nc"))
-        survCache = Some(surv)
-        surv.join(trueNc, Seq("id_a", "id_b"))
+        // Driver-side gate: with NO hot features the cap is inactive and
+        // the capped machinery (posting windows, dominated probe, the
+        // recovery subtree) is identity overhead - run the plain prefix
+        // shape. The probe costs one aggregation pass over the spine.
+        if (hotFeats.isEmpty) candidatesNoHot
+        else {
+          // Postings with document order kept (pos) so the capped
+          // sublist's prefix is cut by RANK among capped postings -
+          // arrays are never rebuilt. Hot branch only: the windows cost
+          // one exchange on id, paid only on corpora that actually have
+          // stop-features.
+          val posts = spine
+            .select(col("id"), col("sz"), posexplode(col("feats")))
+            .withColumnRenamed("col", "h")
+          val byId = Window.partitionBy("id")
+          val cappedPosts = posts.join(broadcast(hotFeats), Seq("h"), "left_anti")
+            .withColumn("crank", row_number().over(byId.orderBy("pos")))
+            .withColumn("ccnt", count(lit(1)).over(byId))
+            .withColumn("dom",
+              (col("sz") - col("ccnt")).cast("double") >=
+                lit(threshold) * col("sz") - 1e-9)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          cappedCache = Some(cappedPosts)
+          // prefix postings: rank cut at sz - T + 1 on the CAPPED list
+          // (the hot count cancels out of the bound - scaladoc), whole
+          // capped list for dominated docs. rem/hot feed the capped
+          // positional bound: at the smallest shared CAPPED feature the
+          // shared capped count is <= min(rem) and the shared hot count
+          // is <= min(hot), so nc <= min(rem) + min(hot).
+          def sided(p: DataFrame, s: String) = p.select(
+            col("id").as(s"id_$s"), col("sz").as(s"s$s"),
+            (col("ccnt") - col("crank") + 1).as(s"rem_$s"),
+            (col("sz") - col("ccnt")).as(s"hot_$s"), col("h"))
+          def cappedBound: Column =
+            least(col("rem_a"), col("rem_b")) + least(col("hot_a"), col("hot_b"))
+          val pre = cappedPosts
+            .filter(col("crank") <= when(col("dom"), col("ccnt")).otherwise(prefLen))
+          val main =
+            if (symmetric)
+              sided(pre, "a").join(sided(pre, "b"), "h")
+                .filter(col("id_a") < col("id_b") && sizeKeep(col("sa"), col("sb")) &&
+                  posKeep(cappedBound, col("sa"), col("sb")))
+                .select("id_a", "id_b")
+            else
+              sided(pre, "a").join(sided(cappedPosts, "b"), "h")
+                .filter(minFirst(col("sa"), col("id_a"), col("sb"), col("id_b")) &&
+                  posKeep(cappedBound, col("sa"), col("sb")))
+                .select(least(col("id_a"), col("id_b")).as("id_a"),
+                  greatest(col("id_a"), col("id_b")).as("id_b"))
+          // hot-only recovery (scaladoc): a pair sharing nothing capped
+          // has a dominated bounded side - re-mine those from hot
+          // postings. Docs whose EVERY feature is hot have no capped
+          // postings at all, so their dominated flag comes from the
+          // spine anti-join, not from cappedPosts.
+          val domIds = cappedPosts.filter(col("dom")).select("id").distinct()
+            .unionByName(spine.join(
+              cappedPosts.select("id").distinct(), Seq("id"), "left_anti").select("id"))
+          // Driver-side gate (the zero-row-repair-subtree rule): with no
+          // dominated docs - the common case on non-degenerate corpora -
+          // the recovery join would stream the hot postings into a union
+          // that re-shuffles every candidate for nothing.
+          val anyDominated = !domIds.isEmpty
+          if (!anyDominated) main
+          else {
+            val hotPosts = posts.join(broadcast(hotFeats), Seq("h"), "left_semi")
+            val domPosts = hotPosts.join(broadcast(domIds), Seq("id"), "left_semi")
+            val recovered = domPosts.select(col("id").as("id_x"), col("h"))
+              .join(hotPosts.select(col("id").as("id_y"), col("h")), "h")
+              .filter(col("id_x") =!= col("id_y"))
+              .select(least(col("id_x"), col("id_y")).as("id_a"),
+                greatest(col("id_x"), col("id_y")).as("id_b"))
+            main.unionByName(recovered)
+          }
         }
     }
-    // Materialize the (small) finished result with a hard lineage cut, then
-    // release the multi-referenced intermediates. Unpersisting
+
+    // merge verification over FULL arrays: nc is exact, so no prune
+    // bounds and no posting-list recount exist in this pipeline at all
+    val scored = candidates.dropDuplicates("id_a", "id_b")
+      .join(spine.select(col("id").as("id_a"), col("feats").as("_fa"),
+        col("sz").cast("long").as("sa")), "id_a")
+      .join(spine.select(col("id").as("id_b"), col("feats").as("_fb"),
+        col("sz").cast("long").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextHashOps.sortedIntersectCount(col("_fa"), col("_fb")).cast("long").as("nc"),
+        col("sa"), col("sb"))
+    // Materialize the (small) finished result with a hard lineage cut,
+    // then release the multi-referenced caches. Unpersisting
     // lazily-returned frames would silently disable the caches mid-plan;
-    // unpersisting nothing leaks executor storage into every later query in
-    // the session (measured: dedup_exact regressed 5.7× under the leaked
-    // blocks). The metric's filter/select runs INSIDE the cut (before
-    // unpersist) so the threshold prunes before materialization.
+    // unpersisting nothing leaks executor storage into every later query
+    // in the session (measured: dedup_exact regressed 5.7x under the
+    // leaked blocks). The metric's filter/select runs INSIDE the cut
+    // (before unpersist) so the threshold prunes before materialization.
     val result = finish(scored).localCheckpoint(true)
-    posts.unpersist(false)
+    spine.unpersist(false)
     hotCache.foreach(_.unpersist(false))
-    hotPostsCache.foreach(_.unpersist(false))
-    survCache.foreach(_.unpersist(false))
+    cappedCache.foreach(_.unpersist(false))
     result
   }
 

@@ -661,4 +661,62 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(hazard, "fixture never exercised the failed-hub fallback; strengthen it")
   }
+
+  test("prefix+positional mining == brute force on a randomized overlapping corpus") {
+    import spark.implicits._
+    // Deterministic RNG; a tiny token vocab forces heavy shingle sharing,
+    // so one corpus exercises every candidate-generation mechanism at
+    // once: prefix cuts, the positional bound, the Jaccard size filter,
+    // equal-size ties, and (capped) hot features with dominated docs and
+    // the hot-only recovery join. Oracle = literal all-pairs brute force
+    // over the SAME hashed shingle sets.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randTokens(len: Int): Seq[String] = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    // 20 random bases; each base spawns 2 mutated near-dups (append / drop
+    // a token) so qualifying pairs exist at every threshold, and the
+    // 6-token vocab makes boilerplate shingles frequent enough that low
+    // caps mark them hot (incl. dominated short docs)
+    val corpus: Seq[(Long, String)] = (0L until 20L).flatMap { i =>
+      val base = randTokens(4 + rnd.nextInt(8))
+      Seq((i * 3, base), (i * 3 + 1, base :+ vocab(rnd.nextInt(vocab.size))),
+        (i * 3 + 2, base.drop(1)))
+    }.map { case (id, toks) => (id, toks.mkString(" ")) }
+    val df = corpus.toDF("doc_id", "text")
+    val sets: Map[Long, Array[Long]] = df
+      .select(col("doc_id"), TextHashOps.textNgramsXxh64Sorted(col("text"), 3).as("f"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toArray).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def brute(tJ: Double, tC: Double): (Set[(Long, Long, Double)], Set[(Long, Long, Double)]) = {
+      val ids = sets.keys.toSeq.sorted
+      val (jb, cb) = (Set.newBuilder[(Long, Long, Double)], Set.newBuilder[(Long, Long, Double)])
+      for (a <- ids; b <- ids if a < b) {
+        val (fa, fb) = (sets(a).toSet, sets(b).toSet)
+        if (fa.nonEmpty && fb.nonEmpty) {
+          val nc = (fa & fb).size.toDouble
+          if (nc / (fa.size + fb.size - nc) >= tJ)
+            jb += ((a, b, r4(nc / (fa.size + fb.size - nc))))
+          if (nc / math.min(fa.size, fb.size) >= tC)
+            cb += ((a, b, r4(nc / math.min(fa.size, fb.size))))
+        }
+      }
+      (jb.result(), cb.result())
+    }
+    def got(d: org.apache.spark.sql.DataFrame, score: String) =
+      d.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double](score))).toSet
+    val (expJ, expC) = brute(0.5, 0.7)
+    assert(expJ.nonEmpty && expC.nonEmpty, "degenerate fixture: no qualifying pairs")
+    for (cap <- Seq(None, Some(5L), Some(2L))) {
+      assert(got(Dedup.jaccardPairs(df, 0.5, maxDf = cap), "jaccard") == expJ,
+        s"jaccard mismatch at cap=$cap")
+      assert(got(Dedup.containmentPairs(df, 0.7, maxDf = cap), "containment") == expC,
+        s"containment mismatch at cap=$cap")
+    }
+    // the caps are real on this corpus: cap=2 must actually mark features hot
+    val hotDf = df.select(explode(TextHashOps.textNgramsXxh64Sorted(col("text"), 3)).as("h"))
+      .groupBy("h").count().filter(col("count") > 2)
+    assert(hotDf.count() > 0, "cap=2 exercised no hot features")
+  }
 }
