@@ -958,9 +958,9 @@ object Bench {
       "dedup_cross" ->
         "inherent: minhash signatures over both corpus splits + broadcast banded cross-join + exact-Jaccard verification; same family as dedup_minhash, train side streams once",
       "dedup_clusters" ->
-        "inherent: pair mining + diameter-bound CC rounds at x10; r15 mining rework (Mersenne-folded minhash, fused band hashes, window-min hub edges, one fewer full-corpus exchange) + pass-set-prune gate raised to 64k (direct merge verification beat the prune's checkpoint+joins at the probe's 19k failed hub edges in an interleaved fresh-JVM A/B): fresh x10 47.5 task-CPU-s min-of-3 (r14: 95.9)",
+        "inherent: pair mining + CC at x10; r15 occupancy-gated miner — the measured clique pair volume routes sparse corpora (sf0.1: 1,836 of 2,082 hub edges FAIL verification, so the spanning hub+fallback machinery repaired almost every bucket at pure overhead) to a direct banded self-join + one verification pass; fresh x10 22.8 task-CPU-s (r14: 95.9). Piecewise decomposition: mining is ~95% of the query; CC given mined pairs = 0.23 task-CPU-s at sf0.1",
       "dedup_survivors" ->
-        "inherent: the clusters pipeline (pair mining + CC) plus the representative re-join over the x10 corpus; same family as dedup_clusters (r15 rework + prune-gate raise: fresh x10 76.6 task-CPU-s min-of-3, was 106.5/130.8 in r14)",
+        "inherent: the identical mining+CC pipeline as dedup_clusters plus the representative re-join (measured 0.09 task-CPU-s at sf0.1 — piecewise decomposition shows NO duplicated mining inside either query; the r13/r14 survivors-vs-clusters gap was long-JVM phase, the two queries measured adjacent agree within 1 task-CPU-s); r15 occupancy gate: fresh x10 25.8 task-CPU-s (r14: 106.5/130.8)",
       "dedup_semantic" ->
         "inherent: banded hyperplane-LSH candidate mining (4 bands, width adaptive to corpus size — expected bucket occupancy bounded, so distinct candidates grow ~linearly, not n^2/2^bits) + spanning-edge hub verification with intra-bucket fallback + CC rounds; composition of the dedup_minhash/dedup_clusters families over the x10 embedding corpus",
       "ann_pairs_lsh" ->

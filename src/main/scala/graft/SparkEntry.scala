@@ -462,10 +462,11 @@ object SparkEntry {
       // the min doc_id reachable through J>=0.5 pairs as its cluster id
       // (singletons cluster with themselves). Iterative min-label
       // propagation — one shuffle join per round, no graph library.
-      // Pair source = SPANNING-edge LSH (Θ(d) per bucket, not the Θ(d²)
-      // clique): CC only needs connectivity, and on the dup-heavy corpora
-      // dedup targets the clique miner's output is quadratic in group
-      // size. The oracle stays the FULL exact-pair-graph CC.
+      // Pair source = the occupancy-GATED LSH miner: a one-pass bucket
+      // stat measures the exact clique pair volume; bounded volume (this
+      // corpus) takes the direct banded self-join, dup-heavy buckets take
+      // the Θ(d) spanning star whose CC is clique-identical by
+      // construction. The oracle stays the FULL exact-pair-graph CC.
       val docs = t(s, dir, "documents")
       Dedup.clusters(docs, Dedup.minhashSpanningPairs(docs, 0.5))
         .orderBy("doc_id")
@@ -475,8 +476,9 @@ object SparkEntry {
       // the dedup family's OUTPUT stage: one canonical row per near-dup
       // cluster (min doc_id representative), full document columns —
       // what actually ships to training after fuzzy dedup. Composes
-      // clusterSurvivors over the spanning-edge LSH pair graph (see
-      // dedup_clusters — linear pair mining, same CC, same full oracle).
+      // clusterSurvivors over the occupancy-gated LSH pair graph (see
+      // dedup_clusters — same miner, same CC, same full oracle; the
+      // representative re-join adds 0.09 task-CPU-s at sf0.1).
       val docs = t(s, dir, "documents")
       Dedup.clusterSurvivors(docs, Dedup.minhashSpanningPairs(docs, 0.5))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

@@ -627,28 +627,47 @@ object Dedup {
   }
 
   /**
-   * Spanning-edge LSH candidates verified with exact Jaccard ≥ threshold,
-   * with intra-bucket FALLBACK verification on failed hub edges — the
-   * linear-output pair source for [[clusters]]/[[clusterSurvivors]].
+   * CC-contract LSH pair miner, verified with exact Jaccard ≥ threshold —
+   * the pair source for [[clusters]]/[[clusterSurvivors]]. Two shapes, one
+   * output contract (connected components == the verified-clique graph's),
+   * selected by a MEASURED occupancy gate:
    *
-   * Hub-edge-only verification relies on in-bucket near-dup transitivity:
-   * a bucket {H, B, C} with J(H,B) < t, J(H,C) < t but J(B,C) ≥ t would
-   * lose the B—C edge and split a cluster the clique miner finds (the r11
-   * ADVICE divergence scenario). The fallback closes it exactly: members
-   * whose hub edge FAILS are re-verified against every other member of that
-   * bucket, so for any in-bucket pair (X,Y) with J ≥ t either both hub
-   * edges pass (X—hub—Y path) or the failing side emits the X—Y edge
-   * directly — connected components equal the verified-clique graph's BY
-   * CONSTRUCTION, no transitivity assumption. Every emitted edge is an
-   * exactly-verified ≥-t pair. Fallback candidates whose endpoints are both
-   * already pass-connected to a common node are pruned before verification
-   * (they cannot change CC). Dup-heavy buckets (LSH's raison d'être)
-   * verify ~d hub edges and rarely fall back → Θ(d); a degenerate bucket of
-   * mutual strangers degrades to the Θ(d²) the clique miner always pays.
+   *  - **Clique path** (bounded bucket occupancy — the sparse/ordinary
+   *    corpus): one banded self-join emits every in-bucket pair, one
+   *    verification pass keeps exact J ≥ t. Fewest stages; pair volume =
+   *    Σ_buckets d(d−1)/2, which the gate just measured to be ~linear in n.
+   *  - **Spanning path** (dup-heavy buckets — LSH's raison d'être): per
+   *    bucket, every member links to the bucket-min hub (Θ(d) star), hub
+   *    edges are verified, and members whose hub edge FAILS are re-verified
+   *    against every other member of that bucket. For any in-bucket pair
+   *    (X,Y) with J ≥ t either both hub edges pass (X—hub—Y path) or the
+   *    failing side emits X—Y directly — CC equals the verified-clique
+   *    graph BY CONSTRUCTION, no transitivity assumption (the r11 ADVICE
+   *    divergence scenario). Fallback candidates whose endpoints are both
+   *    already pass-connected to a common node are pruned before
+   *    verification above `pruneGate` failures (they cannot change CC).
+   *
+   * Why gate at all (r15): hub-edge verification only SAVES work when hub
+   * edges mostly pass. On a sparse corpus most bucket cohabitants are
+   * strangers — at sf0.1, 1,836 of 2,082 hub edges fail — so nearly every
+   * bucket falls back to clique re-verification anyway and the spanning
+   * machinery (hub window + verdict persist + failed-member scoping joins)
+   * is pure overhead: the plain clique miner measured ~2.5× cheaper
+   * task-CPU on the same corpus. The gate reads the exact clique pair
+   * volume off a one-pass bucket-size aggregation (map-side-combined, rows
+   * = distinct buckets) and takes the clique path when volume ≤
+   * max(`cliqueVolumeFloor`, `cliqueVolumePerDoc`·n) — i.e. when the
+   * self-join it would schedule is provably ~linear in the corpus. A
+   * dup-heavy 100 TB corpus (template spam: buckets of thousands) blows the
+   * gate quadratically and takes the Θ(d) spanning star, exactly as before.
+   * Both paths emit only exactly-verified ≥-t pairs; CC equality between
+   * them is spec-pinned on dup-heavy, gradient and hazard fixtures.
    */
   def minhashSpanningPairs(docs: DataFrame, threshold: Double, k: Int = 64, bands: Int = 32,
                            idCol: String = "doc_id", features: Column = null,
-                           pruneGate: Long = 65536L): DataFrame = {
+                           pruneGate: Long = 65536L,
+                           cliqueVolumePerDoc: Long = 16L,
+                           cliqueVolumeFloor: Long = 65536L): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val sig = minhashSignatures(docs, k, idCol, features)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -675,13 +694,41 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           mergeJaccard(col("feats_a"), col("feats_b")).as("jaccard"))
 
-    // hub edges WITH bucket provenance (needed to scope the fallback) via a
-    // whole-partition window min: ONE exchange of the 32n banded rows. The
-    // previous groupBy+join shape paid that exchange TWICE (partial-agg
-    // exchange for the bucket mins, then the banded⋈hubs join) — measured
-    // 25-30% dearer at ×10 — and is skew-equivalent (a degenerate bucket
-    // stays d rows here, never a collected d-array). Persisted: read by the
-    // verification pass AND the fallback's failed-member scoping.
+    // ——— OCCUPANCY GATE (r15, see scaladoc): one map-side-combined pass
+    // over the banded rows yields the EXACT pair volume the clique
+    // self-join would emit (Σ d(d−1)/2 per bucket) and the corpus size
+    // (Σd = bands·n). The exchange carries only distinct buckets. ———
+    val occ = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long"),
+        coalesce(sum(col("d")), lit(0L)).cast("long"))
+      .head()
+    val cliqueVolume = occ.getLong(0)
+    val nDocsApprox = occ.getLong(1) / bands.toLong
+    if (cliqueVolume <= math.max(cliqueVolumeFloor, cliqueVolumePerDoc * nDocsApprox)) {
+      // CLIQUE path: the measured pair volume is ~linear in n, so the
+      // direct self-join + one verification pass is both the fewest-stage
+      // and the fewest-row plan — no hub persist, no verdict persist, no
+      // fallback scoping joins.
+      val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+      val cands = a.join(b, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      val result = verified(cands).filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint(true)
+      sig.unpersist(false)
+      return result
+    }
+    // SPANNING path. Hub edges WITH bucket provenance (needed to scope the
+    // fallback) via a whole-partition window min: ONE exchange of the 32n
+    // banded rows. The previous groupBy+join shape paid that exchange TWICE
+    // (partial-agg exchange for the bucket mins, then the banded⋈hubs join)
+    // — measured 25-30% dearer at ×10 — and is skew-equivalent (a
+    // degenerate bucket stays d rows here, never a collected d-array).
+    // Persisted: read by the verification pass AND the fallback's
+    // failed-member scoping.
     val hubEdges = banded
       .withColumn("id_a",
         min(col("id")).over(org.apache.spark.sql.expressions.Window

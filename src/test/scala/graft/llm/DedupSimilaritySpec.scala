@@ -125,7 +125,10 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("doc_id", "text")
 
     val clique = Dedup.minhashPairs(heavy, 0.5)
-    val spanning = Dedup.minhashSpanningPairs(heavy, 0.5)
+    // force the spanning path (the r15 occupancy gate would route this
+    // small fixture to the clique miner): floor 0, per-doc budget 0
+    val spanning = Dedup.minhashSpanningPairs(heavy, 0.5,
+      cliqueVolumePerDoc = 0L, cliqueVolumeFloor = 0L)
     val nClique = clique.count()
     val nSpan = spanning.count()
     assert(nSpan == 3 * 11, s"expected 11 star edges per 12-doc group, got $nSpan")
@@ -624,7 +627,8 @@ class DedupSimilaritySpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val feats = split(col("text"), " ")
     val clique = Dedup.minhashPairs(docsW, 0.5, features = feats)
-    val span = Dedup.minhashSpanningPairs(docsW, 0.5, features = feats)
+    val span = Dedup.minhashSpanningPairs(docsW, 0.5, features = feats,
+      cliqueVolumePerDoc = 0L, cliqueVolumeFloor = 0L)
     val cliqueSet = clique.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
     val spanSet = span.collect()
@@ -635,7 +639,8 @@ class DedupSimilaritySpec extends SparkSpec {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
     assert(cc(span) == cc(clique), "spanning+fallback CC diverged from clique CC")
     // pruneGate = 0 forces the pass-set prune path (the scale shape)
-    val spanPruned = Dedup.minhashSpanningPairs(docsW, 0.5, features = feats, pruneGate = 0L)
+    val spanPruned = Dedup.minhashSpanningPairs(docsW, 0.5, features = feats,
+      pruneGate = 0L, cliqueVolumePerDoc = 0L, cliqueVolumeFloor = 0L)
     assert(cc(spanPruned) == cc(clique), "pruned spanning CC diverged from clique CC")
 
     // precondition audit (driver side, from the same signatures/buckets the
@@ -660,6 +665,34 @@ class DedupSimilaritySpec extends SparkSpec {
         ids.exists(y => y != x && y != hub && jac(x, y) >= 0.5))
     }
     assert(hazard, "fixture never exercised the failed-hub fallback; strengthen it")
+  }
+
+  test("occupancy gate: default-gate miner == clique pair set, spanning above gate") {
+    import spark.implicits._
+    // gradient fixture again — under the default gate its measured clique
+    // volume is tiny, so the r15 occupancy gate must route it to the
+    // CLIQUE path: output == minhashPairs exactly (ids AND jaccard), not
+    // just CC-equal. The forced-spanning variants above pin the other arm.
+    val vocab = (0 until 40).map(i => s"w$i")
+    val W = 11
+    val docsW = (0 until 28).map { i =>
+      (i.toLong, vocab.slice(i, i + W).mkString(" "))
+    }.toDF("doc_id", "text")
+    val feats = split(col("text"), " ")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    val gated = pairSet(Dedup.minhashSpanningPairs(docsW, 0.5, features = feats))
+    val clique = pairSet(Dedup.minhashPairs(docsW, 0.5, features = feats))
+    assert(gated == clique, "default-gate (clique-path) pair set diverged from minhashPairs")
+    // a per-doc budget of 0 with floor 0 must flip the SAME corpus to the
+    // spanning star: strictly fewer edges, subset of the clique set
+    val span = pairSet(Dedup.minhashSpanningPairs(docsW, 0.5, features = feats,
+      cliqueVolumePerDoc = 0L, cliqueVolumeFloor = 0L))
+    // on this gradient corpus the fallback repairs nearly every bucket, so
+    // the edge SETS may coincide — the strict Θ(d) saving is pinned by the
+    // dup-heavy fixture above; here the contract is subset + non-empty
+    assert(span.subsetOf(clique) && span.nonEmpty,
+      s"forced-spanning output not a subset: span=${span.size} clique=${clique.size}")
   }
 
   test("prefix+positional mining == brute force on a randomized overlapping corpus") {
