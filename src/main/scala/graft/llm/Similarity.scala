@@ -280,11 +280,26 @@ object Similarity {
    * Cost: dup-heavy buckets (the case LSH bucketing exists for) verify ~d hub
    * edges and rarely fall back → linear; a degenerate bucket of mutually
    * dissimilar members degrades to the clique cost it would have paid anyway.
+   *
+   * OCCUPANCY GATE (r15, the [[graft.llm.Dedup.minhashSpanningPairs]]
+   * finding ported): hub-edge verification only SAVES work when hub edges
+   * mostly pass; on a sparse corpus most bucket cohabitants fail the
+   * threshold and nearly every bucket falls back to clique re-verification
+   * anyway — the hub window + verdict persist + failed-member scoping joins
+   * are then pure overhead (ann_pairs_lsh, the clique miner over the SAME
+   * buckets, measured 21 x10 task-CPU-s where this spanning pipeline paid
+   * 63 inside dedup_semantic). One map-side-combined pass over the banded
+   * rows measures the exact clique pair volume; when it is ≤
+   * max(`cliqueVolumeFloor`, `cliqueVolumePerDoc`·n) the direct banded
+   * self-join + one verification pass runs instead. Dup-heavy corpora blow
+   * the gate quadratically and keep the Θ(d) spanning star.
    */
   def cosineSpanningPairs(vectors: DataFrame, threshold: Double, dim: Int,
                           bands: Int = 4, bitsPerBand: Int = 6,
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          pruneGate: Long = 4096L): DataFrame = {
+                          pruneGate: Long = 4096L,
+                          cliqueVolumePerDoc: Long = 16L,
+                          cliqueVolumeFloor: Long = 65536L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = base.select(col("id"),
@@ -297,6 +312,25 @@ object Similarity {
       cands.join(vecsA, "id_a").join(vecsB, "id_b")
         .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
 
+    val occ = banded.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long"),
+        coalesce(sum(col("d")), lit(0L)).cast("long"))
+      .head()
+    val cliqueVolume = occ.getLong(0)
+    val nVecsApprox = occ.getLong(1) / bands.toLong
+    if (cliqueVolume <= math.max(cliqueVolumeFloor, cliqueVolumePerDoc * nVecsApprox)) {
+      val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"))
+      val cands = a.join(b, Seq("band", "bsig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      val out = verified(cands).filter(col("cos_sim") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+        .localCheckpoint(true)
+      banded.unpersist(false)
+      return out
+    }
     // hub edges with their bucket provenance (needed to scope the fallback)
     // via a whole-partition window min — ONE exchange of the banded rows
     // where the groupBy+join shape paid it twice (the r15 minhash-miner

@@ -567,7 +567,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val emb = rows.toDF("vec_id", "embedding")
     val t = 0.6
     val clique = Similarity.cosinePairsBanded(emb, t, dim, bands = 2, bitsPerBand = 3)
-    val span = Similarity.cosineSpanningPairs(emb, t, dim, bands = 2, bitsPerBand = 3)
+    // force the spanning arm (the r15 occupancy gate routes this small
+    // fixture to the clique path otherwise)
+    val span = Similarity.cosineSpanningPairs(emb, t, dim, bands = 2, bitsPerBand = 3,
+      cliqueVolumePerDoc = 0L, cliqueVolumeFloor = 0L)
     val cliqueSet = clique.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim"))).toSet
     val spanSet = span.collect()
@@ -583,8 +586,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // the failed-edge count clears the gate): pruned edges are provably
     // hub-connected, so CC equality must hold there too
     val spanPruned = Similarity.cosineSpanningPairs(emb, t, dim, bands = 2,
-      bitsPerBand = 3, pruneGate = 0L)
+      bitsPerBand = 3, pruneGate = 0L, cliqueVolumePerDoc = 0L, cliqueVolumeFloor = 0L)
     assert(cc(spanPruned) == cc(clique), "pruned spanning CC diverged from clique CC")
+
+    // default gate on this small fixture = the CLIQUE path: the pair set
+    // must equal cosinePairsBanded's exactly (ids AND cos_sim)
+    val gated = Similarity.cosineSpanningPairs(emb, t, dim, bands = 2, bitsPerBand = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim"))).toSet
+    assert(gated == cliqueSet, "default-gate (clique-path) pair set diverged from cosinePairsBanded")
 
     // precondition audit: the corpus genuinely contains the hub-transitivity
     // hazard — some bucket has a member whose hub edge fails while an edge to
