@@ -441,10 +441,13 @@ object SparkEntry {
       // DSIR (Xie et al. 2023): log importance weight of every raw doc
       // against the target slice (source='src1' plays the "trusted
       // corpus") in a 1024-bucket hashed uni+bigram feature space.
-      // B-row models broadcast; one aggregation keyed by doc. See Dsir.
+      // B-row models as a literal; one narrow scan per pass. The output
+      // order contract is range-partition + in-partition sort (NOT a
+      // trailing orderBy, whose bounds sampling re-executes the md5
+      // chain — the cdc_binlog_decode r14 finding). See Dsir.
       graft.llm.Dsir.importanceWeights(t(s, dir, "documents"),
-        isTarget = col("source") === "src1", buckets = 1024)
-        .orderBy("doc_id")
+        isTarget = col("source") === "src1", buckets = 1024,
+        rangeSortById = true)
     }),
 
     "data_dsir_sample" -> ((s, dir) => {

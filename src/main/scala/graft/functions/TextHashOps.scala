@@ -501,6 +501,59 @@ object TextHashOps {
       copy(left = l, right = r)
   }
 
+  /**
+   * Per-doc DSIR bucket-count vector — the fused form of exploding
+   * `md5Hash60Array(textNgramsAll(text,1)) ++ (text,2)` and counting per
+   * `pmod(h, B)` bucket, emitted as one array<double> row so
+   * [[VectorSumAgg]] builds both corpus models map-side with NO explode.
+   */
+  case class DsirBucketCounts(child: Expression, buckets: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "dsir_bucket_counts"
+
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(TextHashHelpers.dsirBucketCounts(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  graft.functions.TextHashHelpers.dsirBucketCounts($a, $buckets));
+        |""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * Per-doc DSIR log importance weight against a BROADCAST-LITERAL scale-10
+   * fixed-point log-ratio model: struct(n_feats: long, w: decimal(38,10)).
+   * The long sum of per-occurrence scaled llr values is exactly the
+   * Decimal(·,10) sum the exploded join+agg shape computed — order-free —
+   * so the output is value-identical with zero shuffle and zero explode.
+   */
+  case class DsirLogWeight(child: Expression, llrScaled: Array[Long], buckets: Int)
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_feats", LongType, nullable = false),
+      StructField("w", DecimalType(38, 10), nullable = false)))
+    override def prettyName: String = "dsir_log_weight"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashHelpers.dsirLogWeightRow(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], llrScaled, buckets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val llrRef = ctx.addReferenceObj("dsirLlr", llrScaled, "long[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextHashHelpers.dsirLogWeightRow($a, $llrRef, $buckets);
+        |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def simhash64(tokenHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
   def minhashSignature(tokenHashes: Column, k: Int): Column =
@@ -536,6 +589,12 @@ object TextHashOps {
   /** array<string> → array<long> via the md5-60-bit hash (DuckDB-reproducible). */
   def md5Hash60Array(tokens: Column): Column =
     GraftBridge.column(HashStringArray(GraftBridge.expression(tokens), "md5h60"))
+  /** text → per-bucket DSIR feature counts (array<double>, length `buckets`). */
+  def dsirBucketCounts(text: Column, buckets: Int): Column =
+    GraftBridge.column(DsirBucketCounts(GraftBridge.expression(text), buckets))
+  /** text → struct(n_feats, w decimal(38,10)) against a scaled llr model. */
+  def dsirLogWeight(text: Column, llrScaled: Array[Long], buckets: Int): Column =
+    GraftBridge.column(DsirLogWeight(GraftBridge.expression(text), llrScaled, buckets))
 }
 
 /** Static helpers callable from generated code (static forwarders). */
@@ -666,6 +725,90 @@ object TextHashHelpers {
       i += 1
     }
     if (w == n) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** md5-60 bucket of `len` bytes at `off` — the gram-level core of
+   * [[md5h60]] (identical digest bytes, identical 60-bit fold) followed by
+   * the non-negative `% buckets` ([[graft.llm.Dsir]]'s pmod: the 60-bit
+   * value is always ≥ 0, so % == pmod). */
+  private def md5BucketOf(bytes: Array[Byte], off: Int, len: Int, buckets: Int): Int = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val dig = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+    (v % buckets).toInt
+  }
+
+  /** Walk the doc's DSIR feature stream — every unigram and bigram, with
+   * multiplicity, md5-60-hashed mod `buckets` (value-identical to
+   * exploding `md5Hash60Array(textNgramsAll(text,1|2)) pmod B`) — calling
+   * `f(bucket)` per occurrence. Returns the occurrence count. */
+  private def dsirWalk(u: UTF8String, buckets: Int)(f: Int => Unit): Long = {
+    val bytes = u.getBytes
+    val len = bytes.length
+    var spans = spanBuf.get()
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      val start = i
+      while (i < len && bytes(i) != ' ') i += 1
+      if (i > start) {
+        if (nTok * 2 + 2 > spans.length) {
+          spans = java.util.Arrays.copyOf(spans, spans.length * 2)
+          spanBuf.set(spans)
+        }
+        spans(nTok * 2) = start
+        spans(nTok * 2 + 1) = i
+        nTok += 1
+      }
+    }
+    var j = 0
+    while (j < nTok) { // unigrams: md5 straight over the token's byte span
+      f(md5BucketOf(bytes, spans(j * 2), spans(j * 2 + 1) - spans(j * 2), buckets))
+      j += 1
+    }
+    var buf = shingleBuf.get()
+    j = 0
+    while (j < nTok - 1) { // bigrams: "tokA tokB" bytes in the reused buffer
+      val s1 = spans(j * 2); val l1 = spans(j * 2 + 1) - s1
+      val s2 = spans(j * 2 + 2); val l2 = spans(j * 2 + 3) - s2
+      val w = l1 + 1 + l2
+      if (w > buf.length) {
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, w))
+        shingleBuf.set(buf)
+      }
+      System.arraycopy(bytes, s1, buf, 0, l1)
+      buf(l1) = ' '
+      System.arraycopy(bytes, s2, buf, l1 + 1, l2)
+      f(md5BucketOf(buf, 0, w, buckets))
+      j += 1
+    }
+    nTok.toLong + math.max(0, nTok - 1).toLong
+  }
+
+  /** Per-doc DSIR bucket-count vector (array<double> so [[VectorSumAgg]]
+   * reduces it map-side): counts of uni+bigram md5-60 features per bucket. */
+  def dsirBucketCounts(u: UTF8String, buckets: Int): Array[Double] = {
+    val out = new Array[Double](buckets)
+    dsirWalk(u, buckets)(b => out(b) += 1.0)
+    out
+  }
+
+  /** Per-doc DSIR log weight against a scale-10 fixed-point log-ratio model:
+   * returns (n_feats, Σ llrScaled[bucket]) — the long sum over occurrences
+   * is EXACTLY the Decimal(·,10) sum of the per-occurrence llr decimals
+   * (order-free, overflow-impossible at corpus-feasible magnitudes). */
+  def dsirLogWeightRow(u: UTF8String, llrScaled: Array[Long], buckets: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var sum = 0L
+    val n = dsirWalk(u, buckets)(b => sum += llrScaled(b))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, org.apache.spark.sql.types.Decimal(sum, 38, 10)))
   }
 
   /** Two-pointer |A∩B| over sorted-distinct long arrays. */

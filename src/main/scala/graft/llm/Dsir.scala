@@ -33,64 +33,92 @@ import org.apache.spark.sql.types._
  */
 object Dsir {
 
-  /** (doc_id, t, b) feature-bucket occurrences with the target flag:
-   * unigrams + bigrams, with multiplicity, hashed md5-60 mod `buckets`.
-   * The flag is computed in the SAME projection so both passes over the
-   * stream know the doc's side without any semi/anti join. */
-  private def featureOccurrences(docs: DataFrame, isTarget: Column, buckets: Int,
-                                 idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"), isTarget.as("t"),
-        explode(concat(
-          TextHashOps.md5Hash60Array(TextHashOps.textNgramsAll(col(textCol), 1)),
-          TextHashOps.md5Hash60Array(TextHashOps.textNgramsAll(col(textCol), 2))))
-          .as("h"))
-      .select(col("doc_id"), col("t"), pmod(col("h"), lit(buckets.toLong)).as("b"))
-
   /**
    * Per-raw-doc DSIR log importance weights.
    *
    * `isTarget` splits `docs`; output is one row per NON-target doc:
    * (doc_id, n_feats, logw) with logw rounded to 4 decimals.
    *
-   * Cost shape (r15): the md5 feature stream — the data-sized term — runs
-   * exactly TWICE: pass A aggregates BOTH models (target and raw bucket
-   * counts) in one map-side-combined groupBy, with the corpus totals
-   * derived from the materialized B-row count table rather than their own
-   * corpus passes; pass B joins the broadcast log-ratio model back onto
-   * the stream for the per-doc sums. The previous shape re-executed the
-   * feature chain five times (two models + two totals + per-doc).
+   * Cost shape (r15, fused): the md5 feature stream — the data-sized term —
+   * runs exactly TWICE, and NEITHER pass explodes a row per occurrence:
+   *
+   *  - pass A: one narrow scan emits a per-doc bucket-count VECTOR
+   *    ([[TextHashOps.dsirBucketCounts]], value-identical to counting the
+   *    exploded `pmod(md5h60(gram), B)` stream) and [[graft.functions
+   *    .VectorAgg.vectorSum]] reduces it map-side — the only exchange
+   *    carries ≤ 2 rows of B partial sums (the previous shape shuffled the
+   *    full occurrence stream into a B-row groupBy);
+   *  - the ≤ B-row log-ratio model is computed ON THE DRIVER with the
+   *    bit-identical arithmetic of the old Catalyst expression chain
+   *    (same double divides, same Math.log, same HALF_UP round-to-9 then
+   *    Decimal(·,10) rendering — both steps replicated mechanically), as
+   *    scale-10 fixed-point longs;
+   *  - pass B: one narrow scan computes each raw doc's (n_feats, Σ llr)
+   *    against the literal model ([[TextHashOps.dsirLogWeight]]); the long
+   *    sum of scaled values IS the old Decimal(·,10) join+agg sum —
+   *    order-free and exact — so no explode, no broadcast join, no
+   *    doc-keyed exchange.
+   *
+   * The previous exploded shape (r14) shuffled ~2×(uni+bigram occurrences)
+   * rows through a hash agg and a broadcast join per run; this one ships
+   * 2·B doubles. Output is value-identical (spec-pinned row-for-row vs the
+   * exploded r14 shape in DsirSpec, plus the DuckDB oracle row-hash).
+   */
+  /**
+   * @param rangeSortById emit output globally sorted by `idCol` WITHOUT a
+   *   trailing `orderBy`: a global sort ABOVE the weight projection makes
+   *   the range-exchange's bounds-sampling job re-execute the whole md5
+   *   feature chain (the cdc_binlog_decode r14 finding — measured 2×
+   *   task-CPU); here the range exchange runs on the RAW doc rows (the
+   *   sampling job prunes to the id column) and the narrow weight compute +
+   *   in-partition sort run once, above it. Order contract identical to
+   *   `.orderBy(idCol)` — range partitions are globally ordered and each is
+   *   sorted within.
    */
   def importanceWeights(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val feats = featureOccurrences(docs, isTarget, buckets, idCol, textCol)
-    // pass A: both add-1 models in ONE aggregation; <= `buckets` rows,
-    // eagerly cut (localCheckpoint) so the totals and the log-ratio model
-    // derive from the B-row table, not from fresh corpus passes
-    val counts = feats.groupBy("b").agg(
-      sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("t"), 1L).otherwise(0L)).as("cr"))
-      .localCheckpoint(true)
-    val tots = counts.agg(sum(col("ct")).as("tn"), sum(col("cr")).as("rn"))
-    val llr = counts
-      .crossJoin(broadcast(tots))
-      .select(col("b"),
-        round(
-          log((col("ct") + lit(1)).cast(DoubleType) /
-            (col("tn") + lit(buckets)).cast(DoubleType)) -
-          log((col("cr") + lit(1)).cast(DoubleType) /
-            (col("rn") + lit(buckets)).cast(DoubleType)), 9)
-          .cast(DecimalType(28, 10)).as("llr"))
-    // pass B: the broadcast model back onto the raw side of the stream
-    val perDoc = feats.filter(!col("t")).join(broadcast(llr), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum(col("llr")).as("w"))
-    docs.filter(!isTarget).select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+                        idCol: String = "doc_id", textCol: String = "text",
+                        rangeSortById: Boolean = false): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // pass A: both add-1 models from ONE narrow scan + a 2-group vector agg
+    val sums = docs.repartition(par)
+      .select(isTarget.as("t"),
+        TextHashOps.dsirBucketCounts(col(textCol), buckets).as("c"))
+      .groupBy("t").agg(graft.functions.VectorAgg.vectorSum(col("c")).as("s"))
+      .collect()
+    def side(flag: Boolean): Array[Long] =
+      sums.find(r => r.getBoolean(0) == flag)
+        .map(_.getSeq[Double](1).map(_.toLong).toArray)
+        .getOrElse(new Array[Long](buckets))
+    val ct = side(true)
+    val cr = side(false)
+    val tn = ct.sum
+    val rn = cr.sum
+    // driver llr model, replicating the old expression chain step by step:
+    // x = log((ct+1)/(tn+B)) - log((cr+1)/(rn+B))  [double]
+    // r9 = round(x, 9)                              [Spark Round: HALF_UP on
+    //                                                BigDecimal.valueOf(x)]
+    // llr = cast(r9 as decimal(·,10))               [Double.toString-based]
+    val llrScaled = Array.tabulate(buckets) { b =>
+      val x = math.log((ct(b) + 1L).toDouble / (tn + buckets).toDouble) -
+        math.log((cr(b) + 1L).toDouble / (rn + buckets).toDouble)
+      val r9 = new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      new java.math.BigDecimal(java.lang.Double.toString(r9))
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+    // pass B: narrow per-doc weight against the literal model
+    val raw = docs.filter(!isTarget)
+    val spread =
+      if (rangeSortById) raw.repartitionByRange(par, col(idCol))
+      else raw.repartition(par)
+    val out = spread
+      .select(col(idCol).as("doc_id"),
+        TextHashOps.dsirLogWeight(col(textCol), llrScaled, buckets).as("_r"))
       .select(col("doc_id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        round(coalesce(col("w"), lit(0)).cast(DoubleType), 4).as("logw"))
+        coalesce(col("_r.n_feats"), lit(0L)).as("n_feats"),
+        round(coalesce(col("_r.w"), lit(0)).cast(DoubleType), 4).as("logw"))
+    if (rangeSortById) out.sortWithinPartitions("doc_id") else out
   }
 
   /**
