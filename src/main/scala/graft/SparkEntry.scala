@@ -60,6 +60,26 @@ object SparkEntry {
 
   private def jget(c: String, path: String): Column = get_json_object(col(c), "$." + path)
 
+  /**
+   * Range-spread `src` on `key`, apply the NARROW `chain`, sort within
+   * partitions by `outKeys` — globally identical to
+   * `chain(src).orderBy(outKeys)` (range partitions are globally ordered,
+   * each sorted within), while the sort's bounds-sampling job runs on the
+   * cheap source scan instead of RE-EXECUTING the chain. A trailing
+   * `orderBy` above an expensive narrow chain costs ~2× its task-CPU: the
+   * range exchange's sampling pass executes the child once just to pick
+   * partition bounds (the cdc_binlog_decode r14 finding — measured exactly
+   * 2× — generalized to every narrow-chain query in r15; data_dsir_weights
+   * dropped 21.7 → 9.8 x10 task-CPU-s from this rewrite alone).
+   * `chain` must be key-order-preserving: row-wise projections and filters
+   * only, with every `outKeys` expression monotone in `key`.
+   */
+  private def rangeSorted(src: DataFrame, key: Column, outKeys: Seq[Column])
+      (chain: DataFrame => DataFrame): DataFrame = {
+    val par = src.sparkSession.sparkContext.defaultParallelism
+    chain(src.repartitionByRange(par, key)).sortWithinPartitions(outKeys: _*)
+  }
+
   /** Flagship query on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
     queries("q3_join_topn")(spark, "/root/testdata/sf0.001")
@@ -154,56 +174,60 @@ object SparkEntry {
         tables = Seq("inventory.*"),
         predicates = Seq(Gt("o_totalprice", 150000), In("o_orderstatus", Seq("F", "O"))),
         matchMode = MatchAll)
-      FilterProcessor(cfg)(orderEvents(s, dir))
-        .select(jget("after", "o_orderkey").cast(LongType).as("o_orderkey"), col("op"),
-          jget("after", "o_totalprice").cast(DoubleType).as("o_totalprice"))
-        .orderBy("o_orderkey")
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
+        FilterProcessor(cfg)(CdcSynth.changeEvents(o, "inventory", "orders",
+          "o_orderkey", tsCol = Some("o_orderdate")))
+          .select(jget("after", "o_orderkey").cast(LongType).as("o_orderkey"), col("op"),
+            jget("after", "o_totalprice").cast(DoubleType).as("o_totalprice"))
+      }
     }),
 
     "cdc_filter_changed" -> ((s, dir) => {
       import FilterProcessor._
-      val o = t(s, dir, "orders")
       val op = CdcSynth.opFor(col("o_orderkey"))
       val delta = when(col("o_orderkey") % 3 === 0, 10.0).otherwise(0.0)
       val beforeJson = to_json(struct(col("o_orderkey"), col("o_totalprice")))
       val afterJson = to_json(struct(col("o_orderkey"),
         (col("o_totalprice") + delta).as("o_totalprice")))
-      val ev = ChangeEvent.conform(o.select(
-        when(op.isin("u", "d"), beforeJson).as("before"),
-        when(op =!= "d", afterJson).as("after"),
-        op.as("op"),
-        col("o_orderkey").cast(LongType).as("ts_ms")))
-      FilterProcessor(Config(predicates = Seq(Changed("o_totalprice"))))(ev)
-        .select(coalesce(jget("after", "o_orderkey"), jget("before", "o_orderkey"))
-          .cast(LongType).as("o_orderkey"), col("op"))
-        .orderBy("o_orderkey")
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
+        val ev = ChangeEvent.conform(o.select(
+          when(op.isin("u", "d"), beforeJson).as("before"),
+          when(op =!= "d", afterJson).as("after"),
+          op.as("op"),
+          col("o_orderkey").cast(LongType).as("ts_ms")))
+        FilterProcessor(Config(predicates = Seq(Changed("o_totalprice"))))(ev)
+          .select(coalesce(jget("after", "o_orderkey"), jget("before", "o_orderkey"))
+            .cast(LongType).as("o_orderkey"), col("op"))
+      }
     }),
 
     "cdc_flatten" -> ((s, dir) => {
-      val nested = t(s, dir, "orders").select(struct(
-        struct(col("o_orderkey").as("id"), col("o_totalprice").as("price")).as("order"),
-        struct(col("o_custkey").as("key")).as("customer")).as("payload"))
-      FlattenProcessor(nested, "payload").orderBy("order__id")
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("order__id"))) { o =>
+        FlattenProcessor(o.select(struct(
+          struct(col("o_orderkey").as("id"), col("o_totalprice").as("price")).as("order"),
+          struct(col("o_custkey").as("key")).as("customer")).as("payload")), "payload")
+      }
     }),
 
     "cdc_outbox" -> ((s, dir) => {
       val eventType = when(col("o_orderstatus") === "F", "OrderFulfilled")
         .when(col("o_orderstatus") === "O", "OrderCreated").otherwise("OrderPending")
-      val o = t(s, dir, "orders")
       val outboxAfter = to_json(struct(
         concat(lit("evt-"), col("o_orderkey")).as("id"),
         lit("Order").as("aggregate_type"),
         col("o_orderkey").cast(StringType).as("aggregate_id"),
         eventType.as("event_type"),
         struct(col("o_orderkey"), col("o_totalprice")).as("payload")))
-      // after IS the outbox row directly — no double-encode + re-extract
-      val ev = CdcSynth.changeEvents(o, "inventory", "outbox_orders", "o_orderkey",
-        payloadOverride = Some(outboxAfter))
-        .withColumn("source", col("source").withField("schema", lit("__outbox")))
-      OutboxProcessor(OutboxProcessor.Config(
-        topicTemplate = Some("${aggregate_type}.${event_type}")))(ev)
-        .select(col("routing.topic").as("topic"), col("routing.key").as("event_key"))
-        .orderBy(col("event_key").cast(LongType))
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"),
+        Seq(col("event_key").cast(LongType))) { o =>
+        // after IS the outbox row directly — no double-encode + re-extract
+        val ev = CdcSynth.changeEvents(o, "inventory", "outbox_orders", "o_orderkey",
+          payloadOverride = Some(outboxAfter))
+          .withColumn("source", col("source").withField("schema", lit("__outbox")))
+        OutboxProcessor(OutboxProcessor.Config(
+          topicTemplate = Some("${aggregate_type}.${event_type}")))(ev)
+          .select(col("routing.topic").as("topic"), col("routing.key").as("event_key"))
+      }
     }),
 
     "cdc_routing" -> ((s, dir) => {
@@ -229,10 +253,11 @@ object SparkEntry {
         col("o_orderpriority").as("prio")))
       val paths = Seq("id", "order.status", "order.price", "order", "missing")
       val names = Seq("id", "status", "price", "order_obj", "missing_f")
-      o.select(col("o_orderkey"), payload.as("j"))
-        .select(col("o_orderkey"),
-          graft.functions.JsonPathOps.jsonPathsTuple(col("j"), paths).as(names))
-        .orderBy("o_orderkey")
+      rangeSorted(o, col("o_orderkey"), Seq(col("o_orderkey"))) { oo =>
+        oo.select(col("o_orderkey"), payload.as("j"))
+          .select(col("o_orderkey"),
+            graft.functions.JsonPathOps.jsonPathsTuple(col("j"), paths).as(names))
+      }
     }),
 
     // NESTED fused decode (r15): encode a nested change payload — struct
@@ -245,7 +270,6 @@ object SparkEntry {
     // in either the fused encoder or the nested decoder breaks equality.
     "cdc_nested_decode" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val par = s.sparkContext.defaultParallelism
       val payload = to_json(struct(
         struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
           col("o_totalprice").as("price")).as("order"),
@@ -260,23 +284,23 @@ object SparkEntry {
         StructField("items", ArrayType(LongType)),
         StructField("attrs", ArrayType(StructType(Seq(
           StructField("k", StringType), StructField("v", StringType)))))))
-      o.repartition(par) // per-row encode+decode: spread single-file scans
-        .select(col("o_orderkey").cast(LongType).as("o_orderkey"), payload.as("j"))
-        .select(col("o_orderkey"),
-          graft.functions.JsonDecode.fusedFromJson(col("j"), sch).as("p"))
-        .select(col("o_orderkey"),
-          col("p.order.id").as("id"), col("p.order.status").as("status"),
-          col("p.order.price").as("price"),
-          element_at(col("p.items"), 2).as("item_cust"),
-          size(col("p.items")).cast(LongType).as("n_items"),
-          element_at(col("p.attrs"), 1).getField("v").as("attr_prio"))
-        .orderBy("o_orderkey")
+      rangeSorted(o, col("o_orderkey"), Seq(col("o_orderkey"))) { oo =>
+        oo.select(col("o_orderkey").cast(LongType).as("o_orderkey"), payload.as("j"))
+          .select(col("o_orderkey"),
+            graft.functions.JsonDecode.fusedFromJson(col("j"), sch).as("p"))
+          .select(col("o_orderkey"),
+            col("p.order.id").as("id"), col("p.order.status").as("status"),
+            col("p.order.price").as("price"),
+            element_at(col("p.items"), 2).as("item_cust"),
+            size(col("p.items")).cast(LongType).as("n_items"),
+            element_at(col("p.attrs"), 1).getField("v").as("attr_prio"))
+      }
     }),
 
     "cdc_envelope" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
       val op = CdcSynth.opFor(col("o_orderkey"))
       val payload = to_json(struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status")))
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
       val ev = ChangeEvent.conform(o.select(
         when(op.isin("u", "d"), payload).as("before"),
         when(op =!= "d", payload).as("after"),
@@ -293,7 +317,7 @@ object SparkEntry {
         concat(lit("inventory.orders:"), col("o_orderkey")).as("event_id")))
       ev.select(col("source.pos").as("o_orderkey"),
         Envelopes.cloudEvents("com.acme.order").as("envelope"))
-        .orderBy("o_orderkey")
+      }
     }),
 
     "cdc_lake_project" -> ((s, dir) => {
@@ -301,12 +325,15 @@ object SparkEntry {
         StructField("o_orderkey", LongType),
         StructField("o_totalprice", DoubleType),
         StructField("o_orderstatus", StringType)))
-      LakeProjection(orderEvents(s, dir), payloadSchema)
-        .select(col("op"), col("source_db"), col("source_table"), col("event_id"),
-          col("before_o_orderkey"), col("after_o_orderkey"),
-          col("before_o_totalprice"), col("after_o_totalprice"),
-          col("after_o_orderstatus"))
-        .orderBy(coalesce(col("after_o_orderkey"), col("before_o_orderkey")))
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"),
+        Seq(coalesce(col("after_o_orderkey"), col("before_o_orderkey")))) { o =>
+        LakeProjection(CdcSynth.changeEvents(o, "inventory", "orders",
+          "o_orderkey", tsCol = Some("o_orderdate")), payloadSchema)
+          .select(col("op"), col("source_db"), col("source_table"), col("event_id"),
+            col("before_o_orderkey"), col("after_o_orderkey"),
+            col("before_o_totalprice"), col("after_o_totalprice"),
+            col("after_o_orderstatus"))
+      }
     }),
 
     "cdc_upsert" -> ((s, dir) => {
@@ -367,9 +394,18 @@ object SparkEntry {
       // Commit messages with XLogData framing, decoded distributed. Spans
       // the OID map (ints, numeric-as-string, bool t/f, text[], jsonb,
       // bytea hex, TOAST _unchanged) and includes an op='t' truncate row.
+      // localCheckpoint before the sort: the contract order is op-major
+      // over the hex lsn STRING (truncate sorts between deletes and
+      // updates), which no source-side range partitioning can reproduce —
+      // so the orderBy stays, but its bounds-sampling job reads the
+      // materialized blocks instead of re-executing the whole wire
+      // encode+decode chain (the r14 binlog finding measured that at
+      // exactly 2× task-CPU; the mysql twin fixed it with orderedByKey,
+      // this op-major twin fixes it with a materialization cut)
       sources.PgOutputFixture.decodedOrders(t(s, dir, "orders"))
         .filter(col("op").isNotNull)
         .select(col("lsn"), col("op"), col("before"), col("after"))
+        .localCheckpoint(true)
         .orderBy("op", "lsn")
     }),
 
@@ -946,26 +982,27 @@ object SparkEntry {
       // lambdas per token; codegen subexpression elimination collapses the
       // five field references to a single scan per row.
       val m = TextAnalysis.metrics(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        m.getField("n_chars").cast(LongType).as("n_chars_m"),
-        m.getField("n_words").cast(LongType).as("n_words"),
-        m.getField("n_punct").cast(LongType).as("n_punct"),
-        m.getField("n_stop").cast(LongType).as("n_stop"),
-        m.getField("n_bpe").cast(LongType).as("n_bpe"))
-        .orderBy("doc_id")
+      rangeSorted(t(s, dir, "documents"), col("doc_id"), Seq(col("doc_id"))) { d =>
+        d.select(
+          col("doc_id"),
+          m.getField("n_chars").cast(LongType).as("n_chars_m"),
+          m.getField("n_words").cast(LongType).as("n_words"),
+          m.getField("n_punct").cast(LongType).as("n_punct"),
+          m.getField("n_stop").cast(LongType).as("n_stop"),
+          m.getField("n_bpe").cast(LongType).as("n_bpe"))
+      }
     }),
 
     "text_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
+      rangeSorted(t(s, dir, "documents"), col("doc_id"), Seq(col("doc_id"))) { d =>
+        d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      }
     }),
 
     "text_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
+      rangeSorted(t(s, dir, "documents"), col("doc_id"), Seq(col("doc_id"))) { d =>
+        d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      }
     }),
 
     "events_session_attrib" -> ((s, dir) => {
@@ -1130,16 +1167,17 @@ object SparkEntry {
       val dw = size(TextHashOps.textNgrams(col("text"), 1)).cast(DoubleType)
       val d2 = size(TextHashOps.textNgrams(col("text"), 2)).cast(DoubleType)
       val d3 = size(TextHashOps.textNgrams(col("text"), 3)).cast(DoubleType)
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        nw.cast(LongType).as("n_words"),
-        round(when(nw > 0, lit(1.0) - dw / nw).otherwise(0.0), 6).as("dup_word_frac"),
-        round(when(nw > 1, lit(1.0) - d2 / (nw - 1)).otherwise(0.0), 6).as("dup_2gram_frac"),
-        round(when(nw > 2, lit(1.0) - d3 / (nw - 2)).otherwise(0.0), 6).as("dup_3gram_frac"),
-        round(when(nw > 0,
-          length(translate(col("text"), " ", "")).cast(DoubleType) / nw).otherwise(0.0), 6)
-          .as("mean_word_len"))
-        .orderBy("doc_id")
+      rangeSorted(t(s, dir, "documents"), col("doc_id"), Seq(col("doc_id"))) { d =>
+        d.select(
+          col("doc_id"),
+          nw.cast(LongType).as("n_words"),
+          round(when(nw > 0, lit(1.0) - dw / nw).otherwise(0.0), 6).as("dup_word_frac"),
+          round(when(nw > 1, lit(1.0) - d2 / (nw - 1)).otherwise(0.0), 6).as("dup_2gram_frac"),
+          round(when(nw > 2, lit(1.0) - d3 / (nw - 2)).otherwise(0.0), 6).as("dup_3gram_frac"),
+          round(when(nw > 0,
+            length(translate(col("text"), " ", "")).cast(DoubleType) / nw).otherwise(0.0), 6)
+            .as("mean_word_len"))
+      }
     }),
 
     "text_pii" -> ((s, dir) => {
@@ -1168,19 +1206,19 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, concat(
           lit(" cc admin"), col("doc_id").cast(StringType),
           lit("@corp.example.org"))).otherwise(lit("")))
-      t(s, dir, "documents")
-        .select(col("doc_id"), aug.as("t"))
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast(LongType).as("n_email"),
-          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast(LongType).as("n_phone"),
-          size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast(LongType).as("n_ip"),
-          size(regexp_extract_all(col("t"), lit(ssnRe), lit(0))).cast(LongType).as("n_ssn"),
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("t"),
-            lit(emailRe), lit("<EMAIL>")),
-            lit(ssnRe), lit("<SSN>")),
-            lit(phoneRe), lit("<PHONE>")),
-            lit(ipRe), lit("<IP>")).as("redacted"))
-        .orderBy("doc_id")
+      rangeSorted(t(s, dir, "documents"), col("doc_id"), Seq(col("doc_id"))) { d =>
+        d.select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast(LongType).as("n_email"),
+            size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast(LongType).as("n_phone"),
+            size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast(LongType).as("n_ip"),
+            size(regexp_extract_all(col("t"), lit(ssnRe), lit(0))).cast(LongType).as("n_ssn"),
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("t"),
+              lit(emailRe), lit("<EMAIL>")),
+              lit(ssnRe), lit("<SSN>")),
+              lit(phoneRe), lit("<PHONE>")),
+              lit(ipRe), lit("<IP>")).as("redacted"))
+      }
     }),
 
     "multimodal_features" -> ((s, dir) => {
