@@ -946,9 +946,9 @@ object Bench {
       "cdc_binlog_decode" ->
         "inherent: full MySQL wire decode of ~1.5M events; linear (~7.5x from x1). Measured in a fresh child JVM (fresh_jvm_remeasured) — long-JVM JIT/heap phase inflated the in-JVM read 3x (r8: 489.6 vs 165 steady state)",
       "cdc_pgoutput_decode" ->
-        "inherent: full pgoutput wire decode of ~1.5M events; linear",
+        "inherent: full pgoutput wire decode of ~1.5M events; linear. r15: localCheckpoint cut before the op-major sort (its bounds sampling re-executed the wire chain) — fresh x10 40.9 -> 31.7",
       "cdc_envelope" ->
-        "inherent: CloudEvents to_json encode of the full x10 change stream; fresh-JVM plan cost ~18-20 task-CPU-s (r15 controlled A/B, HEAD vs 882e31d interleaved both orders, 2 fresh children each side: 17.7/20.2 vs 19.6/20.1 — code identical across rounds; r14's 60.5 was long-JVM in-JVM phase below the fresh gate, r13's 14.8 a favorable window; the 2.5x-vs-prior fresh trigger now arbitrates this class)",
+        "inherent: CloudEvents to_json encode of the full x10 change stream. r15 A/B pinned the fresh plan cost at ~18-20 (r14's 60.5 was long-JVM phase); the r15 range-sort rewrite (bounds sampling no longer re-executes the encode chain) then halved it: fresh x10 8.1 task-CPU-s",
       "dedup_jaccard" ->
         "inherent: exact AllPairs/PPJoin prefix+positional candidate mining + merge verification over the x10 corpus (r15 rewrite: interleaved fresh-JVM A/B vs the posting-join recount shape measured x10 34.2/35.1 vs 45.8-56.0, x1 task-CPU ~-35%)",
       "dedup_containment" ->
@@ -962,7 +962,7 @@ object Bench {
       "dedup_survivors" ->
         "inherent: the identical mining+CC pipeline as dedup_clusters plus the representative re-join (measured 0.09 task-CPU-s at sf0.1 — piecewise decomposition shows NO duplicated mining inside either query; the r13/r14 survivors-vs-clusters gap was long-JVM phase, the two queries measured adjacent agree within 1 task-CPU-s); r15 occupancy gate: fresh x10 25.8 task-CPU-s (r14: 106.5/130.8)",
       "dedup_semantic" ->
-        "inherent: banded hyperplane-LSH candidate mining (4 bands, width adaptive to corpus size — expected bucket occupancy bounded, so distinct candidates grow ~linearly, not n^2/2^bits) + spanning-edge hub verification with intra-bucket fallback + CC rounds; composition of the dedup_minhash/dedup_clusters families over the x10 embedding corpus",
+        "inherent: banded hyperplane-LSH candidate mining (4 bands, width adaptive to corpus size — expected bucket occupancy bounded, so distinct candidates grow ~linearly, not n^2/2^bits) + verification + CC; r15 occupancy gate routes this sparse corpus to the direct clique self-join (hub edges mostly FAILED verification here, so the spanning fallback machinery was pure overhead) — fresh sf0.1 task-CPU 8.5 -> 0.45",
       "ann_pairs_lsh" ->
         "inherent: same banded adaptive-width hyperplane LSH as dedup_semantic, full verified pair-set output (clique contract); linear candidate mining at fixed bucket occupancy",
       "dedup_simhash" ->
@@ -970,9 +970,9 @@ object Bench {
       "dedup_substring" ->
         "inherent: positional 16-gram posting table (O(total tokens) rows, the dedup_jaccard family's magnitude) + one map-side-combined gram count + per-doc LAG interval union; linear in corpus tokens",
       "data_dsir_weights" ->
-        "inherent: hashed uni+bigram feature stream (O(total tokens) occurrences) + two B-row broadcast models + one per-doc aggregation; linear in corpus tokens",
+        "inherent: hashed uni+bigram md5 feature stream, linear in corpus tokens. r15: fused per-doc expressions (bucket-count vector + literal-model weight sum) replace the exploded occurrence stream — no explode, no occurrence shuffle, exact decimal parity; plus the range-sort rewrite (the trailing orderBy's sampling re-executed the md5 chain). Fresh x10 20.8 -> 9.8",
       "data_dsir_sample" ->
-        "inherent: the data_dsir_weights pipeline plus a k-row Gumbel top-k; same linear feature stream",
+        "inherent: the data_dsir_weights pipeline plus a k-row Gumbel top-k; same fused linear feature stream (r15: fresh x10 33.0 -> 12.1)",
       "dedup_semdedup" ->
         "inherent: broadcast argmax assignment (n x sqrt(n) cosines) + within-cell pair cosines at ~sqrt(n) cells = Theta(n^1.5) pair volume (expected x10 growth ~10^1.5 ~ 32x, measured against that); paper-parity sqrt(n) rule — the LINEAR scale mode is Similarity.adaptiveCellCount (k = n/occupancy, pair-volume linearity spec-pinned at x10 in ScaleToolsSpec)",
       "dedup_minhash" ->
@@ -980,7 +980,7 @@ object Bench {
       "cdc_lake_project" ->
         "inherent: flat-envelope projection of the full x10 change stream; linear",
       "cdc_outbox" ->
-        "inherent: outbox JSON parse+route of the full x10 change stream; linear. Fresh-JVM plan cost ~34-36 task-CPU-s (r15 A/B: HEAD 36.0 vs 882e31d 34.4 — the r14 fusedJsonFor routing changed nothing measurable; r13 32.9 / r14 38.6 bracket the same cost)",
+        "inherent: outbox JSON parse+route of the full x10 change stream; linear. Fresh-JVM plan cost ~34 task-CPU-s (r15 A/B: HEAD 36.0 vs 882e31d 34.4; the r15 range-sort rewrite measured UNCHANGED at 34.0 — unlike cdc_envelope, this query's cost is the parse-once encode+extract chain itself, not sort sampling)",
       "cdc_json_extract" ->
         "inherent: JSON path extraction over the full x10 change stream; linear",
       "cdc_nested_decode" ->
@@ -996,7 +996,7 @@ object Bench {
       "text_metrics" ->
         "inherent: tokenization + punct/stopword scans of the full x10 corpus; linear",
       "text_pii" ->
-        "inherent: 8 regex scans + 4 global redaction passes over the full x10 corpus; linear",
+        "inherent: 8 regex scans + 4 global redaction passes over the full x10 corpus; linear (r15 range-sort rewrite: fresh x10 10.9, was 20.8 in-JVM r14)",
       "text_contamination" ->
         "inherent: corpus 3-gram stream filtered through the broadcast benchmark set; linear in corpus grams",
       "ann_ivf_trained" ->
