@@ -966,7 +966,7 @@ object Bench {
       "ann_pairs_lsh" ->
         "inherent: same banded adaptive-width hyperplane LSH as dedup_semantic, full verified pair-set output (clique contract); linear candidate mining at fixed bucket occupancy",
       "dedup_simhash" ->
-        "inherent: pigeonhole chunk join at x10; growth ~1.5x",
+        "inherent: pigeonhole chunk join whose CONTRACT OUTPUT is the full hamming<=3 pair set — 4.7M rows at x10 on this dup-heavy corpus (33M raw chunk collisions). r15 first-match dedup: each pair now survives its first matching chunk via a narrow fingerprint filter instead of a 33M-row distinct exchange (fresh x10 43.2 -> 40.4 locally; the exchange removal is the 100TB win, local CPU is join+bit_count bound)",
       "dedup_substring" ->
         "inherent: positional 16-gram posting table (O(total tokens) rows, the dedup_jaccard family's magnitude) + one map-side-combined gram count + per-doc LAG interval union; linear in corpus tokens",
       "data_dsir_weights" ->

@@ -1022,24 +1022,39 @@ object Dedup {
    * trick: split 64 bits into `maxDist+1` chunks — any pair within distance
    * must share one exact chunk (pigeonhole). Join on (chunk, value), verify
    * with bit_count(xor).
+   *
+   * FIRST-MATCH dedup (r15): a pair colliding in k chunks used to be
+   * emitted k times and canonicalized by a `.distinct()` — which shuffled
+   * the ENTIRE raw candidate stream (33M rows at the ×10 probe, where the
+   * contractual output is 4.7M pairs: dup-heavy groups collide in all 4
+   * chunks). Both fingerprints are in hand after the join, so "this is the
+   * pair's FIRST matching chunk" is a narrow filter (no earlier chunk
+   * equal) — each pair survives exactly once BY CONSTRUCTION and the plan
+   * has zero post-join exchange: join → project → filter, all pipelined.
+   * Value-identical to the distinct (spec-pinned; same pigeonhole
+   * completeness, hamming filtered before materialization).
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text",
                    tokenHasher: Column => Column = xxhashTokens): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
+    def chunkOf(fp: Column, c: Int): Column =
+      shiftright(fp, c * width).bitwiseAND((1L << width) - 1)
     val fp = simhash(docs, idCol, textCol, tokenHasher).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(
       col("id"), col("simhash"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1)
-      }: _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(array((0 until chunks).map(chunkOf(col("simhash"), _)): _*))
+        .as(Seq("chunk", "chunk_val")))
     val a = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val b = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    val noEarlierMatch = not((0 until chunks - 1).map { cPrev =>
+      col("chunk") > cPrev && (chunkOf(col("fp_a"), cPrev) === chunkOf(col("fp_b"), cPrev))
+    }.reduce(_ || _))
     val result = a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
+      .filter(noEarlierMatch)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
       .localCheckpoint(true)
     fp.unpersist(false)
