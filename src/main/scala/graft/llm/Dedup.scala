@@ -988,6 +988,29 @@ object Dedup {
     docs.join(clusters(docs, pairs, idCol).filter(col(idCol) === col("cluster_id"))
       .select(idCol), idCol)
 
+  /**
+   * ONE mining pass feeding BOTH dedup output shapes: the cluster map
+   * (id, cluster_id) and the canonical survivor rows, derived from a
+   * single [[minhashSpanningPairs]] pair frame and a single [[clusters]]
+   * labeling. This is the pipeline shape a real dedup run uses — compute
+   * the cluster frame once, ship both the assignment table and the
+   * deduplicated corpus from it — where running [[clusters]] and
+   * [[clusterSurvivors]] independently mines the pair graph twice. The
+   * standalone `dedup_clusters`/`dedup_survivors` bench queries stay
+   * independent on purpose (each timed run pays its own full cost); this
+   * is the fused alternative, spec-pinned output-identical to the two
+   * independent calls.
+   */
+  def clustersAndSurvivors(docs: DataFrame, threshold: Double,
+                           idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val pairs = minhashSpanningPairs(docs, threshold, idCol = idCol)
+    val cl = clusters(docs, pairs, idCol)
+      .localCheckpoint(true) // one labeling feeds both consumers
+    val survivors = docs.join(
+      cl.filter(col(idCol) === col("cluster_id")).select(idCol), idCol)
+    (cl, survivors)
+  }
+
   /** Default token-array hash: fused xxhash64 (fastest; Spark-only). */
   val xxhashTokens: Column => Column = TextHashOps.xxhash64Array
 

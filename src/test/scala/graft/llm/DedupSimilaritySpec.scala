@@ -677,6 +677,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hazard, "fixture never exercised the failed-hub fallback; strengthen it")
   }
 
+  test("clustersAndSurvivors: one mining pass, outputs == the two independent calls") {
+    import spark.implicits._
+    val tmpl = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "spark catalyst rewrites logical plans into physical exchanges and sorts")
+    val corpus = (tmpl.zipWithIndex.flatMap { case (p, g) =>
+      (0 until 8).map(i => ((g * 100 + i).toLong, s"$p copy marker $g"))
+    } ++ Seq((900L, "totally unrelated standalone words only here once today now then")))
+      .toDF("doc_id", "text")
+    val (cl, surv) = Dedup.clustersAndSurvivors(corpus, 0.5)
+    val clSet = cl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survSet = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clRef = Dedup.clusters(corpus, Dedup.minhashSpanningPairs(corpus, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survRef = Dedup.clusterSurvivors(corpus, Dedup.minhashSpanningPairs(corpus, 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clSet == clRef, "fused cluster map diverged from the independent call")
+    assert(survSet == survRef, "fused survivors diverged from the independent call")
+    assert(survSet == clSet.filter(p => p._1 == p._2).map(_._1),
+      "survivors must be exactly the self-labeled cluster representatives")
+  }
+
   test("occupancy gate: default-gate miner == clique pair set, spanning above gate") {
     import spark.implicits._
     // gradient fixture again — under the default gate its measured clique
