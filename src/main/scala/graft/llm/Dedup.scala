@@ -698,14 +698,22 @@ object Dedup {
     // over the banded rows yields the EXACT pair volume the clique
     // self-join would emit (Σ d(d−1)/2 per bucket) and the corpus size
     // (Σd = bands·n). The exchange carries only distinct buckets. ———
+    // Volume summed in decimal(38,0): a long sum wraps silently with ANSI
+    // off on exactly the dup-heavy corpora the gate exists to protect
+    // (thousands of buckets at d~1e8 exceed 2^63 pairs). A null sum means
+    // decimal overflow — treated as above-gate (spanning path).
     val occ = banded.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long"),
-        coalesce(sum(col("d")), lit(0L)).cast("long"))
+      .agg(sum(col("d").cast("decimal(38,0)") * (col("d") - lit(1))),
+        sum(col("d")))
       .head()
-    val cliqueVolume = occ.getLong(0)
-    val nDocsApprox = occ.getLong(1) / bands.toLong
-    if (cliqueVolume <= math.max(cliqueVolumeFloor, cliqueVolumePerDoc * nDocsApprox)) {
+    val nBandedRows = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+    val cliqueVolume: Option[BigInt] =
+      if (nBandedRows == 0L) Some(BigInt(0))
+      else Option(occ.getDecimal(0)).map(d => BigInt(d.toBigInteger) / 2)
+    val nDocsApprox = nBandedRows / bands.toLong
+    val gate = BigInt(math.max(cliqueVolumeFloor, cliqueVolumePerDoc * nDocsApprox))
+    if (cliqueVolume.exists(_ <= gate)) {
       // CLIQUE path: the measured pair volume is ~linear in n, so the
       // direct self-join + one verification pass is both the fewest-stage
       // and the fewest-row plan — no hub persist, no verdict persist, no

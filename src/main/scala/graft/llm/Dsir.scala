@@ -86,7 +86,7 @@ object Dsir {
       .groupBy("t").agg(graft.functions.VectorAgg.vectorSum(col("c")).as("s"))
       .collect()
     def side(flag: Boolean): Array[Long] =
-      sums.find(r => r.getBoolean(0) == flag)
+      sums.find(r => !r.isNullAt(0) && r.getBoolean(0) == flag)
         .map(_.getSeq[Double](1).map(_.toLong).toArray)
         .getOrElse(new Array[Long](buckets))
     val ct = side(true)

@@ -312,14 +312,20 @@ object Similarity {
       cands.join(vecsA, "id_a").join(vecsB, "id_b")
         .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
 
+    // Decimal(38,0) volume sum — long wraps silently on dup-heavy corpora
+    // (the ADVICE r15 overflow class); null = decimal overflow = above-gate.
     val occ = banded.groupBy("band", "bsig")
       .agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long"),
-        coalesce(sum(col("d")), lit(0L)).cast("long"))
+      .agg(sum(col("d").cast("decimal(38,0)") * (col("d") - lit(1))),
+        sum(col("d")))
       .head()
-    val cliqueVolume = occ.getLong(0)
-    val nVecsApprox = occ.getLong(1) / bands.toLong
-    if (cliqueVolume <= math.max(cliqueVolumeFloor, cliqueVolumePerDoc * nVecsApprox)) {
+    val nBandedRows = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+    val cliqueVolume: Option[BigInt] =
+      if (nBandedRows == 0L) Some(BigInt(0))
+      else Option(occ.getDecimal(0)).map(d => BigInt(d.toBigInteger) / 2)
+    val nVecsApprox = nBandedRows / bands.toLong
+    val gate = BigInt(math.max(cliqueVolumeFloor, cliqueVolumePerDoc * nVecsApprox))
+    if (cliqueVolume.exists(_ <= gate)) {
       val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"))
       val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"))
       val cands = a.join(b, Seq("band", "bsig"))

@@ -161,6 +161,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("simhashPairs emits each pair exactly once under multi-chunk collisions") {
+    import spark.implicits._
+    // exact duplicates collide in ALL maxDist+1 chunks — a regression in
+    // the first-match filter would re-emit every such pair once per chunk
+    // (invisible to a Set-based assertion, hence this row-count pin)
+    val dupHeavy = (0 until 10).flatMap { g =>
+      (0 until 6).map(i => ((g * 10 + i).toLong,
+        s"group $g shares the very same sentence body verbatim across copies"))
+    }.toDF("doc_id", "text")
+    val rows = Dedup.simhashPairs(dupHeavy, 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(rows.length == rows.toSet.size,
+      s"duplicate emission: ${rows.length} rows for ${rows.toSet.size} distinct pairs")
+    // completeness: each 6-doc identical group contributes its full 15-pair clique
+    assert(rows.toSet.size == 10 * 15, s"expected 150 pairs, got ${rows.toSet.size}")
+  }
+
   test("native cosine matches interpreted HOF reference bit-for-bit") {
     import spark.implicits._
     val vecs = Seq(
