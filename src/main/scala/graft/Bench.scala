@@ -471,11 +471,12 @@ object Bench {
    * Debezium envelope encode), network sink excluded. Shared with
    * [[DrainOne]] (the fresh-child-JVM placement).
    */
-  private[graft] def buildOrdersDrain(spark: SparkSession, sfDir: String)
+  private[graft] def buildOrdersDrain(spark: SparkSession, sfDir: String,
+                                      targetEvents: Long = 1000000L)
       : (DataFrame, Long) = {
     import org.apache.spark.sql.functions.{array, col, explode, lit}
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    val n = 1000000L
+    val n = targetEvents
     val mult = math.max(1L, n / math.max(orders.count(), 1L))
     // orders.parquet is ONE sub-4m file → one scan task; a real backlog
     // arrives as many segments, so spread the synthesized stream across
@@ -776,6 +777,75 @@ object Bench {
     }
     val requietedJson = requietedEntries.reverse.mkString("{", ",", "}")
 
+    // ——— RUN-LEVEL STORM GATE (r15 verdict #2, automated): the per-query
+    // requiet compares each wall to its own prior, so an ARTIFACT-WIDE
+    // storm sails through query-by-query (r15's first attempt: load1 10-17
+    // throughout, suite 79.7 s vs 56.4 quiet — every query modestly hot,
+    // almost none past its own 1.3× gate; a human noticed and re-ran).
+    // Run-level verdict = median per-query wall ratio vs the prior
+    // committed artifact + the share of suite reps that ran at load1 ≥ 8.
+    // A hot verdict refuses to bind the storm walls: ONE full-suite
+    // re-pass runs behind a calm gate (stricter threshold, longer wait),
+    // per-query binding = min(original, re-pass), and the verdict field
+    // records whether the re-pass itself ran calm (storm_repassed) or the
+    // storm outlasted the gate (storm_rerun_required — the committed
+    // artifact then says on its face that a quiet-window re-run is owed).
+    // SPARK_GRAFT_STORM_GATE=0 disables (A/B iteration aid).
+    val suiteRepsAll = resultsQ.flatMap(_._3).filterNot(_.wall.isNaN)
+    val hotShare =
+      if (suiteRepsAll.isEmpty) 0.0
+      else suiteRepsAll.count(_.load1 >= 8.0).toDouble / suiteRepsAll.size
+    val ratios = resultsQ.collect { case (k, Some((w, _, _)), _) => (k, w) }
+      .flatMap { case (k, w) => prior.get(k).filter(_ >= 0.2).map(w / _) }.sorted
+    val medianRatio = if (ratios.isEmpty) Double.NaN else ratios(ratios.size / 2)
+    val stormGateOn = !sys.env.get("SPARK_GRAFT_STORM_GATE").contains("0")
+    val stormMinQueries =
+      sys.env.getOrElse("SPARK_GRAFT_STORM_MIN_QUERIES", "10").toInt
+    val stormDetected = stormGateOn && ratios.size >= stormMinQueries &&
+      medianRatio >= 1.2 && hotShare >= 0.3
+    val runWindowBase =
+      s""""median_wall_ratio_vs_prior":${num3(medianRatio)},"queries_compared":${ratios.size},"hot_rep_share":${num3(hotShare)},"hot_load1_threshold":8.0,"storm_thresholds":{"median_ratio":1.2,"hot_share":0.3,"min_queries":$stormMinQueries}"""
+    var runVerdict = "calm"
+    var runWindowJson = s"""{$runWindowBase,"verdict":"calm"}"""
+    var resultsBound = resultsQ
+    if (stormDetected) {
+      System.err.println(f"[bench] RUN-LEVEL STORM: median wall ratio $medianRatio%.2f over ${ratios.size} queries, hot-rep share $hotShare%.2f — storm walls refused, full-suite quiet re-pass")
+      quiesce(spark)
+      val (gw, gl) = quiesceUntilCalm(threshold = 4.0, maxWaitSec = 300)
+      val rerun = queryList.map { case (name, fn) =>
+        quiesce(spark)
+        val (r, rr) = best(s"storm_repass:$name", reps) {
+          spark.catalog.clearCache()
+          System.gc()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
+        (name, r, rr)
+      }
+      val rerunMap = rerun.map(r => r._1 -> r).toMap
+      resultsBound = resultsQ.map { case orig@(name, r0, rr0) =>
+        rerunMap.get(name) match {
+          case Some((_, r1, rr1)) => (r0, r1) match {
+            case (Some(a), Some(b)) =>
+              (name, Some(if (b._1 < a._1) b else a), rr0 ++ rr1)
+            case (None, some@Some(_)) => (name, some, rr0 ++ rr1)
+            case _ => orig
+          }
+          case None => orig
+        }
+      }
+      val rrAll = rerun.flatMap(_._3).filterNot(_.wall.isNaN)
+      val rerunHot =
+        if (rrAll.isEmpty) 1.0 else rrAll.count(_.load1 >= 8.0).toDouble / rrAll.size
+      val rerunWalls = rerun.collect { case (k, Some((w, _, _)), _) =>
+        "\"" + k + "\":" + num3(w)
+      }.mkString("{", ",", "}")
+      val verdict = if (rerunHot >= 0.3) "storm_rerun_required" else "storm_repassed"
+      runVerdict = verdict
+      runWindowJson =
+        s"""{$runWindowBase,"verdict":"$verdict","repass_gate_wait_sec":${num3(gw)},"repass_gate_load1":${num3(gl)},"repass_hot_rep_share":${num3(rerunHot)},"repass_walls":$rerunWalls,"binding":"min(original, repass) per query"}"""
+      System.err.println(s"[bench] run-level storm verdict: $verdict")
+    }
+
     val (drainLateEps, drainLateDetail, drainLateBad) =
       if (drainsOn) measureDrain("drain_late", ordersDrain) else (0L, "null", false)
     // FRESH-CHILD-JVM placement (r13 verdict #4): the r13 binding orders
@@ -797,10 +867,16 @@ object Bench {
     // parent's heap/JIT phase. Headline = max of the three; every
     // placement, every rep, and the bad-window/regression attribution
     // (vs the prior committed headline) stay in the artifact.
+    // Fresh-child input is scaled ×16 (r15 verdict #1): at 1M events a
+    // fresh JVM's drain rep finishes sub-second and measures JIT warmup,
+    // not the plan (kafka fresh read 337K vs the 2.23M wire headline, a
+    // 6.6× spread that sat unremarked). At 16M events steady state
+    // dominates (~7-45 s of work per rep). events_per_s stays comparable.
+    val freshEventsMult = sys.env.getOrElse("SPARK_GRAFT_FRESH_DRAIN_MULT", "16")
     def freshDrain(tag: String, mode: String): (Long, String) =
-      runChild(tag, 900) { out =>
+      runChild(tag, 1800) { out =>
         Seq("graft.DrainOne", mode, sfDir, drainReps.toString,
-          out.getAbsolutePath, cpus)
+          out.getAbsolutePath, cpus, freshEventsMult)
       } match {
         case Some(json) =>
           val eps = "\"events_per_s\":(\\d+)".r.findFirstMatchIn(json)
@@ -809,6 +885,13 @@ object Bench {
           (eps, json)
         case None => (0L, "null")
       }
+    // Advisory tag when the fresh placement still under-reads its best
+    // in-JVM sibling by >1.5× — non-binding (headline = max of placements)
+    // but now REMARKED in the artifact instead of sitting as silent noise.
+    def freshAdvisory(freshEps: Long, bestInJvm: Long): String =
+      if (freshEps > 0 && bestInJvm > 0 && freshEps * 3 < bestInJvm * 2)
+        s""","advisory":"warmup-or-window-bound: fresh placement read ${100L * freshEps / bestInJvm}% of the best in-JVM placement; non-binding (headline = max of placements)""""
+      else ""
     val ordersRegressed = priorOrdersEps > 0 &&
       math.max(drainEarlyEps, drainLateEps) < (priorOrdersEps * 8L) / 10L
     if (drainEarlyBad || drainLateBad || ordersRegressed)
@@ -834,8 +917,18 @@ object Bench {
     val (kafkaFreshEps, kafkaFreshDetail) =
       if (drainsOn) freshDrain("drain_kafka_fresh", "kafka") else (0L, "null")
     val drainKafkaEps = math.max(math.max(kafkaEarlyEps, kafkaLateEps), kafkaFreshEps)
+    // inject the advisory tag into a fresh placement's detail object when
+    // it under-read its in-JVM siblings (sub-second/warmup-bound children)
+    def tagged(json: String, freshEps: Long, bestInJvm: Long): String = {
+      val adv = freshAdvisory(freshEps, bestInJvm)
+      if (json == "null" || adv.isEmpty || !json.endsWith("}")) json
+      else json.dropRight(1) + adv + "}"
+    }
+    val drainFreshTagged = tagged(drainFreshDetail, drainFreshEps, math.max(drainEarlyEps, drainLateEps))
+    val tpccFreshTagged = tagged(tpccFreshDetail, tpccFreshEps, math.max(tpccEarlyEps, tpccLateEps))
+    val kafkaFreshTagged = tagged(kafkaFreshDetail, kafkaFreshEps, math.max(kafkaEarlyEps, kafkaLateEps))
     val drainDetail =
-      s"""{"protocol":"every drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max of placements; a placement is bad_window when its quiesce gate timed out at load1 >= 8 or its binding rep ran at load1 >= 8 / steal >= 15%, and EVERY drain (orders, tpcc, kafka-wire) is ALSO measured in a FRESH CHILD JVM (graft.DrainOne — own bounded pre-touched heap, own JIT, own load gate; kafka mode drives the real SocketProducer wire path into its own loopback broker with per-rep delivery audits), so the headline = max of THREE placements and no single JVM phase or mildly-loaded window can silently suppress it; bad-window and regression-vs-prior-committed attributions are logged; per-rep objects carry wall/proc_cpu/task_cpu plus majflt delta, 1-min loadavg, MemAvailable and hypervisor steal_pct over the rep window (this box is a VM — steal shows in neither loadavg nor any per-process scan and is the residual contender when a drain slides on a process-quiet host); host_top_cpu names the top external processes by /proc CPU delta across the measurement window; kafka_wire drains the same chain through SocketProducer RecordBatch v2 + CRC32C into a loopback broker","early":$drainEarlyDetail,"early_bad_window":$drainEarlyBad,"late":$drainLateDetail,"late_bad_window":$drainLateBad,"fresh":$drainFreshDetail,"tpcc_early":$tpccEarlyDetail,"tpcc_early_bad_window":$tpccEarlyBad,"tpcc":$drainTpccDetail,"tpcc_bad_window":$tpccLateBad,"tpcc_fresh":$tpccFreshDetail,"kafka_early":$kafkaEarlyDetail,"kafka_early_bad_window":$kafkaEarlyBad,"kafka_wire":$drainKafkaDetail,"kafka_wire_bad_window":$kafkaLateBad,"kafka_fresh":$kafkaFreshDetail}"""
+      s"""{"protocol":"every drain measured twice (early: post-warmup fresh JVM; late: after full suite, r8's placement); headline = max of placements; a placement is bad_window when its quiesce gate timed out at load1 >= 8 or its binding rep ran at load1 >= 8 / steal >= 15%, and EVERY drain (orders, tpcc, kafka-wire) is ALSO measured in a FRESH CHILD JVM (graft.DrainOne — own bounded pre-touched heap, own JIT, own load gate, input scaled x$freshEventsMult so steady state dominates the rep instead of JIT warmup; kafka mode drives the real SocketProducer wire path into its own loopback broker with per-rep delivery audits), so the headline = max of THREE placements and no single JVM phase or mildly-loaded window can silently suppress it; a fresh placement still reading >1.5x below its best in-JVM sibling carries an explicit advisory tag; bad-window and regression-vs-prior-committed attributions are logged; per-rep objects carry wall/proc_cpu/task_cpu plus majflt delta, 1-min loadavg, MemAvailable and hypervisor steal_pct over the rep window (this box is a VM — steal shows in neither loadavg nor any per-process scan and is the residual contender when a drain slides on a process-quiet host); host_top_cpu names the top external processes by /proc CPU delta across the measurement window; kafka_wire drains the same chain through SocketProducer RecordBatch v2 + CRC32C into a loopback broker","early":$drainEarlyDetail,"early_bad_window":$drainEarlyBad,"late":$drainLateDetail,"late_bad_window":$drainLateBad,"fresh":$drainFreshTagged,"tpcc_early":$tpccEarlyDetail,"tpcc_early_bad_window":$tpccEarlyBad,"tpcc":$drainTpccDetail,"tpcc_bad_window":$tpccLateBad,"tpcc_fresh":$tpccFreshTagged,"kafka_early":$kafkaEarlyDetail,"kafka_early_bad_window":$kafkaEarlyBad,"kafka_wire":$drainKafkaDetail,"kafka_wire_bad_window":$kafkaLateBad,"kafka_fresh":$kafkaFreshTagged}"""
 
     // ——— PHASE-1 artifact: suite + drains, BEFORE the ×10 scale probe ———
     // The r9 binding bench died mid-probe (OOM, exit 137) and the WHOLE
@@ -845,8 +938,8 @@ object Bench {
     // a probe-phase death degrades to "suite numbers present, probe null"
     // instead of `parsed: null`. The final write below overwrites this one
     // with the probe data filled in.
-    val ok = resultsQ.collect { case (k, Some((w, c, tc)), _) => (k, w, c, tc) }
-    val failed = resultsQ.collect { case (k, None, _) => k }
+    val ok = resultsBound.collect { case (k, Some((w, c, tc)), _) => (k, w, c, tc) }
+    val failed = resultsBound.collect { case (k, None, _) => k }
     val qs = ok.map { case (k, w, _, _) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val qsCpu = ok.map { case (k, _, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val qsTaskCpu = ok.map { case (k, _, _, tc) => "\"" + k + "\":" + tc }.mkString("{", ",", "}")
@@ -854,7 +947,7 @@ object Bench {
     // #2): any cross-round per-query drift is attributable on sight —
     // majflt spike / loadavg pile-up / shrunken MemAvailable = host phase,
     // clean snapshots + higher task_cpu = the plan changed
-    val qsDetail = resultsQ.map { case (k, _, rr) =>
+    val qsDetail = resultsBound.map { case (k, _, rr) =>
       "\"" + k + "\":" + repsJson(rr)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -894,7 +987,7 @@ object Bench {
     System.err.println(s"[bench] pair_mining_counts x1: $pairCountsX1")
 
     def fullJson(probe: String, status: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"queries_detail":$qsDetail,"requieted_queries":$requietedJson,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_fresh_events_per_s":$drainFreshEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_tpcc_fresh_events_per_s":$tpccFreshEps,"drain_kafka_fresh_events_per_s":$kafkaFreshEps,"drain_kafka_wire_events_per_s":$drainKafkaEps,"drain_detail":$drainDetail,"pair_mining_counts":{"x1":$pairCountsX1,"x10":$pairCountsX10},"probe_status":"$status","scale_probe_x10":$probe}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_taskcpu":$qsTaskCpu,"queries_detail":$qsDetail,"requieted_queries":$requietedJson,"run_window":$runWindowJson,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_early_events_per_s":$drainEarlyEps,"drain_late_events_per_s":$drainLateEps,"drain_fresh_events_per_s":$drainFreshEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_tpcc_fresh_events_per_s":$tpccFreshEps,"drain_kafka_fresh_events_per_s":$kafkaFreshEps,"drain_kafka_wire_events_per_s":$drainKafkaEps,"drain_detail":$drainDetail,"pair_mining_counts":{"x1":$pairCountsX1,"x10":$pairCountsX10},"probe_status":"$status","scale_probe_x10":$probe}"""
     def writeArtifact(json: String): Unit = {
       // write-then-rename so a crash mid-write can't leave a truncated file
       val tmp = new java.io.File(outPath + ".tmp")
@@ -907,7 +1000,7 @@ object Bench {
     val qsCompact = ok.map { case (k, w, _, _) => "\"" + k + "\":" + num3(w) }
       .mkString("{", ",", "}")
     def compactJson(status: String): String =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_kafka_wire_events_per_s":$drainKafkaEps,"probe_status":"$status","detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"runs_per_query":$reps,"query_count_registry":$registryCount,"query_count_timed":$timedCount,"sf":"$sfDir","drain_events_per_s":$drainEps,"drain_tpcc_events_per_s":$drainTpccEps,"drain_kafka_wire_events_per_s":$drainKafkaEps,"run_verdict":"$runVerdict","probe_status":"$status","detail":"bench_out.json"}"""
     writeArtifact(fullJson("null", "pending"))
     // stdout gets the phase-1 compact line too: if the probe phase kills
     // the JVM, the driver's stdout tail still holds a parseable line (the
@@ -1228,9 +1321,17 @@ object Bench {
           val exclJson = quadraticByDesign
             .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
           val failedJsonX = failedX.map("\"" + _ + "\"").mkString("[", ",", "]")
+          // a fresh read ABOVE its in-JVM sibling inverts the long-JVM-phase
+          // story this placement exists to strip — non-binding (min-of-pairs)
+          // but remarked so the inversion can't ship silently (r15 verdict
+          // #1: ann_ivf_trained fresh 26.05 > in-JVM 16.95, unremarked)
           val freshJson = fresh.map { case (k, (_, tc1, _, tc10, inJvm)) =>
+            val adv =
+              if (tc10 >= inJvm)
+                ",\"advisory\":\"fresh >= in-JVM: no long-JVM phase to strip; child read is warmup/window-bound and non-binding (min-of-pairs)\""
+              else ""
             "\"" + k + "\":{\"x1_taskcpu\":" + num2(tc1) + ",\"x10_taskcpu\":" + num2(tc10) +
-              ",\"in_jvm_x10_taskcpu\":" + num2(inJvm) + "}"
+              ",\"in_jvm_x10_taskcpu\":" + num2(inJvm) + adv + "}"
           }.mkString("{", ",", "}")
           // FIXED-COST-DOMINATED ×1 bases (r12 verdict #3, the audited
           // answer): the equal-parallelism protocol fans a SMALL table

@@ -212,18 +212,38 @@ object MysqlBinlog {
   /** Decode MySQL packed decimal → plain string ("-12345.67"), full scale
    * digits kept (reference emits Decimal as string, mysql_object.rs:33). */
   def decodeDecimal(raw: Array[Byte], precision: Int, scale: Int): String = {
-    val b = raw.clone()
-    val positive = (b(0) & 0x80) != 0
-    b(0) = (b(0) ^ 0x80).toByte
-    if (!positive) { var i = 0; while (i < b.length) { b(i) = (~b(i)).toByte; i += 1 } }
-    val r = new Reader(b, 0)
-    val intg = precision - scale
     val sb = new java.lang.StringBuilder(precision + 2)
+    decodeDecimalInto(sb, raw, 0, precision, scale)
+    sb.toString
+  }
+
+  /** Copy-free core of [[decodeDecimal]]: reads the packed bytes straight
+   * out of `buf` (sign-bit flip + negative-complement applied on the fly
+   * instead of cloning and rewriting the array) and appends the rendered
+   * digits to the caller's builder. */
+  def decodeDecimalInto(sb: java.lang.StringBuilder, buf: Array[Byte], off0: Int,
+                        precision: Int, scale: Int): Unit = {
+    val positive = (buf(off0) & 0x80) != 0
+    val inv = if (positive) 0 else 0xff
+    var off = off0
+    def beN(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        var x = buf(off + i) & 0xff
+        if (off + i == off0) x ^= 0x80
+        v = (v << 8) | ((x ^ inv) & 0xffL)
+        i += 1
+      }
+      off += n
+      v
+    }
+    val intg = precision - scale
     if (!positive) sb.append('-')
     val intStart = sb.length
     val lead = intg % 9
-    if (lead > 0) padN(sb, r.beN(dig2bytes(lead)), lead)
-    for (_ <- 0 until intg / 9) padN(sb, r.beN(4), 9)
+    if (lead > 0) padN(sb, beN(dig2bytes(lead)), lead)
+    for (_ <- 0 until intg / 9) padN(sb, beN(4), 9)
     // strip leading zeros of the integer part in place ("000" → "0")
     var z = intStart
     val intEnd = sb.length
@@ -232,11 +252,10 @@ object MysqlBinlog {
     if (sb.length == intStart) sb.append('0') // intg == 0 (all-fraction decimals)
     if (scale > 0) {
       sb.append('.')
-      for (_ <- 0 until scale / 9) padN(sb, r.beN(4), 9)
+      for (_ <- 0 until scale / 9) padN(sb, beN(4), 9)
       val tail = scale % 9
-      if (tail > 0) padN(sb, r.beN(dig2bytes(tail)), tail)
+      if (tail > 0) padN(sb, beN(dig2bytes(tail)), tail)
     }
-    sb.toString
   }
 
   // ————————————————————————— temporal decode —————————————————————————
@@ -257,36 +276,48 @@ object MysqlBinlog {
 
   /** DATE: 3-byte LE day|month<<5|year<<9 → "YYYY-MM-DD". */
   def decodeDate(v: Int): String = {
-    val d = v & 0x1f; val m = (v >> 5) & 0x0f; val y = v >> 9
     val sb = new java.lang.StringBuilder(10)
-    pad4(sb, y); sb.append('-'); pad2(sb, m); sb.append('-'); pad2(sb, d)
+    decodeDateInto(sb, v)
     sb.toString
+  }
+
+  def decodeDateInto(sb: java.lang.StringBuilder, v: Int): Unit = {
+    val d = v & 0x1f; val m = (v >> 5) & 0x0f; val y = v >> 9
+    pad4(sb, y); sb.append('-'); pad2(sb, m); sb.append('-'); pad2(sb, d)
   }
 
   /** DATETIME2: 5-byte BE packed (+0x8000000000 offset) → "YYYY-MM-DD HH:MM:SS". */
   def decodeDatetime2(packed: Long): String = {
+    val sb = new java.lang.StringBuilder(19)
+    decodeDatetime2Into(sb, packed)
+    sb.toString
+  }
+
+  def decodeDatetime2Into(sb: java.lang.StringBuilder, packed: Long): Unit = {
     val v = packed - 0x8000000000L
     val ymd = (v >> 17) & 0x3fffff // 17-bit year*13+month | 5-bit day
     val ym = ymd >> 5; val day = ymd & 0x1f
     val year = ym / 13; val month = ym % 13
     val hms = v & 0x1ffff
     val h = (hms >> 12) & 0x1f; val mi = (hms >> 6) & 0x3f; val se = hms & 0x3f
-    val sb = new java.lang.StringBuilder(19)
     pad4(sb, year); sb.append('-'); pad2(sb, month); sb.append('-'); pad2(sb, day)
     sb.append(' ')
     pad2(sb, h); sb.append(':'); pad2(sb, mi); sb.append(':'); pad2(sb, se)
-    sb.toString
   }
 
   /** TIME2: 3-byte BE packed (+0x800000) → "HH:MM:SS" (negative supported). */
   def decodeTime2(packed: Long): String = {
+    val sb = new java.lang.StringBuilder(9)
+    decodeTime2Into(sb, packed)
+    sb.toString
+  }
+
+  def decodeTime2Into(sb: java.lang.StringBuilder, packed: Long): Unit = {
     val v = packed - 0x800000L
     val a = math.abs(v)
     val h = (a >> 12) & 0x3ff; val mi = (a >> 6) & 0x3f; val se = a & 0x3f
-    val sb = new java.lang.StringBuilder(9)
     if (v < 0) sb.append('-')
     pad2(sb, h); sb.append(':'); pad2(sb, mi); sb.append(':'); pad2(sb, se)
-    sb.toString
   }
 
   // ————————————————————————— JSONB —————————————————————————
@@ -389,12 +420,44 @@ object MysqlBinlog {
 
   def b64(bytes: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(bytes)
 
-  /** Strict UTF-8 decode, null on malformed input (cheap validity check). */
-  def utf8OrNull(bytes: Array[Byte]): String = {
-    val dec = StandardCharsets.UTF_8.newDecoder()
-    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-    catch { case _: java.nio.charset.CharacterCodingException => null }
+  /** Strict UTF-8 validity scan (RFC 3629: rejects overlongs, surrogates,
+   * leads above U+10FFFF, truncated sequences) — replaces the per-value
+   * CharsetDecoder + ByteBuffer allocation that led the r16 decode profile
+   * (one decoder per VARCHAR/CHAR value; same verdict set as the strict
+   * decoder's default REPORT actions). */
+  def isValidUtf8(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // bare continuation / overlong 2-byte lead
+      else if (c < 0xe0) {
+        if (i + 1 >= end || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {
+        if (i + 2 >= end) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80) return false
+        if (c == 0xe0 && c1 < 0xa0) return false // overlong
+        if (c == 0xed && c1 >= 0xa0) return false // UTF-16 surrogate range
+        i += 3
+      } else if (c < 0xf5) {
+        if (i + 3 >= end) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        if (c == 0xf0 && c1 < 0x90) return false // overlong
+        if (c == 0xf4 && c1 >= 0x90) return false // above U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
   }
+
+  /** Strict UTF-8 decode, null on malformed input. */
+  def utf8OrNull(bytes: Array[Byte]): String =
+    if (isValidUtf8(bytes, 0, bytes.length)) new String(bytes, StandardCharsets.UTF_8)
+    else null
 
   // ————————————————————————— row image decode —————————————————————————
 
@@ -432,7 +495,8 @@ object MysqlBinlog {
   private def decodeRowImageInto(r: Reader, tm: TableMapInfo, incIdx: Array[Int],
                                  names: IndexedSeq[String],
                                  sb: java.lang.StringBuilder): String = {
-    val nullBitmap = r.bytes((incIdx.length + 7) / 8)
+    val nbOff = r.off // null bitmap read in place — no per-image copy
+    r.off += (incIdx.length + 7) / 8
     sb.setLength(0)
     sb.append('{')
     var vi = 0
@@ -442,8 +506,8 @@ object MysqlBinlog {
       sb.append('"')
       escapeInto(if (ci < names.size) names(ci) else s"col$ci", sb)
       sb.append('"'); sb.append(':')
-      if (bit(nullBitmap, vi)) sb.append("null")
-      else renderInto(decodeValue(r, tm.types(ci), tm.meta(ci)), sb)
+      if (((r.buf(nbOff + (vi >> 3)) >> (vi & 7)) & 1) != 0) sb.append("null")
+      else decodeValueInto(r, tm.types(ci), tm.meta(ci), sb)
       vi += 1
     }
     sb.append('}')
@@ -506,6 +570,79 @@ object MysqlBinlog {
   private def stringish(bytes: Array[Byte]): J = utf8OrNull(bytes) match {
     case s: String => JStr(s)
     case _ => JObj(Seq("_base64" -> JStr(b64(bytes))))
+  }
+
+  /** Hot-path twin of [[decodeValue]]: renders the value's JSON straight
+   * into `sb` — no per-field J wrapper, no intermediate decimal/temporal
+   * strings, strings UTF-8-validated and decoded in place from the reader's
+   * buffer (zero byte copies on the text path). Output byte-identical to
+   * `renderInto(decodeValue(r, typ, meta), sb)`. */
+  def decodeValueInto(r: Reader, typ: Int, meta: Int, sb: java.lang.StringBuilder): Unit = typ match {
+    case T.TINY => sb.append(r.i1())
+    case T.SHORT => sb.append(r.u2().toShort.toInt)
+    case T.LONG => sb.append(r.i4())
+    case T.INT24 => sb.append(r.i3())
+    case T.LONGLONG => sb.append(r.i8())
+    case T.FLOAT => sb.append(java.lang.Float.intBitsToFloat(r.i4()).toDouble)
+    case T.DOUBLE => sb.append(java.lang.Double.longBitsToDouble(r.i8()))
+    case T.YEAR => sb.append(1900L + r.u1())
+    case T.DATE =>
+      sb.append('"'); decodeDateInto(sb, r.u3()); sb.append('"')
+    case T.DATETIME2 =>
+      sb.append('"'); decodeDatetime2Into(sb, r.beN(5)); sb.append('"')
+      r.off += (meta + 1) / 2 // fractional-seconds bytes (fsp in meta)
+    case T.TIMESTAMP2 =>
+      val secs = r.beN(4)
+      r.off += (meta + 1) / 2
+      sb.append(secs * 1000000L) // micros since epoch (reference emits the number)
+    case T.TIME2 =>
+      sb.append('"'); decodeTime2Into(sb, r.beN(3)); sb.append('"')
+      r.off += (meta + 1) / 2
+    case T.BIT =>
+      val bits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
+      sb.append(r.beN((bits + 7) / 8))
+    case T.NEWDECIMAL =>
+      val prec = (meta >> 8) & 0xff; val scale = meta & 0xff
+      sb.append('"')
+      decodeDecimalInto(sb, r.buf, r.off, prec, scale) // digits/-/. — no escapes
+      r.off += decimalBinSize(prec, scale)
+      sb.append('"')
+    case T.VARCHAR | T.VAR_STRING =>
+      val len = if (meta < 256) r.u1() else r.u2()
+      stringishInto(r, len, sb)
+    case T.STRING =>
+      val m0 = (meta >> 8) & 0xff
+      val m1 = meta & 0xff
+      val maxLen = if (m0 != 0 && (m0 & 0x30) != 0x30) m1 | (((m0 & 0x30) ^ 0x30) << 4) else m1
+      val len = if (maxLen < 256) r.u1() else r.u2()
+      stringishInto(r, len, sb)
+    case T.BLOB =>
+      val lenBytes = meta & 0xff
+      val len = r.beNLittle(lenBytes)
+      base64Into(r.bytes(len.toInt), sb)
+    case T.JSON =>
+      val lenBytes = meta & 0xff
+      val len = r.beNLittle(lenBytes)
+      renderInto(handleJson(r.bytes(len.toInt)), sb)
+    case other => throw new IllegalArgumentException(s"unsupported column type $other")
+  }
+
+  /** In-place [[stringish]]: validate UTF-8 on the reader's buffer, decode
+   * the String straight from it; base64 wrapper only on invalid text. */
+  private def stringishInto(r: Reader, len: Int, sb: java.lang.StringBuilder): Unit = {
+    if (isValidUtf8(r.buf, r.off, len)) {
+      sb.append('"')
+      escapeInto(new String(r.buf, r.off, len, StandardCharsets.UTF_8), sb)
+      sb.append('"')
+      r.off += len
+    } else base64Into(r.bytes(len), sb)
+  }
+
+  /** `{"_base64":"…"}` — base64 text never needs JSON escaping. */
+  private def base64Into(bytes: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    sb.append("{\"_base64\":\"")
+    sb.append(b64(bytes))
+    sb.append("\"}")
   }
 
   implicit final class ReaderOps(private val r: Reader) extends AnyVal {
@@ -614,6 +751,13 @@ object MysqlBinlog {
     val maps = scala.collection.mutable.Map[Long, TableMapInfo]()
     val sb = new java.lang.StringBuilder(256) // reused across every row image
     var lastGtid: String = null
+    // single-source GTID fast path: while the executed set is one entry of
+    // one uuid, "uuid:start-gno" renders directly from tracked state — the
+    // general mergeGtid fold (split + Buffer + re-render) plus the
+    // Formatter-backed per-byte hex of leHex ran once PER ROW and led the
+    // r16 JFR decode profile (java.util.Formatter.format was the top frame)
+    var gtidUuid: String = null
+    var gtidStart = 0L
     // binlog_checksum trailer width (0 or 4). CRC32 is the MySQL default
     // since 5.6: every post-FDE event carries a 4-byte CRC INSIDE
     // event_length, so value loops must stop 4 bytes early or they parse
@@ -671,11 +815,19 @@ object MysqlBinlog {
 
         case GTID_EVENT =>
           r.u1() // flags
-          val sid = r.bytes(16)
+          val uuid = uuidString(r.buf, r.off); r.off += 16
           val gno = r.i8()
-          val uuid = f"${leHex(sid, 0, 4)}-${leHex(sid, 4, 2)}-${leHex(sid, 6, 2)}-${leHex(sid, 8, 2)}-${leHex(sid, 10, 6)}"
-          val g = s"$uuid:$gno"
-          lastGtid = if (lastGtid == null) g else mergeGtid(lastGtid, g)
+          if (lastGtid == null) {
+            gtidUuid = uuid; gtidStart = gno
+            lastGtid = s"$uuid:$gno"
+          } else if (gtidUuid != null && gno > 0 && uuid == gtidUuid) {
+            // byte-identical to mergeGtid(existing, s"$uuid:$gno") for a
+            // single-entry set: start is preserved, upper bound replaced
+            lastGtid = s"$uuid:$gtidStart-$gno"
+          } else {
+            gtidUuid = null // multi-source / non-positive gno: general fold
+            lastGtid = mergeGtid(lastGtid, s"$uuid:$gno")
+          }
 
         case QUERY_EVENT =>
           r.u4(); r.u4() // thread id, exec time
@@ -742,6 +894,19 @@ object MysqlBinlog {
     out.result()
   }
 
-  private def leHex(b: Array[Byte], off: Int, len: Int): String =
-    (off until off + len).map(i => f"${b(i) & 0xff}%02x").mkString
+  private final val HexLower = "0123456789abcdef"
+
+  /** 8-4-4-4-12 lowercase hex of 16 bytes in order — what the leHex/f""
+   * composition produced, minus the per-byte java.util.Formatter. */
+  private def uuidString(b: Array[Byte], off: Int): String = {
+    val sb = new java.lang.StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      val v = b(off + i) & 0xff
+      sb.append(HexLower.charAt(v >> 4)).append(HexLower.charAt(v & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
 }

@@ -219,6 +219,58 @@ object PgOutput {
     def hasMore(limit: Int): Boolean = off < limit
   }
 
+  /** Single-pass tuple decode + row-image render, straight off the reader —
+   * no PgValue wrappers, no per-value byte copies, one String per text
+   * value (the old parseTupleData → buildObjectInto pair traversed twice
+   * and allocated a wrapper + copied bytes per column; pg decode was the
+   * ×10 leaders' second wire loop in the r16 profile). Output
+   * byte-identical to `buildObjectInto(columns, parseTupleData(r), …)`;
+   * consumes exactly the tuple's wire bytes (values beyond the relation's
+   * columns are parsed and skipped, missing trailing columns render null). */
+  private def tupleObjectInto(columns: IndexedSeq[RelationColumn], r: BeReader,
+                              keysOnly: Boolean, sb: java.lang.StringBuilder): String = {
+    val n = r.u2()
+    sb.setLength(0)
+    sb.append('{')
+    var first = true
+    val nCols = columns.length
+    val total = math.max(n, nCols)
+    var i = 0
+    while (i < total) {
+      val include = i < nCols && (!keysOnly || columns(i).isKey)
+      if (include) {
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"'); MysqlBinlog.escapeInto(columns(i).name, sb); sb.append('"'); sb.append(':')
+      }
+      if (i < n) {
+        r.u1().toChar match {
+          case 'n' => if (include) sb.append("null")
+          case 'u' => if (include) sb.append("{\"_unchanged\":true}")
+          case 't' =>
+            val len = r.i4()
+            if (include) {
+              val s = new String(r.buf, r.off, len, StandardCharsets.UTF_8)
+              MysqlBinlog.renderInto(convertTextValue(s, columns(i).typeOid), sb)
+            }
+            r.off += len
+          case 'b' =>
+            val len = r.i4()
+            if (include) {
+              sb.append("{\"_base64\":\"")
+              sb.append(MysqlBinlog.b64(java.util.Arrays.copyOfRange(r.buf, r.off, r.off + len)))
+              sb.append("\"}")
+            }
+            r.off += len
+          case other => throw new IllegalArgumentException(s"bad tuple marker '$other'")
+        }
+      } else if (include) sb.append("null")
+      i += 1
+    }
+    sb.append('}')
+    sb.toString
+  }
+
   /** Tuple data: u16 column count, then marker-tagged values
    * (postgres_object.rs:265-310 `parse_tuple_data`). */
   def parseTupleData(r: BeReader): IndexedSeq[PgValue] = {
@@ -286,7 +338,7 @@ object PgOutput {
           relations.get(relId).foreach { rel =>
             val marker = r.u1().toChar
             if (marker == 'N') {
-              val after = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb)
+              val after = tupleObjectInto(rel.columns, r, keysOnly = false, sb)
               out += PgRecord("c", rel.schema, rel.table, null, after,
                 lsnString(walLsn), txId, commitMs, cascade = false,
                 restartIdentity = false, schemaChanged = false)
@@ -301,8 +353,8 @@ object PgOutput {
             var done = false
             while (!done && r.hasMore(msgEnd)) {
               r.u1().toChar match {
-                case 'K' | 'O' => before = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb)
-                case 'N' => after = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb); done = true
+                case 'K' | 'O' => before = tupleObjectInto(rel.columns, r, keysOnly = false, sb)
+                case 'N' => after = tupleObjectInto(rel.columns, r, keysOnly = false, sb); done = true
                 case _ => done = true
               }
             }
@@ -317,7 +369,7 @@ object PgOutput {
           relations.get(relId).foreach { rel =>
             val marker = r.u1().toChar
             if (marker == 'K' || marker == 'O') {
-              val before = buildObjectInto(rel.columns, parseTupleData(r), keysOnly = false, sb)
+              val before = tupleObjectInto(rel.columns, r, keysOnly = false, sb)
               out += PgRecord("d", rel.schema, rel.table, before, null,
                 lsnString(walLsn), txId, commitMs, cascade = false,
                 restartIdentity = false, schemaChanged = false)
