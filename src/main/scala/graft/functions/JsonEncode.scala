@@ -49,12 +49,28 @@ object JsonEncode {
    * know the payload schema should use [[fusedJsonFor]]. */
   def fusedJson(struct: Column): Column = {
     import org.apache.spark.sql.classic.GraftBridge
-    val e = GraftBridge.expression(struct)
+    // EAGER conversion (GraftBridge.eagerExpression): the lazy
+    // ColumnNodeExpression wrapper reports resolved=true with
+    // dataType=NullType, which (a) defeated the CreateNamedStruct template
+    // match and (b) made knownUnsupported classify EVERY unresolved struct
+    // as unsupported — silently routing the whole CdcSynth payload family
+    // to builtin to_json (caught r16 by plan audit: the benched
+    // cdc_lake_project encode was StructsToJsonEvaluator, not fused).
+    val e = GraftBridge.eagerExpression(struct)
+    fromExpression(e) match {
+      case null => org.apache.spark.sql.functions.to_json(struct)
+      case expr => GraftBridge.column(expr)
+    }
+  }
+
+  /** Route a struct-producing Expression to the fused encoder; null means
+   * "caller must fall back to builtin to_json" (known-unsupported leaf). */
+  private def fromExpression(e: Expression): Expression = {
     def knownUnsupported(expr: Expression): Boolean =
       try expr.resolved && unsupported(expr.dataType).isDefined
       catch { case _: Throwable => false }
-    val expr = e match {
-      case _ if knownUnsupported(e) => null // → builtin below
+    e match {
+      case _ if knownUnsupported(e) => null // → builtin
       case c: CreateNamedStruct => templateOf(c) match {
         case Some((shape, leaves)) if !leaves.exists(knownUnsupported) =>
           FusedJsonTemplate(shape, leaves)
@@ -63,18 +79,41 @@ object JsonEncode {
       }
       case _ => FusedJsonEncode(e)
     }
-    if (expr == null) org.apache.spark.sql.functions.to_json(struct)
-    else GraftBridge.column(expr)
   }
 
   /** [[fusedJson]] when the struct's schema is known at call time (e.g. a
    * whole-table payload built from a DataFrame): any leaf outside the
    * fused lattice routes the WHOLE struct through builtin `to_json`, so
    * call sites never change semantics by switching — the exact mirror of
-   * [[JsonDecode.fusedFromJson]]'s supported-schema gate. */
-  def fusedJsonFor(struct: Column, schema: StructType): Column =
-    if (unsupported(schema).isEmpty) fusedJson(struct)
-    else org.apache.spark.sql.functions.to_json(struct)
+   * [[JsonDecode.fusedFromJson]]'s supported-schema gate.
+   *
+   * When the input is a not-yet-resolved `functions.struct(cols...)`
+   * (an `UnresolvedFunction` — the shape every DataFrame-built payload
+   * arrives in), the declared schema NAMES the leaves, so the
+   * zero-materialization template engages here too: the struct row is
+   * never built, leaves render straight from whole-stage codegen. The
+   * call-site contract (schema == the struct's column list, in order) is
+   * the same one the supported-gate itself already relies on. */
+  def fusedJsonFor(struct: Column, schema: StructType): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    if (unsupported(schema).isEmpty) {
+      GraftBridge.eagerExpression(struct) match {
+        case uf: UnresolvedFunction
+            if uf.nameParts == Seq("struct") && !uf.isDistinct &&
+              uf.arguments.length == schema.fields.length =>
+          val named = CreateNamedStruct(
+            schema.fields.toSeq.zip(uf.arguments).flatMap { case (f, a) =>
+              Seq(Literal(UTF8String.fromString(f.name), StringType), a)
+            })
+          fromExpression(named) match {
+            case null => org.apache.spark.sql.functions.to_json(struct)
+            case expr => GraftBridge.column(expr)
+          }
+        case _ => fusedJson(struct)
+      }
+    } else org.apache.spark.sql.functions.to_json(struct)
+  }
 
   /** Unwrap nested CreateNamedStruct trees into an object template whose
    * leaves are arbitrary non-struct-constructor expressions. Returns None
@@ -431,10 +470,21 @@ object JsonEncode {
       val vals = ctx.freshName("jsonLeaves")
       val evals = children.map(_.genCode(ctx))
       val fill = evals.zipWithIndex.map { case (e, i) =>
-        val box = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-          .boxedType(children(i).dataType)
+        // primitives box via Box.valueOf(...): a cast `($box) ${e.value}`
+        // breaks on values that stringify with a leading '-' (null
+        // literals default to -1L) — Janino parses `(java.lang.Long) -1L`
+        // as BINARY MINUS off a class name and fails compile, which
+        // silently dropped the whole projection to interpreter mode
+        // (r16: the entire "fused encode regresses the drain 30%" A/B
+        // signal was 96 of these per drain). Reference types need no cast
+        // to assign into Object[].
+        val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        val assign =
+          if (cg.isPrimitiveType(children(i).dataType))
+            s"$vals[$i] = ${cg.boxedType(children(i).dataType)}.valueOf(${e.value});"
+          else s"$vals[$i] = ${e.value};"
         s"""${e.code}
-           |if (!${e.isNull}) $vals[$i] = ($box) ${e.value};""".stripMargin
+           |if (!${e.isNull}) $assign""".stripMargin
       }.mkString("\n")
       ev.copy(
         code = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(

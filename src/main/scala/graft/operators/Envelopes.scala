@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.ChangeEvent
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /**
  * Wire envelopes: native (Debezium payload), Debezium (`{"schema":null,
@@ -20,9 +21,24 @@ object Envelopes {
   /** Native envelope: the event payload itself (reference native.rs:1-37).
    * Encoded by the fused byte-level serializer — byte-identical to the
    * `to_json` twin below (property-spec-pinned), ~3× cheaper per event;
-   * the envelope encode is the largest CPU term of the drain headline. */
-  def native: Column =
-    graft.functions.JsonEncode.fusedJson(nativeStruct)
+   * the envelope encode is the largest CPU term of the drain headline.
+   *
+   * Routed through [[graft.functions.JsonEncode.fusedJsonFor]] with the
+   * declared ChangeEvent sub-schema so the ZERO-MATERIALIZATION template
+   * engages on the unresolved `struct(...)`: leaves (including the big
+   * before/after image strings) render straight from whole-stage codegen
+   * into the output buffer, no intermediate 11-field struct row. (r16:
+   * plain `fusedJson` on an unresolved struct used to silently route to
+   * builtin to_json — the lazy Column wrapper lied `dataType=NullType`;
+   * see GraftBridge.eagerExpression.) */
+  def native: Column = {
+    val sub = StructType(nativeFields.map(n => ChangeEvent.schema(n)))
+    graft.functions.JsonEncode.fusedJsonFor(nativeStruct, sub)
+  }
+
+  private val nativeFields = Seq(
+    "before", "after", "source", "op", "ts_ms", "transaction", "event_id",
+    "tenant_id", "schema_version", "schema_sequence", "tags")
 
   /** The envelope struct both encoders serialize. */
   private[operators] def nativeStruct: Column = struct(

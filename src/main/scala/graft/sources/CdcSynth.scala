@@ -84,10 +84,19 @@ object CdcSynth {
       pk.cast(LongType).as("tx_id"),
       pk.cast(LongType).as("sequence"))
 
+    // Stage the payload in its OWN projection: every op needs at least one
+    // image, so the encode is unconditional — and staging moves it out of
+    // the two `when` branches (conditional branches are excluded from
+    // codegen CSE, so un-staged the 'u' rows paid the encode TWICE, ~1.3
+    // evals/row across the op mix). A plain Project costs no exchange
+    // (unlike the r12 repartition-barrier attempt, PLANS rule 9), and
+    // CollapseProject keeps it because the fused encode is non-cheap and
+    // referenced by both images in the same parent projection.
+    val stagedPayload = spread.select(col("*"), payload.as("__payload"))
     ChangeEvent.conform(
-      spread.select(
-        when(op.isin(ChangeEvent.Op.Update, ChangeEvent.Op.Delete), payload).as("before"),
-        when(op =!= ChangeEvent.Op.Delete, payload).as("after"),
+      stagedPayload.select(
+        when(op.isin(ChangeEvent.Op.Update, ChangeEvent.Op.Delete), col("__payload")).as("before"),
+        when(op =!= ChangeEvent.Op.Delete, col("__payload")).as("after"),
         source.as("source"),
         op.as("op"),
         tsMs.as("ts_ms"),

@@ -13,6 +13,21 @@ object GraftBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /**
+   * EAGER Column → Expression conversion. `expression` returns a lazy
+   * `ColumnNodeExpression` placeholder whose `resolved` is TRUE and whose
+   * `dataType` is `NullType` until the analyzer swaps it out — any caller
+   * that pattern-matches the tree or gates on `resolved && dataType` sees
+   * a lie (r16: `fusedJson`'s unsupported-type gate read NullType,
+   * classified every unresolved payload struct as unsupported, and
+   * silently routed the whole CDC-synth payload family to builtin
+   * `to_json`). This converts the ColumnNode immediately, yielding the
+   * real (possibly unresolved) Catalyst tree, e.g.
+   * `UnresolvedFunction(struct, ...)` for `functions.struct(...)`.
+   */
+  def eagerExpression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+
+  /**
    * The EXACT timestamp/date formatters `to_json` (JacksonGenerator) uses
    * for write, so the fused JSON encoder's temporal leaves are
    * byte-identical to the builtin by construction: (timestampWriter(µs),

@@ -151,6 +151,43 @@ class JsonEncodeSpec extends SparkSpec {
     assert(events.select("after").collect().forall(!_.isNullAt(0) || true))
   }
 
+  test("template codegen COMPILES with null typed-literal leaves (no interpreter fallback)") {
+    import spark.implicits._
+    // Null primitive literals codegen their value as the type default
+    // ("-1L" for long): the old boxing cast `(java.lang.Long) -1L` hits
+    // the Java cast/minus grammar ambiguity — Janino reads a BINARY MINUS
+    // off a class name, compilation fails, and the whole projection
+    // silently drops to interpreter mode. The byte-parity specs above
+    // can't see that (interpreted output is still correct, just ~4x
+    // slower — the entire r16 "fused encode regresses the drain 30%"
+    // signal). CODEGEN_ONLY + fallback=false make the compile error
+    // throw instead.
+    val priorFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val priorFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val df = Seq((1L, "x")).toDF("id", "s")
+      val payload = struct(
+        col("id"), col("s"),
+        lit(null).cast("long").as("nl"),
+        lit(null).cast("int").as("ni"),
+        lit(null).cast("double").as("nd"),
+        lit(null).cast("boolean").as("nb"),
+        lit(null).cast("string").as("ns"))
+      val out = df.select(
+        graft.functions.JsonEncode.fusedJson(payload).as("fused"),
+        to_json(payload).as("jackson")).collect().head
+      assert(out.getString(0) == out.getString(1),
+        s"fused=${out.getString(0)} builtin=${out.getString(1)}")
+    } finally {
+      priorFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      priorFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("session time zone is resolved at analysis, like to_json") {
     import spark.implicits._
     val prior = spark.conf.get("spark.sql.session.timeZone")
