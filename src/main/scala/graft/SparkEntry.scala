@@ -186,6 +186,11 @@ object SparkEntry {
       import FilterProcessor._
       val op = CdcSynth.opFor(col("o_orderkey"))
       val delta = when(col("o_orderkey") % 3 === 0, 10.0).otherwise(0.0)
+      // encode stays builtin to_json: the fused-template swap was built and
+      // REVERTED r16 — 5 interleaved fresh-JVM A/B rounds read the fused arm
+      // consistently ~10-20% WORSE at x10 (min 15.5 vs 14.3, 18.3 vs 15.5)
+      // despite an x1 win; these images sit under per-op `when()` branches
+      // (unlike the staged CdcSynth payload where the template wins)
       val beforeJson = to_json(struct(col("o_orderkey"), col("o_totalprice")))
       val afterJson = to_json(struct(col("o_orderkey"),
         (col("o_totalprice") + delta).as("o_totalprice")))
@@ -212,12 +217,19 @@ object SparkEntry {
     "cdc_outbox" -> ((s, dir) => {
       val eventType = when(col("o_orderstatus") === "F", "OrderFulfilled")
         .when(col("o_orderstatus") === "O", "OrderCreated").otherwise("OrderPending")
-      val outboxAfter = to_json(struct(
+      // fused encode (byte-identical to to_json by spec; oracle-pinned)
+      val outboxAfter = graft.functions.JsonEncode.fusedJsonFor(struct(
         concat(lit("evt-"), col("o_orderkey")).as("id"),
         lit("Order").as("aggregate_type"),
         col("o_orderkey").cast(StringType).as("aggregate_id"),
         eventType.as("event_type"),
-        struct(col("o_orderkey"), col("o_totalprice")).as("payload")))
+        struct(col("o_orderkey"), col("o_totalprice")).as("payload")),
+        StructType(Seq(
+          StructField("id", StringType), StructField("aggregate_type", StringType),
+          StructField("aggregate_id", StringType), StructField("event_type", StringType),
+          StructField("payload", StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_totalprice", DoubleType)))))))
       rangeSorted(t(s, dir, "orders"), col("o_orderkey"),
         Seq(col("event_key").cast(LongType))) { o =>
         // after IS the outbox row directly — no double-encode + re-extract
@@ -247,10 +259,16 @@ object SparkEntry {
     // path, a whole sub-object, and a missing path — vs DuckDB json_extract
     "cdc_json_extract" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val payload = to_json(struct(
+      // fused encode (byte-identical to to_json by spec; oracle-pinned)
+      val payload = graft.functions.JsonEncode.fusedJsonFor(struct(
         col("o_orderkey").as("id"),
         struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("order"),
-        col("o_orderpriority").as("prio")))
+        col("o_orderpriority").as("prio")),
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("order", StructType(Seq(
+            StructField("status", StringType), StructField("price", DoubleType)))),
+          StructField("prio", StringType))))
       val paths = Seq("id", "order.status", "order.price", "order", "missing")
       val names = Seq("id", "status", "price", "order_obj", "missing_f")
       rangeSorted(o, col("o_orderkey"), Seq(col("o_orderkey"))) { oo =>
@@ -270,6 +288,10 @@ object SparkEntry {
     // in either the fused encoder or the nested decoder breaks equality.
     "cdc_nested_decode" -> ((s, dir) => {
       val o = t(s, dir, "orders")
+      // encode stays builtin to_json: the fused-template swap was built and
+      // REVERTED r16 — interleaved fresh-JVM A/B read x10 task-CPU 13.7/15.3
+      // (builtin) vs 29.0/33.1 (fused template with array<struct> leaves),
+      // a consistent 2x regression at scale despite a small x1 win
       val payload = to_json(struct(
         struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
           col("o_totalprice").as("price")).as("order"),
@@ -299,7 +321,10 @@ object SparkEntry {
 
     "cdc_envelope" -> ((s, dir) => {
       val op = CdcSynth.opFor(col("o_orderkey"))
-      val payload = to_json(struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status")))
+      // fused encode (byte-identical to to_json by spec; oracle-pinned)
+      val payload = graft.functions.JsonEncode.fusedJsonFor(
+        struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status")),
+        StructType(Seq(StructField("id", LongType), StructField("status", StringType))))
       rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
       val ev = ChangeEvent.conform(o.select(
         when(op.isin("u", "d"), payload).as("before"),
@@ -394,19 +419,19 @@ object SparkEntry {
       // Commit messages with XLogData framing, decoded distributed. Spans
       // the OID map (ints, numeric-as-string, bool t/f, text[], jsonb,
       // bytea hex, TOAST _unchanged) and includes an op='t' truncate row.
-      // localCheckpoint before the sort: the contract order is op-major
-      // over the hex lsn STRING (truncate sorts between deletes and
-      // updates), which no source-side range partitioning can reproduce —
-      // so the orderBy stays, but its bounds-sampling job reads the
-      // materialized blocks instead of re-executing the whole wire
-      // encode+decode chain (the r14 binlog finding measured that at
-      // exactly 2× task-CPU; the mysql twin fixed it with orderedByKey,
-      // this op-major twin fixes it with a materialization cut)
-      sources.PgOutputFixture.decodedOrders(t(s, dir, "orders"))
+      // r16: the op-major hex-lsn-string contract order IS source-range-
+      // partitionable after all — op and lsn are both pure functions of
+      // o_orderkey by fixture construction, and the truncate control row
+      // rides the same exchange with its own keys ('t', "0/1") — so the
+      // raw 6-column source takes one range exchange and the DECODED frame
+      // (whose before/after images are ~10× the source bytes) is never
+      // shuffled or checkpointed at all; sortWithinPartitions reproduces
+      // ORDER BY op, lsn exactly (see PgOutputFixture.decodedOrders;
+      // r15's localCheckpoint cut only moved the bounds-sampling cost).
+      sources.PgOutputFixture.decodedOrders(t(s, dir, "orders"), orderedByOpLsn = true)
         .filter(col("op").isNotNull)
         .select(col("lsn"), col("op"), col("before"), col("after"))
-        .localCheckpoint(true)
-        .orderBy("op", "lsn")
+        .sortWithinPartitions("op", "lsn")
     }),
 
     "skew_salted_join" -> ((s, dir) => {

@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.ChangeEvent
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
  * Wire envelopes: native (Debezium payload), Debezium (`{"schema":null,
@@ -65,7 +65,21 @@ object Envelopes {
         .when(col("op") === ChangeEvent.Op.Delete, "deleted")
         .when(col("op") === ChangeEvent.Op.Read, "snapshot")
         .otherwise("truncated")
-    to_json(struct(
+    // fused byte-level encode (same routing as [[native]]): every leaf is a
+    // string (before/after ride as raw-JSON strings by design), so the
+    // zero-materialization template always engages; byte-identical to the
+    // previous builtin to_json by the JsonEncode property spec
+    val sub = StructType(Seq(
+      StructField("specversion", StringType, nullable = false),
+      StructField("id", StringType),
+      StructField("source", StringType),
+      StructField("type", StringType),
+      StructField("time", StringType),
+      StructField("subject", StringType),
+      StructField("data", StructType(Seq(
+        StructField("before", StringType), StructField("after", StringType),
+        StructField("op", StringType))))))
+    graft.functions.JsonEncode.fusedJsonFor(struct(
       lit("1.0").as("specversion"),
       col("event_id").as("id"),
       concat(lit("/"), col("source.connector"), lit("/"), col("source.name")).as("source"),
@@ -73,7 +87,7 @@ object Envelopes {
       date_format((col("ts_ms") / 1000).cast("timestamp"),
         "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("time"),
       ChangeEvent.qualifiedTable.as("subject"),
-      struct(col("before"), col("after"), col("op")).as("data")))
+      struct(col("before"), col("after"), col("op")).as("data")), sub)
   }
 
   /** Attach the serialized envelope as a `value` column. */

@@ -202,26 +202,71 @@ object PgOutputFixture {
       .flatMap(PgOutput.decodeSegment(_)).toDF()
   }
 
-  /** orders → pgoutput segments → decoded rows; narrow distributed map. */
-  def decodedOrders(orders: DataFrame): DataFrame = {
+  /** orders → pgoutput segments → decoded rows; narrow distributed map.
+   *
+   * `orderedByOpLsn = true` (r16): range-partition the RAW source rows on
+   * the exact `(op, lsn)` STRINGS the decode will emit — both are pure
+   * functions of `o_orderkey` by fixture construction (op = the
+   * [[CdcSynth.opFor]] pk%10 plan; lsn = [[PgOutput.lsnString]] of the
+   * per-row `framed(pk, …)` wal position, replicated below with Spark
+   * `hex()`, which matches `appendUpperHex` exactly: uppercase, no leading
+   * zeros, lone `0` for zero) — and fold the op='t' truncate CONTROL row
+   * into the same range exchange with its own decoded keys ('t', "0/1").
+   * Each decoded record inherits its source row's partition (the
+   * encode→decode chain is a narrow mapPartitions), so range partitions are
+   * globally ordered on (op, lsn) and a downstream `sortWithinPartitions`
+   * reproduces `ORDER BY op, lsn` exactly — WITHOUT the previous
+   * localCheckpoint materialization + full-width shuffle of the decoded
+   * frame (before/after images are ~10× the source row; the r15 cut only
+   * moved the bounds-sampling cost, the wide exchange itself remained).
+   * Spec-pinned row-for-row against the orderBy shape (`PgOutputSpec`). */
+  def decodedOrders(orders: DataFrame, orderedByOpLsn: Boolean = false): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
-    val prepped = orders.repartition(par).select(
-      col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
-      col("o_orderstatus"), col("o_totalprice").cast("double"),
-      unix_millis(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
-      .as[(Long, Long, String, Double, Long, String)]
+    val base = orders.select(
+      col("o_orderkey").cast("long").as("pk"), col("o_custkey").cast("long").as("ck"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("double").as("pr"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("dm"),
+      col("o_orderpriority").as("pp"))
     // rotated at a bounded row count like the MySQL fixture (and like WAL
     // segment files): unbounded per-partition segments made the ×10 probe
     // measure 128× CPU for 10× data — allocation thrash, not decode cost
-    val dataSegments: Dataset[Array[Byte]] =
-      prepped.mapPartitions(it =>
-        it.grouped(MysqlBinlogFixture.SegmentRows)
-          .map(g => ordersSegment(g.iterator)))(
+    def segments(rows: Dataset[(Long, Long, String, Double, Long, String, Boolean)])
+        : Dataset[Array[Byte]] =
+      rows.mapPartitions { it =>
+        it.grouped(MysqlBinlogFixture.SegmentRows).flatMap { g =>
+          val (marks, data) = g.partition(_._7)
+          val segs = Seq.newBuilder[Array[Byte]]
+          if (data.nonEmpty)
+            segs += ordersSegment(data.iterator.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)))
+          marks.foreach(_ => segs += truncateSegment())
+          segs.result()
+        }
+      }(org.apache.spark.sql.Encoders.BINARY)
+    if (orderedByOpLsn) {
+      // truncate marker rides the range exchange as a source row; only pk
+      // matters (wal lsn 1 == truncateSegment's framing)
+      val marker = spark.range(1).select(lit(1L).as("pk"), lit(0L).as("ck"),
+        lit("").as("st"), lit(0.0).as("pr"), lit(0L).as("dm"), lit("").as("pp"),
+        lit(true).as("trunc"))
+      val all = base.withColumn("trunc", lit(false)).unionByName(marker)
+      val opProxy = when(col("trunc"), lit("t"))
+        .when(pmod(col("pk"), lit(10)) <= 5, lit("c"))
+        .when(pmod(col("pk"), lit(10)) <= 8, lit("u"))
+        .otherwise(lit("d"))
+      val lsnProxy = when(col("trunc"), lit("0/1")).otherwise(concat(
+        hex(shiftrightunsigned(col("pk"), 32)), lit("/"),
+        hex(col("pk").bitwiseAND(lit(0xffffffffL)))))
+      val spread = all.repartitionByRange(par, opProxy, lsnProxy)
+        .as[(Long, Long, String, Double, Long, String, Boolean)]
+      segments(spread).flatMap(PgOutput.decodeSegment(_)).toDF()
+    } else {
+      val prepped = base.withColumn("trunc", lit(false)).repartition(par)
+        .as[(Long, Long, String, Double, Long, String, Boolean)]
+      val control = spark.createDataset(Seq(truncateSegment()))(
         org.apache.spark.sql.Encoders.BINARY)
-    val control = spark.createDataset(Seq(truncateSegment()))(
-      org.apache.spark.sql.Encoders.BINARY)
-    dataSegments.union(control).flatMap(PgOutput.decodeSegment(_)).toDF()
+      segments(prepped).union(control).flatMap(PgOutput.decodeSegment(_)).toDF()
+    }
   }
 }

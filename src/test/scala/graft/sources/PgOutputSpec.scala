@@ -121,6 +121,27 @@ class PgOutputSpec extends SparkSpec {
     assert(lsnString((3L << 32) | 0xADEL) == "3/ADE")
   }
 
+  test("orderedByOpLsn decodedOrders reproduces ORDER BY op, lsn exactly") {
+    import org.apache.spark.sql.functions._
+    // keys chosen so hex-string order ≠ numeric order (10 → "0/A" sorts
+    // AFTER 16 → "0/10") and every op class + the truncate row is present
+    val orders = spark.range(1, 60).select(
+      col("id").as("o_orderkey"), (col("id") % 7).as("o_custkey"),
+      when(col("id") % 3 === 0, "O").otherwise("F").as("o_orderstatus"),
+      (col("id").cast("double") * 1.5 + 0.25).as("o_totalprice"),
+      lit("2023-11-14 22:13:20").cast("timestamp").as("o_orderdate"),
+      concat(lit("P-"), col("id") % 5).as("o_orderpriority"))
+    val cols = Seq("lsn", "op", "before", "after").map(col)
+    val got = Fx.decodedOrders(orders, orderedByOpLsn = true)
+      .filter(col("op").isNotNull).select(cols: _*)
+      .sortWithinPartitions("op", "lsn").collect().toSeq
+    val want = Fx.decodedOrders(orders)
+      .filter(col("op").isNotNull).select(cols: _*)
+      .orderBy("op", "lsn").collect().toSeq
+    assert(got == want) // row-for-row, order included
+    assert(got.exists(_.getAs[String]("op") == "t"))
+  }
+
   test("pgoutput segments stream through the backlog source") {
     val backlog = java.nio.file.Files.createTempDirectory("pgstream").toString
     val seg = Fx.ordersSegment(Iterator((5L, 105L, "O", 9.99, 880934400000L, "2-HIGH")))
