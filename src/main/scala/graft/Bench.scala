@@ -615,6 +615,15 @@ object Bench {
       val (chain, inputEvents) = d
       val broker = new LoopbackBroker
       val port = broker.port
+      // r17 (VERDICT r16 #7) — attribution, negative result: a binary-value
+      // variant (encode(value,'UTF-8') + getAs[Array[Byte]], removing the
+      // Row.getString UTF-16 round trip) was A/B'd over 3 interleaved
+      // fresh-child rounds and did NOT win: task-CPU is equal within noise
+      // across arms (126-173 s for 14.3M records ≈ 10 µs/record) and best
+      // walls match (2.07M vs 2.15M ev/s). The wire drain is not
+      // transcode-bound: its cycles go to RecordBatch framing + CRC32C +
+      // socket, and its walls are dominated by host phase (load1 14-25
+      // during reps). The String path stays — measured-wins-only.
       val wire = chain.select(col("topic"), col("value"))
       def job(): Unit = wire.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val p = new graft.streaming.KafkaWire.SocketProducer("127.0.0.1", port, "bench-drain")

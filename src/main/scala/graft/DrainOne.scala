@@ -81,6 +81,7 @@ object DrainOne {
     val job: () => Unit =
       if (mode == "kafka") {
         val port = broker.port
+        // String path kept (r17 negative A/B — see Bench.measureKafkaDrain)
         val wire = chain.select(col("topic"), col("value"))
         () => wire.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           val p = new graft.streaming.KafkaWire.SocketProducer("127.0.0.1", port, "bench-drain")

@@ -288,17 +288,6 @@ object SparkEntry {
     // in either the fused encoder or the nested decoder breaks equality.
     "cdc_nested_decode" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      // encode stays builtin to_json: the fused-template swap was built and
-      // REVERTED r16 — interleaved fresh-JVM A/B read x10 task-CPU 13.7/15.3
-      // (builtin) vs 29.0/33.1 (fused template with array<struct> leaves),
-      // a consistent 2x regression at scale despite a small x1 win
-      val payload = to_json(struct(
-        struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-          col("o_totalprice").as("price")).as("order"),
-        array(col("o_orderkey"), col("o_custkey"), pmod(col("o_orderkey"), lit(7))).as("items"),
-        array(
-          struct(lit("prio").as("k"), col("o_orderpriority").as("v")),
-          struct(lit("stat").as("k"), col("o_orderstatus").as("v"))).as("attrs")))
       val sch = StructType(Seq(
         StructField("order", StructType(Seq(
           StructField("id", LongType), StructField("status", StringType),
@@ -306,6 +295,23 @@ object SparkEntry {
         StructField("items", ArrayType(LongType)),
         StructField("attrs", ArrayType(StructType(Seq(
           StructField("k", StringType), StructField("v", StringType)))))))
+      // encode stays builtin to_json — r17 CLOSES the r16 finding: the r16
+      // swap's 2x x10 regression (29.0/33.1 vs 13.7/15.3) was the BOXED
+      // array<struct> leaves (codegen materialized a GenericArrayData of
+      // rows per input row); with the r17 array-aware template (leaves
+      // render straight from codegen, JsonEncodeSpec byte-parity + template-
+      // engagement pins) the same swap measured PARITY, not a win — x10
+      // task-CPU mins 14.83 fused vs 14.27 builtin over 3 interleaved
+      // fresh-JVM rounds. Small scalar leaves make Jackson vs template a
+      // wash; the template's wins need big string leaves. Builtin kept by
+      // the measured-wins-only rule.
+      val payload = to_json(struct(
+        struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("order"),
+        array(col("o_orderkey"), col("o_custkey"), pmod(col("o_orderkey"), lit(7))).as("items"),
+        array(
+          struct(lit("prio").as("k"), col("o_orderpriority").as("v")),
+          struct(lit("stat").as("k"), col("o_orderstatus").as("v"))).as("attrs")))
       rangeSorted(o, col("o_orderkey"), Seq(col("o_orderkey"))) { oo =>
         oo.select(col("o_orderkey").cast(LongType).as("o_orderkey"), payload.as("j"))
           .select(col("o_orderkey"),
@@ -428,6 +434,11 @@ object SparkEntry {
       // shuffled or checkpointed at all; sortWithinPartitions reproduces
       // ORDER BY op, lsn exactly (see PgOutputFixture.decodedOrders;
       // r15's localCheckpoint cut only moved the bounds-sampling cost).
+      // CONTRACT (r16 ADVICE #3): the global order is an implementation-
+      // level guarantee with no plan-level Sort to restore it — consumers
+      // must not add exchanges or reorder partitions after
+      // decodedOrders(orderedByOpLsn = true); PgOutputSpec's row-for-row
+      // pin is the guard.
       sources.PgOutputFixture.decodedOrders(t(s, dir, "orders"), orderedByOpLsn = true)
         .filter(col("op").isNotNull)
         .select(col("lsn"), col("op"), col("before"), col("after"))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, CreateArray, CreateNamedStruct, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -99,47 +99,108 @@ object JsonEncode {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     if (unsupported(schema).isEmpty) {
       GraftBridge.eagerExpression(struct) match {
-        case uf: UnresolvedFunction
-            if uf.nameParts == Seq("struct") && !uf.isDistinct &&
-              uf.arguments.length == schema.fields.length =>
-          val named = CreateNamedStruct(
-            schema.fields.toSeq.zip(uf.arguments).flatMap { case (f, a) =>
-              Seq(Literal(UTF8String.fromString(f.name), StringType), a)
-            })
-          fromExpression(named) match {
-            case null => org.apache.spark.sql.functions.to_json(struct)
-            case expr => GraftBridge.column(expr)
+        case uf: UnresolvedFunction if isStructFn(uf) =>
+          toNamed(uf, schema) match {
+            // None = declared schema contradicts an argument's own alias
+            // (r16 ADVICE: a renamed alias silently emitted stale field
+            // names) or an arity mismatch — builtin to_json keeps the
+            // caller's own names, loudly consistent either way
+            case None => org.apache.spark.sql.functions.to_json(struct)
+            case Some(named) => fromExpression(named) match {
+              case null => org.apache.spark.sql.functions.to_json(struct)
+              case expr => GraftBridge.column(expr)
+            }
           }
         case _ => fusedJson(struct)
       }
     } else org.apache.spark.sql.functions.to_json(struct)
   }
 
-  /** Unwrap nested CreateNamedStruct trees into an object template whose
-   * leaves are arbitrary non-struct-constructor expressions. Returns None
-   * when any field NAME is non-literal (cannot template). */
+  private def isStructFn(uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
+    uf.nameParts == Seq("struct") && !uf.isDistinct
+  private def isArrayFn(uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
+    uf.nameParts == Seq("array") && !uf.isDistinct
+
+  /** An argument that carries its own name (Alias / attribute) must AGREE
+   * with the declared schema field name — otherwise the fused encoder
+   * would emit field names the caller's own expression does not claim
+   * (r16 ADVICE #2: only arity was checked; a renamed alias silently
+   * emitted stale names, and differently from the to_json fallback). */
+  private def declaredNameMismatch(arg: Expression, declared: String): Boolean =
+    arg match {
+      case a: Alias => a.name != declared
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.last != declared
+      case _ => false
+    }
+
+  /**
+   * Recursively rebuild NAMED constructors from the declared schema so the
+   * zero-materialization template reaches nested `struct(...)` and
+   * `array(...)` constructors (r17: nested constructors used to become
+   * boxed struct/array LEAVES — codegen materialized a GenericArrayData of
+   * rows per input row, the attributed cause of the r16 cdc_nested_decode
+   * 2× ×10 regression). None = a declared name contradicts the argument's
+   * alias, or an arity/type shape mismatch — caller falls back to builtin.
+   */
+  private def toNamed(e: Expression, dt: DataType): Option[Expression] = e match {
+    case a: Alias => toNamed(a.child, dt)
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction if isStructFn(uf) =>
+      dt match {
+        case st: StructType if uf.arguments.length == st.fields.length =>
+          val parts = st.fields.toSeq.zip(uf.arguments).map { case (f, arg) =>
+            if (declaredNameMismatch(arg, f.name)) None
+            else toNamed(arg, f.dataType).map(x =>
+              Seq(Literal(UTF8String.fromString(f.name), StringType), x))
+          }
+          if (parts.exists(_.isEmpty)) None
+          else Some(CreateNamedStruct(parts.flatMap(_.get)))
+        case _ => None
+      }
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction if isArrayFn(uf) =>
+      dt match {
+        case at: ArrayType =>
+          val es = uf.arguments.map(toNamed(_, at.elementType))
+          if (es.exists(_.isEmpty)) None
+          else Some(CreateArray(es.map(_.get), useStringTypeWhenEmpty = false))
+        case _ => None
+      }
+    case other => Some(other)
+  }
+
+  /** Unwrap nested CreateNamedStruct / CreateArray constructor trees into a
+   * template whose leaves are arbitrary non-constructor expressions.
+   * Returns None when any field NAME is non-literal (cannot template).
+   * Array constructors template as [[SArr]] (r17): their elements render
+   * straight from codegen leaf values instead of materializing a
+   * GenericArrayData (of rows, for array<struct>) per input row. */
   private def templateOf(c: CreateNamedStruct)
       : Option[(Shape, Seq[Expression])] = {
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    def walk(cs: CreateNamedStruct): Option[Shape] = {
+    def walkValue(value: Expression): Option[Shape] = value match {
+      case nested: CreateNamedStruct => walkStruct(nested)
+      case arr: CreateArray =>
+        val es = arr.children.map(walkValue)
+        if (es.exists(_.isEmpty)) None else Some(SArr(es.map(_.get)))
+      case leaf =>
+        leaves += leaf
+        Some(SLeaf(leaves.length - 1))
+    }
+    def walkStruct(cs: CreateNamedStruct): Option[Shape] = {
       val fields = cs.nameExprs.zip(cs.valExprs).map {
         case (Literal(name: UTF8String, StringType), value) =>
-          value match {
-            case nested: CreateNamedStruct => walk(nested).map(name.toString -> _)
-            case leaf =>
-              leaves += leaf
-              Some(name.toString -> SLeaf(leaves.length - 1))
-          }
+          walkValue(value).map(name.toString -> _)
         case _ => None
       }
       if (fields.exists(_.isEmpty)) None else Some(SObj(fields.map(_.get)))
     }
-    walk(c).map(s => (s, leaves.toSeq))
+    walkStruct(c).map(s => (s, leaves.toSeq))
   }
 
   sealed trait Shape extends Serializable
   private[JsonEncode] case class SLeaf(idx: Int) extends Shape
   private[JsonEncode] case class SObj(fields: Seq[(String, Shape)]) extends Shape
+  private[JsonEncode] case class SArr(elems: Seq[Shape]) extends Shape
 
   private val HEX = "0123456789ABCDEF".getBytes
   private val TRUE = "true".getBytes
@@ -413,38 +474,62 @@ object JsonEncode {
     // as a flat instruction list over the leaf value array
     @transient private lazy val shapeWriter: (Array[Any], Buf) => Unit = {
       val factory = new WriterFactory(timeZoneId.getOrElse("UTC"))
-      def compile(s: Shape): (Array[Any], Buf) => Unit = s match {
-        case SLeaf(_) => throw new IllegalStateException("top shape must be an object")
-        case SObj(fields) =>
-          val parts = fields.map {
-            case (name, SLeaf(idx)) =>
-              val nb = fieldNameBytes(name)
-              val w = factory.valueWriter(children(idx).dataType)
-              (vals: Array[Any], b: Buf, first: Boolean) => {
-                val v = vals(idx)
-                if (v == null) first
-                else {
-                  if (!first) b.byte(',')
-                  b.bytes(nb); w(v, b); false
-                }
-              }
-            case (name, nested: SObj) =>
-              val nb = fieldNameBytes(name)
-              val inner = compile(nested)
-              // a literal struct(...) constructor is never null itself
-              (vals: Array[Any], b: Buf, first: Boolean) => {
-                if (!first) b.byte(',')
-                b.bytes(nb); inner(vals, b); false
-              }
-          }
+      // render a VALUE in array-element position: a null leaf writes
+      // `null` (to_json array semantics), unlike object fields (omitted)
+      def compileValue(s: Shape): (Array[Any], Buf) => Unit = s match {
+        case SLeaf(idx) =>
+          val w = factory.valueWriter(children(idx).dataType)
           (vals, b) => {
-            b.byte('{')
-            var first = true
-            parts.foreach(p => first = p(vals, b, first))
-            b.byte('}')
+            val v = vals(idx)
+            if (v == null) b.bytes(NULL) else w(v, b)
+          }
+        case obj: SObj => compileObj(obj)
+        case SArr(elems) =>
+          val ews = elems.map(compileValue).toArray
+          (vals, b) => {
+            b.byte('[')
+            var i = 0
+            while (i < ews.length) {
+              if (i > 0) b.byte(',')
+              ews(i)(vals, b)
+              i += 1
+            }
+            b.byte(']')
           }
       }
-      compile(shape)
+      def compileObj(obj: SObj): (Array[Any], Buf) => Unit = {
+        val parts = obj.fields.map {
+          case (name, SLeaf(idx)) =>
+            val nb = fieldNameBytes(name)
+            val w = factory.valueWriter(children(idx).dataType)
+            (vals: Array[Any], b: Buf, first: Boolean) => {
+              val v = vals(idx)
+              if (v == null) first
+              else {
+                if (!first) b.byte(',')
+                b.bytes(nb); w(v, b); false
+              }
+            }
+          case (name, nested) =>
+            // struct(...)/array(...) constructors are never null themselves
+            val nb = fieldNameBytes(name)
+            val inner = compileValue(nested)
+            (vals: Array[Any], b: Buf, first: Boolean) => {
+              if (!first) b.byte(',')
+              b.bytes(nb); inner(vals, b); false
+            }
+        }
+        (vals, b) => {
+          b.byte('{')
+          var first = true
+          parts.foreach(p => first = p(vals, b, first))
+          b.byte('}')
+        }
+      }
+      shape match {
+        case obj: SObj => compileObj(obj)
+        case _ => throw new IllegalStateException("top shape must be an object")
+      }
     }
     @transient private lazy val localBuf = new ThreadLocal[Buf] {
       override def initialValue(): Buf = new Buf(1024)

@@ -251,11 +251,13 @@ object PgOutputFixture {
         lit("").as("st"), lit(0.0).as("pr"), lit(0L).as("dm"), lit("").as("pp"),
         lit(true).as("trunc"))
       val all = base.withColumn("trunc", lit(false)).unionByName(marker)
+      // single source of truth (r16 ADVICE #1): the op plan IS
+      // CdcSynth.opFor and the marker keys ARE ('t', lsnString(truncate's
+      // framed lsn = 1)) — hand-duplicated copies silently desynced the
+      // range partitioning from the decoded keys on any future edit
       val opProxy = when(col("trunc"), lit("t"))
-        .when(pmod(col("pk"), lit(10)) <= 5, lit("c"))
-        .when(pmod(col("pk"), lit(10)) <= 8, lit("u"))
-        .otherwise(lit("d"))
-      val lsnProxy = when(col("trunc"), lit("0/1")).otherwise(concat(
+        .otherwise(CdcSynth.opFor(col("pk")))
+      val lsnProxy = when(col("trunc"), lit(PgOutput.lsnString(1L))).otherwise(concat(
         hex(shiftrightunsigned(col("pk"), 32)), lit("/"),
         hex(col("pk").bitwiseAND(lit(0xffffffffL)))))
       val spread = all.repartitionByRange(par, opProxy, lsnProxy)

@@ -240,4 +240,67 @@ class JsonEncodeSpec extends SparkSpec {
     cmp2.foreach(r => assert(r.getString(0) == r.getString(1),
       s"struct-row diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
   }
+
+  test("array(...) constructors template (r17): byte-identical and fully unrolled into leaves") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the cdc_nested_decode payload shape: nested struct + array<long> +
+    // array<struct<k,v>>, with nullable leaves exercising the null rules
+    // (object field OMITTED, array element written as `null`)
+    val df = Seq(
+      (1L, 10L, "F", 1.5, "1-URGENT"),
+      (2L, -3L, null.asInstanceOf[String], -0.0, "a\"b\\c\n"),
+      (3L, 0L, "é🎉", Double.NaN, null.asInstanceOf[String])
+    ).toDF("k", "ck", "status", "price", "prio")
+    val sch = StructType(Seq(
+      StructField("order", StructType(Seq(
+        StructField("id", LongType), StructField("status", StringType),
+        StructField("price", DoubleType)))),
+      StructField("items", ArrayType(LongType)),
+      StructField("attrs", ArrayType(StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType)))))))
+    def payload = struct(
+      struct(col("k").as("id"), col("status").as("status"), col("price").as("price")).as("order"),
+      array(col("k"), col("ck"), pmod(col("k"), lit(7))).as("items"),
+      array(
+        struct(lit("prio").as("k"), col("prio").as("v")),
+        struct(lit("stat").as("k"), col("status").as("v"))).as("attrs"))
+    val fusedCol = graft.functions.JsonEncode.fusedJsonFor(payload, sch)
+    // the template must ENGAGE and unroll array/struct constructors into
+    // SCALAR leaves — a boxed array<struct> leaf is exactly the r16
+    // regression (codegen materialized a GenericArrayData of rows per row)
+    val expr = org.apache.spark.sql.classic.GraftBridge.eagerExpression(fusedCol)
+    assert(expr.isInstanceOf[graft.functions.JsonEncode.FusedJsonTemplate],
+      s"expected the template path, got ${expr.getClass}")
+    assert(expr.children.length == 10, // 3 order + 3 items + 4 attrs leaves
+      s"expected 10 scalar leaves, got ${expr.children.length}: ${expr.children}")
+    assert(expr.children.forall(c =>
+      !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateArray] &&
+        !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateNamedStruct]),
+      s"constructor leaked through as a boxed leaf: ${expr.children}")
+    val cmp = df.select(fusedCol.as("fused"), to_json(payload).as("jackson")).collect()
+    cmp.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"diverged:\n fused=${r.getString(0)}\n jackson=${r.getString(1)}"))
+  }
+
+  test("declared-schema field name contradicting an argument alias falls back to to_json") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // ADVICE r16 #2: only arity was checked — a renamed alias silently
+    // emitted the STALE schema name, diverging from the to_json fallback.
+    // Now a mismatch routes to builtin (the caller's own names win).
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val mismatched = graft.functions.JsonEncode.fusedJsonFor(
+      struct(col("id").as("renamed"), col("s").as("s")),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    val out = df.select(mismatched.as("j")).collect().head.getString(0)
+    assert(out == """{"renamed":1,"s":"x"}""",
+      s"mismatched alias must fall back to to_json's own names, got $out")
+    // attribute-name mismatch falls back the same way
+    val mismatchedAttr = graft.functions.JsonEncode.fusedJsonFor(
+      struct(col("id"), col("s")),
+      StructType(Seq(StructField("key", LongType), StructField("s", StringType))))
+    val out2 = df.select(mismatchedAttr.as("j")).collect().head.getString(0)
+    assert(out2 == """{"id":1,"s":"x"}""", s"got $out2")
+  }
 }
