@@ -19,18 +19,36 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    case class StageBill(name: String, cpuSec: Double, tasks: Int)
+    case class StageBill(name: String, cpuSec: Double, tasks: Int,
+                         maxTaskSec: Double, medTaskSec: Double)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageBill]()
+    // per-stage task durations (skew evidence: max/median per stage — the
+    // §2.5 question "does a straggler own the stage?" needs per-task data
+    // the aggregated stageInfo.taskMetrics cannot answer)
+    val taskDur = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Double]]()
     var record = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (record && te.taskInfo != null) {
+          taskDur.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Double]())
+            .add(te.taskInfo.duration / 1e3)
+        }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         if (record) {
           val si = sc.stageInfo
           val cpu = si.taskMetrics.executorCpuTime / 1e9
+          import scala.jdk.CollectionConverters._
+          val ds = Option(taskDur.get(si.stageId))
+            .map(_.asScala.toVector.sorted).getOrElse(Vector.empty)
+          val mx = if (ds.isEmpty) 0.0 else ds.last
+          val md = if (ds.isEmpty) 0.0 else ds(ds.size / 2)
+          // first graft frame in the submission stack names the operator
+          val site = si.details.split('\n').find(_.startsWith("graft."))
+            .getOrElse(si.name.take(40))
           stages.add(StageBill(
-            s"stage${si.stageId} ${si.name.take(60)} [${si.details.split('\n').take(3).mkString(" <- ").take(160)}]",
-            cpu, si.numTasks))
+            s"stage${si.stageId} [$site]", cpu, si.numTasks, mx, md))
         }
       }
     })
@@ -97,7 +115,7 @@ object Probe {
     val all = stages.asScala.toSeq
     println(f"TOTAL $q wall=$wall%.2f stages=${all.size} taskCpu=${all.map(_.cpuSec).sum}%.2f")
     all.sortBy(-_.cpuSec).take(25).foreach { s =>
-      println(f"STAGE cpu=${s.cpuSec}%7.2f tasks=${s.tasks}%4d ${s.name}")
+      println(f"STAGE cpu=${s.cpuSec}%7.2f tasks=${s.tasks}%4d maxTask=${s.maxTaskSec}%6.2fs medTask=${s.medTaskSec}%6.2fs ${s.name}")
     }
     spark.stop()
   }
