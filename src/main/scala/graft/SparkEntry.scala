@@ -175,10 +175,14 @@ object SparkEntry {
         predicates = Seq(Gt("o_totalprice", 150000), In("o_orderstatus", Seq("F", "O"))),
         matchMode = MatchAll)
       rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
-        FilterProcessor(cfg)(CdcSynth.changeEvents(o, "inventory", "orders",
-          "o_orderkey", tsCol = Some("o_orderdate")))
-          .select(jget("after", "o_orderkey").cast(LongType).as("o_orderkey"), col("op"),
-            jget("after", "o_totalprice").cast(DoubleType).as("o_totalprice"))
+        // the projection fields ride the gate's single parse (keep=...):
+        // the old per-field jget re-parsed the payload twice per survivor
+        FilterProcessor(cfg, keep = Seq("o_orderkey" -> "__fp_key",
+          "o_totalprice" -> "__fp_price"))(
+          CdcSynth.changeEvents(o, "inventory", "orders",
+            "o_orderkey", tsCol = Some("o_orderdate")))
+          .select(col("__fp_key").cast(LongType).as("o_orderkey"), col("op"),
+            col("__fp_price").cast(DoubleType).as("o_totalprice"))
       }
     }),
 
@@ -243,15 +247,22 @@ object SparkEntry {
     }),
 
     "cdc_routing" -> ((s, dir) => {
-      val ev = orderEvents(s, dir).withColumn("routing",
-        struct(
-          when(col("source.pos") % 7 === 0, "priority.events").as("topic"),
-          lit(null).cast(StringType).as("key"),
-          lit(null).cast(MapType(StringType, StringType)).as("headers"),
-          lit(false).as("raw_payload")))
-      ev.select(col("source.pos").as("o_orderkey"),
-        Routing.resolveTopic(Some("cdc.${source.db}.${source.table}"), "fallback").as("topic"))
-        .orderBy("o_orderkey")
+      // one-exchange shape (r17): range-spread the 2-col source and sort
+      // within partitions — globally identical to the old trailing
+      // orderBy("o_orderkey") (pos = pk, the chain is row-wise), but the
+      // narrow source crosses the single exchange instead of paying a
+      // RoundRobin spread + a range exchange + the bounds-sampling re-run
+      rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
+        val ev = CdcSynth.changeEvents(o, "inventory", "orders", "o_orderkey",
+          tsCol = Some("o_orderdate")).withColumn("routing",
+          struct(
+            when(col("source.pos") % 7 === 0, "priority.events").as("topic"),
+            lit(null).cast(StringType).as("key"),
+            lit(null).cast(MapType(StringType, StringType)).as("headers"),
+            lit(false).as("raw_payload")))
+        ev.select(col("source.pos").as("o_orderkey"),
+          Routing.resolveTopic(Some("cdc.${source.db}.${source.table}"), "fallback").as("topic"))
+      }
     }),
 
     // the parse-once hot-path machinery itself, oracle-pinned: one fused
@@ -332,9 +343,14 @@ object SparkEntry {
         struct(col("o_orderkey").as("id"), col("o_orderstatus").as("status")),
         StructType(Seq(StructField("id", LongType), StructField("status", StringType))))
       rangeSorted(t(s, dir, "orders"), col("o_orderkey"), Seq(col("o_orderkey"))) { o =>
-      val ev = ChangeEvent.conform(o.select(
-        when(op.isin("u", "d"), payload).as("before"),
-        when(op =!= "d", payload).as("after"),
+      // stage the payload in its OWN projection (the CdcSynth.changeEvents
+      // pattern): conditional branches are excluded from codegen CSE, so
+      // un-staged the 'u' rows (30% of the op mix) paid the fused encode
+      // TWICE — ~1.3 encode evals/row; staged, every row pays exactly one
+      val staged = o.select(col("*"), payload.as("__payload"))
+      val ev = ChangeEvent.conform(staged.select(
+        when(op.isin("u", "d"), col("__payload")).as("before"),
+        when(op =!= "d", col("__payload")).as("after"),
         struct(
           lit("graft-0.1.0").as("version"), lit("mysql").as("connector"),
           lit("test-db").as("name"), lit(0L).as("ts_ms"), lit("inventory").as("db"),

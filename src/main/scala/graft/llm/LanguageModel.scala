@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.functions.TextHashOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -43,18 +44,28 @@ object LanguageModel {
     val grams = docs.select(
       col(idCol),
       explode(TextHashOps.textNgramsAll(col(textCol), 2)).as("bg"))
-    // vocabulary-sized model tables; w1 = bigram prefix (tokens are
+    // vocabulary-sized model table; w1 = bigram prefix (tokens are
     // space-free, so substring_index is exact)
     val big = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val uni = grams
-      .select(substring_index(col("bg"), " ", 1).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    // fold the denominator into the model table (vocab ⋈ vocab), then
-    // ONE corpus-sized join on the bigram key
-    val model = big.join(uni, big("w1") === uni("w"))
-      .select(col("bg"), (col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("p"))
-    grams.join(model, "bg")
+    // unigram denominator DERIVED from the bigram table as a window over
+    // the vocab-sized rows: c1(w1) = Σ c2 over bigrams with prefix w1 —
+    // every bigram position contributes exactly one prefix occurrence, so
+    // the sums are identical longs to re-counting the corpus, and BOTH the
+    // third full explode+aggregate pass over the corpus AND the uni join
+    // are gone (r17: the before-plan ran explode(text_ngrams_all) THREE
+    // times; a first rewrite derived uni as a separate aggregate, but its
+    // broadcast build re-executed the corpus pass — the window form keeps
+    // the whole denominator computation inside the one vocab-sized table)
+    val model = big.select(col("bg"),
+      (col("c2").cast(DoubleType) /
+        sum(col("c2")).over(Window.partitionBy("w1")).cast(DoubleType)).as("p"))
+    // model stays vocabulary-sized (sublinear in the corpus), so the
+    // scoring join BROADCASTS it: the corpus gram stream is never shuffled
+    // — before, the join strategy was left to size estimates, which at
+    // sf0.01 broadcast the CORPUS side and at scale degrade to shuffling
+    // every gram position by bg
+    grams.join(broadcast(model), "bg")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -185,20 +185,28 @@ object FilterProcessor {
    * one-parse-per-event cost model (crates/processors/src/filter.rs:111-130),
    * vs one full re-parse per predicate with naive `get_json_object`.
    */
-  def apply(cfg: Config)(df: DataFrame): DataFrame = {
+  /**
+   * `keep` (r17): downstream projections that need `after` fields were
+   * re-parsing the payload once per `get_json_object` AFTER the gate's
+   * parse-once pass already scanned it — `keep = Seq(path -> outName)`
+   * rides those fields on the SAME single parse and emits them as extra
+   * string columns (value-identical to `get_json_object(after, $.path)`;
+   * spec-pinned). Callers cast/rename as needed.
+   */
+  def apply(cfg: Config, keep: Seq[(String, String)] = Nil)(df: DataFrame): DataFrame = {
     val opGate = if (cfg.ops.isEmpty) lit(true) else col("op").isin(cfg.ops: _*)
     val tableGate = if (cfg.tables.isEmpty) lit(true) else tablePredicate(cfg.tables)
     val pre = df.filter(opGate && tableGate)
-    if (cfg.predicates.isEmpty) return pre
+    if (cfg.predicates.isEmpty && keep.isEmpty) return pre
 
     import graft.functions.JsonPathOps.jsonPathsTuple
-    val afterPaths = cfg.predicates.map(_.path).distinct
+    val afterPaths = (cfg.predicates.map(_.path) ++ keep.map(_._1)).distinct
     val beforePaths = cfg.predicates.collect { case Changed(p) => p }.distinct
     // single-predicate fast path: one get_json_object IS the one parse, and
     // it stays inside whole-stage codegen (a Generate breaks the span).
     // Needs ONE predicate, not just one distinct path — two predicates over
     // the same path would each parse in a Filter (no CSE there).
-    if (cfg.predicates.size == 1 && beforePaths.isEmpty) {
+    if (cfg.predicates.size == 1 && beforePaths.isEmpty && keep.isEmpty) {
       val fieldGate = cfg.predicates
         .map(p => compileOn(p, field(col("after"), _), field(col("before"), _)))
         .reduce((a: Column, b: Column) => if (cfg.matchMode == MatchAll) a && b else a || b)
@@ -213,9 +221,13 @@ object FilterProcessor {
     if (beforePaths.nonEmpty)
       staged = staged.select(col("*"), jsonPathsTuple(col("before"), beforePaths).as(bNames))
 
-    val fieldGate = cfg.predicates
+    val filtered = cfg.predicates
       .map(p => compileOn(p, path => col(aCol(path)), path => col(bCol(path))))
-      .reduce((a: Column, b: Column) => if (cfg.matchMode == MatchAll) a && b else a || b)
-    staged.filter(fieldGate).drop(aNames ++ bNames: _*)
+      .reduceOption((a: Column, b: Column) => if (cfg.matchMode == MatchAll) a && b else a || b)
+      .map(staged.filter).getOrElse(staged)
+    val kept = keep.foldLeft(filtered) { case (d, (path, out)) =>
+      d.withColumn(out, col(aCol(path)))
+    }
+    kept.drop(aNames ++ bNames: _*)
   }
 }

@@ -49,7 +49,20 @@ object CdcSynth {
     // the narrow base row moves BEFORE the payload encode, so the wrap and
     // everything after runs at executor parallelism.
     val par = table.sparkSession.sparkContext.defaultParallelism
-    val spread = if (table.rdd.getNumPartitions < par) table.repartition(par) else table
+    // Probe-and-spread ONLY bare relations: `table.rdd.getNumPartitions`
+    // on a plan that contains an Exchange EXECUTES that exchange under AQE
+    // (AdaptiveSparkPlanExec materializes every query stage before it can
+    // report partitioning) — the rangeSorted callers were paying a full
+    // discarded scan+shuffle of the source per query build (r17 A/B:
+    // cdc_routing ×10 task-CPU doubled when its source went from a leaf
+    // scan to repartitionByRange). For a leaf scan the probe is free (file
+    // split listing); a non-leaf input means the caller already arranged
+    // the layout.
+    val spread = table.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        if (table.rdd.getNumPartitions < par) table.repartition(par) else table
+      case _ => table
+    }
     val pk = col(pkCol)
     val op = opFor(pk)
     // fused byte-level encode (to_json-identical by spec, incl. the
