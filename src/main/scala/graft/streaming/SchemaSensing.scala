@@ -140,10 +140,38 @@ object SchemaSensing {
    * one-groupBy-per-field union.
    */
   def typeHistogram(batch: DataFrame, payload: Column, fields: Seq[String]): DataFrame = {
-    val pairs = array(fields.map { f =>
-      struct(lit(f).as("field"), observedType(payload, f).as("observed_type"))
+    // parse-once (r17): [[observedType]]'s when-chain references its
+    // get_json_object SEVEN times, and conditional branches are excluded
+    // from codegen CSE — the old per-field inline form re-parsed the
+    // payload up to 7× per field per row (14 get_json_object nodes in the
+    // sensing_types plan for 2 fields). One fused JsonPathsGenerate pass
+    // extracts every field; the categorize chain then reads cheap staged
+    // string columns. Value-identical: the tuple's extraction semantics
+    // are spec-pinned to get_json_object (FilterKeepSpec), and a null
+    // payload extracts all-null → "missing", same as the old payload.isNull
+    // arm.
+    import graft.functions.JsonPathOps.jsonPathsTuple
+    val names = fields.indices.map(i => s"__st$i")
+    // One semantic wrinkle vs the inline form: get_json_object NORMALIZES
+    // numbers through Jackson ("1e3" extracts as "1000.0"), while the fused
+    // scan returns the raw text — so the float arm additionally accepts an
+    // integer mantissa with an exponent, which is exactly the raw set
+    // Jackson renders as a double (category-identical; spec-pinned against
+    // the inline form including the "1e3" case).
+    def typed(raw: Column): Column =
+      when(raw.isNull, "missing")
+        .when(raw === "null", "null")
+        .when(raw.rlike("^-?[0-9]+$"), "int")
+        .when(raw.rlike("^-?([0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?|[0-9]+[eE][+-]?[0-9]+)$"),
+          "float")
+        .when(raw.isin("true", "false"), "bool")
+        .when(raw.startsWith("{") || raw.startsWith("["), "object_or_array")
+        .otherwise("string")
+    val pairs = array(fields.zip(names).map { case (f, n) =>
+      struct(lit(f).as("field"), typed(col(n)).as("observed_type"))
     }: _*)
-    batch.select(explode(pairs).as("fo"))
+    batch.select(jsonPathsTuple(payload, fields).as(names))
+      .select(explode(pairs).as("fo"))
       .groupBy(col("fo.field").as("field"), col("fo.observed_type").as("observed_type"))
       .agg(count(lit(1)).as("n"))
   }

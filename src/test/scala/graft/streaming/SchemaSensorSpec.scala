@@ -123,4 +123,36 @@ class SchemaSensorSpec extends SparkSpec {
     assert(st.structures.size <= 3)
     assert(st.cacheMisses == 10) // every new structure missed
   }
+
+  // r17: typeHistogram's parse-once staged form must classify exactly like
+  // the old per-field inline observedType (whose when-chain re-parsed the
+  // payload up to 7× per field — conditional branches are outside codegen
+  // CSE). One row per category: int, float, bool, object, array, string,
+  // explicit JSON null (indistinguishable from missing via the
+  // get_json_object semantics both forms share), missing field, null payload.
+  test("typeHistogram staged parse classifies identically to inline observedType") {
+    import spark.implicits._
+    val payloads = Seq(
+      """{"a": 42, "b": "x"}""",
+      """{"a": -3.5, "b": 7}""",
+      """{"a": true, "b": {"n": 1}}""",
+      """{"a": [1,2], "b": 1e3}""",
+      """{"a": "str", "b": null}""",
+      """{"b": 0}""",
+      null: String)
+    val df = payloads.toDF("p")
+    val got = SchemaSensing.typeHistogram(df, col("p"), Seq("a", "b"))
+      .orderBy("field", "observed_type").collect().toSeq
+    // the old inline form, reconstructed verbatim
+    val pairs = array(Seq("a", "b").map { f =>
+      struct(lit(f).as("field"),
+        SchemaSensing.observedType(col("p"), f).as("observed_type"))
+    }: _*)
+    val want = df.select(explode(pairs).as("fo"))
+      .groupBy(col("fo.field").as("field"), col("fo.observed_type").as("observed_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("field", "observed_type").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
